@@ -1,0 +1,51 @@
+"""flatbread_spark: a PySpark-native analytics engine with flatbread's
+tabulation semantics (margins, subtotals, percentage blocks, label tracking)
+plus the pivot construction and large-scale data-pipeline operators
+(dedup, similarity search, text analysis, multimodal columns) the reference
+assumes away.
+
+Fluent usage mirrors the reference's ``df.pita`` accessor
+(``/root/reference/flatbread/accessors/dataframe.py:14``)::
+
+    from flatbread_spark import pivot_table
+    ff = pivot_table(lineitem, index="l_returnflag", columns="l_linestatus",
+                     values="l_quantity", aggfunc="sum")
+    ff = ff.add_totals(axis=2).add_percentages(axis=1, ndigits=1)
+    ff.to_df().show()
+"""
+from __future__ import annotations
+
+from flatbread_spark.frame import POS, ColInfo, FlatFrame
+from flatbread_spark.session import get_spark
+from flatbread_spark.sources import crosstab, load_table, load_tables, pivot_table
+
+__version__ = "0.1.0"
+
+
+def _attach_fluent_api() -> None:
+    """Bind operator functions as FlatFrame methods (the ``pita`` analog)."""
+    from flatbread_spark.operators import aggregation as _agg
+    from flatbread_spark.operators import totals as _tot
+    from flatbread_spark.operators import percentages as _pct
+    from flatbread_spark.operators import levels as _lvl
+    from flatbread_spark.operators import dates as _dates
+
+    FlatFrame.add_agg = _agg.add_agg
+    FlatFrame.add_subagg = _agg.add_subagg
+    FlatFrame.add_totals = _tot.add_totals
+    FlatFrame.add_subtotals = _tot.add_subtotals
+    FlatFrame.drop_totals = _tot.drop_totals
+    FlatFrame.as_percentages = _pct.as_percentages
+    FlatFrame.add_percentages = _pct.add_percentages
+    FlatFrame.sort_aggregates = _lvl.sort_aggregates
+    FlatFrame.sort_totals = _lvl.sort_totals
+    FlatFrame.add_level = _lvl.add_level
+    FlatFrame.sort_index_from_list = _lvl.sort_index_from_list
+
+
+_attach_fluent_api()
+
+__all__ = [
+    "FlatFrame", "ColInfo", "POS", "get_spark",
+    "pivot_table", "crosstab", "load_table", "load_tables",
+]

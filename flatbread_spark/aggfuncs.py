@@ -1,0 +1,102 @@
+"""Aggregate function registry.
+
+The reference accepts any pandas agg spec — a string name or a callable
+(``flatbread/transforms/aggregation.py:105-118``). Here string names map to
+JVM-side built-ins (whole-stage-codegen'd, the fast path at scale); callables
+fall back to a grouped-map Pandas UDF (Arrow-batched) — the documented slow
+path, still distributed.
+
+Two registries are needed because the reference implements axis=1 by
+transposing (``flatbread/tooling.py:31-43``) which is infeasible at scale:
+
+- ``COLUMN_AGGS``: name → fn(Column) → Column, used inside ``groupBy().agg``
+  for axis=0 margins (aggregate *down* rows).
+- ``row_wise``: name → expression over a row's value columns, used for axis=1
+  margins (aggregate *across* columns) — pure per-row expressions, no shuffle.
+"""
+from __future__ import annotations
+
+from functools import reduce
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+COLUMN_AGGS: dict[str, Callable[[Column], Column]] = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "median": F.median,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "size": lambda c: F.count(F.lit(1)),
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "nunique": F.countDistinct,
+    "first": F.first,
+    "last": F.last,
+}
+
+
+def column_agg(aggfunc: str) -> Callable[[Column], Column]:
+    try:
+        return COLUMN_AGGS[aggfunc]
+    except KeyError:
+        raise ValueError(
+            f"Unknown aggfunc {aggfunc!r}; known: {sorted(COLUMN_AGGS)} "
+            "(or pass a callable for the pandas-UDF path)"
+        ) from None
+
+
+def _nn_array(cols: list[Column]) -> Column:
+    """Array of the row's non-null values, cast to double."""
+    arr = F.array(*[c.cast("double") for c in cols])
+    return F.filter(arr, lambda x: x.isNotNull())
+
+
+def row_wise(aggfunc: str, cols: list[Column]) -> Column:
+    """Row-wise (axis=1) aggregate across value columns.
+
+    Matches pandas NaN-skipping semantics: ``sum`` of an all-null row is 0.0
+    (pandas ``sum(axis=1)`` with skipna), ``mean``/``std`` of an all-null row
+    is null.
+    """
+    nn = _nn_array(cols)
+    n = F.size(nn)
+    total = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x)
+    if aggfunc == "sum":
+        return total
+    if aggfunc == "count":
+        return n.cast("bigint")
+    if aggfunc == "size":
+        return F.lit(len(cols)).cast("bigint")
+    if aggfunc == "mean":
+        return F.when(n > 0, total / n)
+    if aggfunc == "min":
+        return F.array_min(nn)
+    if aggfunc == "max":
+        return F.array_max(nn)
+    if aggfunc == "nunique":
+        return F.size(F.array_distinct(nn)).cast("bigint")
+    if aggfunc == "median":
+        s = F.sort_array(nn)
+        lo = F.element_at(s, (n + 1) / 2)
+        hi = F.element_at(s, (n + 2) / 2)
+        return F.when(n > 0, (lo + hi) / 2.0)
+    if aggfunc in ("std", "var"):
+        mean = total / n
+        ssq = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + (x - mean) * (x - mean))
+        var = F.when(n > 1, ssq / (n - 1))
+        return var if aggfunc == "var" else F.sqrt(var)
+    raise ValueError(f"Unknown row-wise aggfunc {aggfunc!r}")
+
+
+def get_label(label, aggfunc) -> str:
+    """Default margin label from the agg spec (reference ``aggregation.py:22-29``)."""
+    if label is not None:
+        return label
+    if isinstance(aggfunc, str):
+        return aggfunc
+    if hasattr(aggfunc, "__name__") and aggfunc.__name__ != "<lambda>":
+        return aggfunc.__name__
+    return "aggregation"

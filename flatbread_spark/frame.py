@@ -1,0 +1,334 @@
+"""FlatFrame: the engine's data model.
+
+The reference library (flatbread) operates on pandas DataFrames whose row/column
+MultiIndexes carry the pivot-table structure and whose ``df.attrs['flatbread']``
+dict tracks which labels are margins (see reference ``flatbread/chaining.py:52-141``).
+Spark DataFrames have none of that: no row order, no hierarchical column labels,
+no attrs. ``FlatFrame`` supplies all three on top of a plain ``pyspark.sql.DataFrame``:
+
+- **index**: a list of ordinary string-typed key columns = the row MultiIndex levels.
+- **cols**: a list of :class:`ColInfo`, one per *value* column, each carrying the
+  column-MultiIndex label tuple and the physical Spark column name. The column
+  axis is pure metadata — column-axis operations (adding a level, interleaving,
+  reordering) never touch data.
+- **__pos__**: an explicit DOUBLE ordering column. Pandas semantics are heavily
+  order-dependent ("totals are the last row", cumsum-based apportioned rounding,
+  ``sort=False`` group order — reference ``percentages.py:65-74``,
+  ``aggregation.py:208``); Spark rows are unordered, so every operator maintains
+  ``__pos__`` and display/exports sort by it. Margin rows are *placed* at
+  ``group_max_pos + eps`` with a strictly decreasing per-operation ``eps`` so that
+  repeated margin ops never collide and never require a global renumbering
+  (a global row_number would serialize on one partition at scale).
+- **labels**: the attrs analog — ``{'totals': [...], 'percentages': [...]}``
+  written by each op so later ops auto-ignore earlier margins
+  (reference ``flatbread/chaining.py:103-141``).
+
+Scale notes: a FlatFrame is a *presentation-shaped* table (a pivot output —
+cardinality = number of groups), but all construction paths (``pivot_table``)
+consume arbitrarily large inputs through shuffle-based groupBy. Nothing here
+collects to the driver; margins are unions of small aggregate DataFrames that
+Spark broadcasts implicitly.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import reduce
+from operator import or_
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+POS = "__pos__"
+
+_TYPE_RANK = {
+    "boolean": 0,
+    "tinyint": 1, "smallint": 2, "int": 3, "bigint": 4,
+    "float": 5, "double": 6,
+    "string": 99,
+}
+
+
+def _wider(t1: str, t2: str) -> str:
+    """Common type for unioning a margin row with the data (pandas upcast analog)."""
+    if t1 == t2:
+        return t1
+    if t1.startswith("decimal") or t2.startswith("decimal"):
+        return "double"
+    r1, r2 = _TYPE_RANK.get(t1), _TYPE_RANK.get(t2)
+    if r1 is None or r2 is None:
+        return "string"
+    wide = t1 if r1 >= r2 else t2
+    # int-family + float-family → double (pandas: count row in float frame stays float;
+    # mean row in int frame upcasts to float)
+    if wide in ("float", "double") and min(r1, r2) <= 4 and max(r1, r2) >= 5:
+        return "double"
+    return wide
+
+
+def union_aligned(df: DataFrame, row: DataFrame) -> DataFrame:
+    """unionByName with pandas-style type widening on mismatched columns."""
+    t_left = dict(df.dtypes)
+    t_right = dict(row.dtypes)
+    for name in df.columns:
+        t1, t2 = t_left[name], t_right.get(name, t_left[name])
+        if t1 != t2:
+            w = _wider(t1, t2)
+            if t1 != w:
+                df = df.withColumn(name, F.col(name).cast(w))
+            if t2 != w:
+                row = row.withColumn(name, F.col(name).cast(w))
+    return df.unionByName(row.select(*df.columns))
+
+
+def keep_predicate(col: Column, ignore_keys: Sequence[str]) -> Column:
+    """Spark analog of the reference's per-element ``should_keep``
+    (``flatbread/chaining.py:32-42``): a label is a margin if it equals an
+    ignore key or is a string starting with one (prefix matching supports
+    ``include_level_name`` labels like "Subtotals Region_A")."""
+    conds = []
+    for key in ignore_keys:
+        conds.append(col.eqNullSafe(F.lit(key)))
+        if isinstance(key, str):
+            conds.append(col.startswith(key))
+    if not conds:
+        return F.lit(True)
+    return ~F.coalesce(reduce(or_, conds), F.lit(False))
+
+
+def _sanitize(name: str) -> str:
+    out = re.sub(r"[^0-9A-Za-z_]+", "_", str(name)).strip("_")
+    return out or "c"
+
+
+def make_col_name(labels: tuple, existing: Iterable[str]) -> str:
+    """Unique physical Spark column name from a column-label tuple."""
+    parts = [_sanitize(x) for x in labels if str(x) != ""]
+    base = "_".join(parts) if parts else "c"
+    existing = set(existing)
+    name, i = base, 1
+    while name in existing or name == POS:
+        name = f"{base}_{i}"
+        i += 1
+    return name
+
+
+@dataclass(frozen=True)
+class ColInfo:
+    """One value column: its column-MultiIndex label tuple + physical name."""
+    labels: tuple
+    name: str
+
+
+class FlatFrame:
+    """A Spark DataFrame with pivot-table semantics (see module docstring)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        index: Sequence[str],
+        cols: Sequence[ColInfo],
+        index_names: Sequence[Any] | None = None,
+        col_names: Sequence[Any] | None = None,
+        labels: dict | None = None,
+        formats: dict | None = None,
+        nmargin: int = 0,
+    ):
+        self.df = df
+        self.index = list(index)
+        self.cols = list(cols)
+        ncl = len(self.cols[0].labels) if self.cols else 1
+        for c in self.cols:
+            if len(c.labels) != ncl:
+                raise ValueError("inconsistent column label tuple lengths")
+        self.index_names = list(index_names) if index_names is not None else list(index)
+        self.col_names = list(col_names) if col_names is not None else [None] * ncl
+        self.labels = {k: list(v) for k, v in (labels or {}).items()}
+        self.formats = dict(formats or {})
+        self.nmargin = nmargin
+
+    # ------------------------------------------------------------------ basics
+    @property
+    def nlevels(self) -> int:
+        return len(self.index)
+
+    @property
+    def ncol_levels(self) -> int:
+        return len(self.cols[0].labels) if self.cols else 1
+
+    @property
+    def value_names(self) -> list[str]:
+        return [c.name for c in self.cols]
+
+    def _copy(self, **over) -> "FlatFrame":
+        kw = dict(
+            df=self.df, index=self.index, cols=self.cols,
+            index_names=self.index_names, col_names=self.col_names,
+            labels=self.labels, formats=self.formats, nmargin=self.nmargin,
+        )
+        kw.update(over)
+        return FlatFrame(**kw)
+
+    # ------------------------------------------------------------- construction
+    @classmethod
+    def from_df(
+        cls,
+        df: DataFrame,
+        index: Sequence[str],
+        value_cols: Sequence[str] | None = None,
+        order_by: Sequence[str | Column] | None = None,
+        col_labels: Sequence[tuple] | None = None,
+        col_names: Sequence[Any] | None = None,
+    ) -> "FlatFrame":
+        """Attach FlatFrame semantics to a Spark DataFrame.
+
+        Index columns are cast to string (margin labels like 'Totals' must union
+        with them). ``__pos__`` is assigned by ``row_number`` over ``order_by``
+        (default: the index columns). The unpartitioned window is acceptable
+        here because FlatFrames are presentation-shaped (≈ number of groups of
+        the originating pivot), never raw fact tables.
+        """
+        index = list(index)
+        if value_cols is None:
+            value_cols = [c for c in df.columns if c not in index and c != POS]
+        value_cols = list(value_cols)
+        df = df.select(
+            *[F.col(c).cast("string").alias(c) for c in index],
+            *value_cols,
+            *([POS] if POS in df.columns else []),
+        )
+        if POS not in df.columns:
+            from pyspark.sql import Window
+
+            ob = list(order_by) if order_by is not None else [F.col(c) for c in index]
+            w = Window.orderBy(*ob)
+            df = df.withColumn(POS, F.row_number().over(w).cast("double"))
+        if col_labels is None:
+            col_labels = [(c,) for c in value_cols]
+        cols = [ColInfo(tuple(lbl), name) for lbl, name in zip(col_labels, value_cols)]
+        return cls(df, index=index, cols=cols, col_names=col_names)
+
+    @classmethod
+    def from_pandas(cls, spark, pdf) -> "FlatFrame":
+        """Lift a (possibly MultiIndex-axed) pandas DataFrame — the reference's
+        native input shape — into a FlatFrame, preserving row order as
+        ``__pos__`` and the column MultiIndex as metadata."""
+        import pandas as pd
+
+        pdf = pdf.copy()
+        nlev = pdf.index.nlevels
+        index_names = [
+            n if n is not None else f"level_{i}" for i, n in enumerate(pdf.index.names)
+        ]
+        col_names = list(pdf.columns.names)
+        col_labels = [
+            lbl if isinstance(lbl, tuple) else (lbl,) for lbl in pdf.columns
+        ]
+        flat = pdf.reset_index()
+        # physical names: index names then generated value names
+        vnames, used = [], list(index_names) + [POS]
+        for lbl in col_labels:
+            name = make_col_name(lbl, used)
+            used.append(name)
+            vnames.append(name)
+        flat.columns = index_names + vnames
+        for c in index_names:
+            flat[c] = flat[c].astype(str)
+        flat[POS] = [float(i + 1) for i in range(len(flat))]
+        sdf = spark.createDataFrame(flat)
+        ff = cls.from_df(
+            sdf, index=index_names, value_cols=vnames,
+            col_labels=col_labels, col_names=col_names,
+        )
+        ff.index_names = list(pdf.index.names)
+        return ff
+
+    # ------------------------------------------------------------------ masking
+    def data_row_mask(self, ignore_keys: str | Sequence[str] | None) -> Column:
+        """Rows that are data (not margins): every index element clean
+        (reference ``chaining.py:44-47``)."""
+        if ignore_keys is None:
+            return F.lit(True)
+        keys = [ignore_keys] if isinstance(ignore_keys, str) else list(ignore_keys)
+        if not keys:
+            return F.lit(True)
+        preds = [keep_predicate(F.col(c), keys) for c in self.index]
+        return reduce(lambda a, b: a & b, preds)
+
+    def data_cols(self, ignore_keys: str | Sequence[str] | None) -> list[ColInfo]:
+        """Value columns that are data (no label element matches an ignore key)."""
+        if ignore_keys is None:
+            return list(self.cols)
+        keys = [ignore_keys] if isinstance(ignore_keys, str) else list(ignore_keys)
+
+        def clean(labels: tuple) -> bool:
+            for el in labels:
+                for key in keys:
+                    if el == key or (
+                        isinstance(el, str) and isinstance(key, str) and el.startswith(key)
+                    ):
+                        return False
+            return True
+
+        return [c for c in self.cols if clean(c.labels)]
+
+    def tracked(self, kind: str) -> list[str]:
+        return list(self.labels.get(kind, []))
+
+    def tag(self, kind: str, *new_labels: str) -> "FlatFrame":
+        """attrs analog of reference ``chaining.tag_labels`` (metadata only)."""
+        labels = {k: list(v) for k, v in self.labels.items()}
+        cur = labels.setdefault(kind, [])
+        for lbl in new_labels:
+            if lbl is not None and lbl not in cur:
+                cur.append(lbl)
+        return self._copy(labels=labels)
+
+    def next_eps(self) -> tuple[float, "FlatFrame"]:
+        """Strictly decreasing placement offset for margin rows: the k-th margin
+        op uses 2^-(k+1), so any number of margins appended after the same data
+        row keep distinct, order-preserving positions that never reach the next
+        data row (sum of all eps < 1)."""
+        eps = 2.0 ** -(self.nmargin + 1)
+        return eps, self._copy(nmargin=self.nmargin + 1)
+
+    # ------------------------------------------------------------------- output
+    def to_df(self, flat_sep: str = "_", sort: bool = True) -> DataFrame:
+        """Plain Spark DataFrame view: index cols + value cols under flattened
+        names, ordered by ``__pos__`` (the only place order is materialized)."""
+        out = self.df.orderBy(POS) if sort else self.df
+        sel = [F.col(c) for c in self.index]
+        seen = set(self.index)
+        for c in self.cols:
+            flat = flat_sep.join(str(x) for x in c.labels if str(x) != "") or c.name
+            flat = flat if flat not in seen else c.name
+            seen.add(flat)
+            sel.append(F.col(c.name).alias(flat))
+        return out.select(*sel)
+
+    def to_pandas(self):
+        """Driver-side pandas frame with real Multi/Index axes — test/display
+        convenience only (FlatFrames are presentation-sized)."""
+        import pandas as pd
+
+        pdf = self.df.orderBy(POS).toPandas()
+        if self.nlevels == 1:
+            idx = pd.Index(pdf[self.index[0]], name=self.index_names[0])
+        else:
+            idx = pd.MultiIndex.from_frame(pdf[self.index], names=self.index_names)
+        data = pdf[[c.name for c in self.cols]]
+        data.index = idx
+        if self.ncol_levels == 1:
+            data.columns = pd.Index([c.labels[0] for c in self.cols], name=self.col_names[0])
+        else:
+            data.columns = pd.MultiIndex.from_tuples(
+                [c.labels for c in self.cols], names=self.col_names
+            )
+        return data
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"FlatFrame(index={self.index}, cols={[c.labels for c in self.cols]}, "
+            f"labels={self.labels})"
+        )
