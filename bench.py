@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the declared queries from ``__spark_entry__`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is timed as plan-build + full execution (``collect`` for small
+results; results are margin tables / top-k / per-doc stats so driver-side
+materialization is bounded by design). A warm-up query runs first so JVM/
+codegen startup is not billed to the first query.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+from flatbread_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = sys.argv[1:]
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = get_spark(
+        app="flatbread-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    # warm-up: JVM, codegen, parquet footer reads
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
+
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            n = len(fn(spark, sf_dir).collect())
+        except Exception as e:  # keep the harness alive; a failed query = inf
+            print(f"# FAIL {name}: {e}", file=sys.stderr)
+            times[name] = float("inf")
+            continue
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t != float("inf")), 3)
+    print(json.dumps({
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

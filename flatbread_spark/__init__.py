@@ -15,6 +15,7 @@ Fluent usage mirrors the reference's ``df.pita`` accessor
 """
 from __future__ import annotations
 
+from flatbread_spark.config import CONFIG, get_defaults
 from flatbread_spark.frame import POS, ColInfo, FlatFrame
 from flatbread_spark.session import get_spark
 from flatbread_spark.sources import crosstab, load_table, load_tables, pivot_table
@@ -42,10 +43,19 @@ def _attach_fluent_api() -> None:
     FlatFrame.add_level = _lvl.add_level
     FlatFrame.sort_index_from_list = _lvl.sort_index_from_list
 
+    from flatbread_spark.output import display as _disp
+    from flatbread_spark.output import excel as _xl
+
+    FlatFrame.display = lambda self: _disp.Display(self)
+    FlatFrame._repr_html_ = lambda self: _disp.Display(self)._repr_html_()
+    FlatFrame.data_spec = lambda self: _disp.Display(self).data_spec()
+    FlatFrame.get_json = lambda self: _disp.Display(self).get_json()
+    FlatFrame.export_excel = _xl.export_excel
+
 
 _attach_fluent_api()
 
 __all__ = [
-    "FlatFrame", "ColInfo", "POS", "get_spark",
+    "FlatFrame", "ColInfo", "POS", "get_spark", "CONFIG", "get_defaults",
     "pivot_table", "crosstab", "load_table", "load_tables",
 ]

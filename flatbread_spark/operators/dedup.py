@@ -142,8 +142,12 @@ def minhash_lsh_pairs(
         word_shingles(F.col(text_col), n).alias("__sh"),
     ).withColumn("__sig", _minhash_signature(F.col("__sh"), num_hashes, seed))
 
+    # band rows carry ONLY (id, band, key): exploding the (possibly large)
+    # shingle array `bands`-fold and shuffling it through the self-join would
+    # multiply shuffle bytes by `bands`; shingles are re-joined by id below,
+    # once per *candidate pair*, not per band row.
     bands_df = base.select(
-        "__id", "__sh",
+        "__id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -153,7 +157,7 @@ def minhash_lsh_pairs(
                 for i in range(bands)
             ])
         ).alias("bk"),
-    ).select("__id", "__sh", F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"))
+    ).select("__id", F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"))
 
     a, b = bands_df.alias("a"), bands_df.alias("b")
     cands = (
@@ -163,11 +167,13 @@ def minhash_lsh_pairs(
             & (F.col("a.__key") == F.col("b.__key"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"), F.col("b.__sh").alias("sh_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    shingle_sets = base.select("__id", "__sh")
+    cands = (
+        cands.join(shingle_sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(shingle_sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -180,25 +186,61 @@ def minhash_lsh_pairs(
 
 def simhash64(text: Column, n: int = 2) -> Column:
     """64-bit SimHash over word n-gram shingles: each shingle's xxhash64
-    votes ±1 per bit; the signature is the sign vector. Expression-only."""
+    votes ±1 per bit; the signature is the sign vector. Single aggregate pass
+    with a 64-vote array accumulator (one traversal of the shingle array, not
+    64 — the naive per-bit formulation generates 64 independent aggregates
+    and falls out of any reasonable expression budget)."""
     sh = word_shingles(text, n)
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda i: F.shiftrightunsigned(F.xxhash64(s), i)
+                .bitwiseAND(F.lit(1))
+                .cast("int"),
+            ),
+            lambda a, bit: a + bit * 2 - 1,
+        ),
+    )
+    return _votes_to_sig(votes)
 
-    def bit_vote(i: int):
-        return F.aggregate(
-            sh,
-            F.lit(0),
-            lambda acc, s: acc
-            + F.when(
-                F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        )
 
+def _votes_to_sig(votes: Column) -> Column:
+    """array<int> of 64 bit votes → bigint signature (bit i set iff vote>0).
+    Bit 63 is the sign bit: adding -(2^63) sets it without overflow."""
     sig = F.lit(0).cast("bigint")
     for i in range(63):
-        sig = sig + F.when(bit_vote(i) > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
-    # bit 63 is the sign bit: adding -(2^63) sets it without overflow
-    sig = sig + F.when(bit_vote(63) > 0, F.lit(-(1 << 63)).cast("bigint")).otherwise(0)
-    return sig
+        sig = sig + F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return sig + F.when(
+        F.element_at(votes, 64) > 0, F.lit(-(1 << 63)).cast("bigint")
+    ).otherwise(0)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """(id, simhash64) via explode → hash → groupBy(id) with 64 bit-vote sums.
+
+    The scale path: shingle hashing and the ±1 votes stay in whole-stage
+    codegen, partial aggregation combines map-side, and the only shuffle is
+    the (id, 64×int) vote rows — independent of document size."""
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
+    ).select("__id", F.xxhash64("__s").alias("__h"))
+    votes = [
+        F.sum(
+            (F.shiftrightunsigned("__h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+        ).alias(f"__v{i}")
+        for i in range(64)
+    ]
+    agg = hashed.groupBy("__id").agg(*votes)
+    votes_arr = F.array(*[F.col(f"__v{i}") for i in range(64)])
+    return agg.select("__id", _votes_to_sig(votes_arr).alias("__sig"))
 
 
 def simhash_pairs(
@@ -216,7 +258,7 @@ def simhash_pairs(
     join is on chunk equality, then popcount-verified. Returns
     (id_a, id_b, hamming)."""
     w = 64 // bands
-    sigd = df.select(F.col(id_col).alias("__id"), simhash64(F.col(text_col), n).alias("__sig"))
+    sigd = simhash_signatures(df, id_col, text_col, n)
     chunks = sigd.select(
         "__id", "__sig",
         F.explode(
@@ -253,23 +295,39 @@ def embedding_dup_pairs(
     block_col: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact cosine ≥ threshold, optionally block-bucketed
-    (block_col = cluster/LSH bucket/label). Exact-decimal cosine ⇒
-    SQL-oracle-reproducible. Returns (id_a, id_b, cos)."""
+    (block_col = cluster/LSH bucket/label). Returns (id_a, id_b, cos).
+
+    Two-phase for scale: (1) per-vector norms are computed ONCE (O(n), not
+    O(n²) as a per-pair norm would be) and candidate pairs are scored with
+    fast double cosine, filtered at threshold − 1e-6 slack; (2) survivors —
+    a tiny fraction — are re-scored with exact-decimal cosine, which is what
+    the output value and final filter use, so results stay bit-reproducible
+    against a SQL oracle while the all-pairs hot loop stays cheap."""
+    from flatbread_spark.functions.vectors import dot_fast
+
     cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
     if block_col:
         cols.append(F.col(block_col).alias("__blk"))
-    base = df.select(*cols)
+    base = df.select(*cols).withColumn("__norm", F.sqrt(dot_fast(F.col("__v"), F.col("__v"))))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
     if block_col:
         cond &= F.col("a.__blk") == F.col("b.__blk")
-    cos = cosine_exact(F.col("a.__v"), F.col("b.__v"))
-    return (
+    fast_cos = dot_fast(F.col("a.__v"), F.col("b.__v")) / (
+        F.col("a.__norm") * F.col("b.__norm")
+    )
+    cands = (
         a.join(b, cond)
+        .filter(fast_cos >= threshold - 1e-6)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(cos, 6).alias("cos"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
         )
+    )
+    cos = cosine_exact(F.col("__va"), F.col("__vb"))
+    return (
+        cands.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
