@@ -92,16 +92,21 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Deterministic argmax over marker-word counts; ties resolve in
-    LANG_MARKERS order; zero hits → 'und' (undetermined)."""
+    LANG_MARKERS order; zero hits → 'und' (undetermined).
+
+    Implemented as ``array_max`` over (score, -order, lang) structs so each
+    per-language score expression appears exactly ONCE in the plan — a naive
+    ``when``-chain argmax embeds every score O(langs) times and multiplies
+    the tokenize+filter work per row."""
     scores = lang_scores(text)
-    langs = list(scores)
-    best_lang = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lang in langs[1:]:
-        cond = scores[lang] > best_score
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    entries = [
+        F.struct(
+            score.alias("s"), F.lit(-i).alias("no"), F.lit(lang).alias("l")
+        )
+        for i, (lang, score) in enumerate(scores.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
 def fingerprint_md5(text: Column) -> Column:

