@@ -248,6 +248,72 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """Semi-join surface (SURVEY §2.4): orders with ≥1 late-shipped lineitem.
+    (The TPC-H commit/receipt dates are absent from this star schema; the
+    EXISTS predicate is l_shipdate > o_orderdate.)"""
+    orders = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1996-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1996-10-01")))
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Broadcast dim join + conditional aggregate (promo-revenue shape)."""
+    part = _load(spark, sf_dir, "part")
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1996-02-01")))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)).cast(DEC)).cast("double")
+            / F.sum(rev.cast(DEC)).cast("double")
+        ).alias("economy_revenue_pct")
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set-operation surface (SURVEY §2.6): INTERSECT/EXCEPT of the priority
+    sets seen in two disjoint years, tagged by operation."""
+    orders = _load(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_orderpriority").distinct()
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_orderpriority").distinct()
+    both = y96.intersect(y97).withColumn("op", F.lit("both"))
+    only96 = y96.exceptAll(y97).withColumn("op", F.lit("only_1996"))
+    return both.unionByName(only96)
+
+
+def q_pct_interleaf(spark, sf_dir):
+    """add_percentages(interleaf=True): n/pct level moved innermost so each
+    n column is paired with its pct (reference ``percentages.py:378-385``)."""
+    ff = _qty_pivot(spark, sf_dir).add_totals(axis=2)
+    return ff.add_percentages(axis=1, base=100, interleaf=True).to_df()
+
+
+def q_quality_scores(spark, sf_dir):
+    from flatbread_spark.functions import text as T
+
+    docs = _load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
 # ------------------------------------------------------------------- pipeline
 def q_dedup_exact(spark, sf_dir):
     from flatbread_spark.operators.dedup import dedup_exact
@@ -408,6 +474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q14": q_tpch_q14,
+        "set_ops": q_set_ops,
+        "pct_interleaf": q_pct_interleaf,
+        "quality_scores": q_quality_scores,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -627,6 +698,63 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+""",
+        "tpch_q4": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+        "tpch_q14": """
+SELECT 100.0
+  * CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
+                       THEN l_extendedprice*(1-l_discount) ELSE 0.0 END
+                  AS DECIMAL(27,6))) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+  AS economy_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-02-01'
+""",
+        "set_ops": """
+WITH y96 AS (SELECT DISTINCT o_orderpriority FROM orders WHERE year(o_orderdate)=1996),
+y97 AS (SELECT DISTINCT o_orderpriority FROM orders WHERE year(o_orderdate)=1997)
+SELECT o_orderpriority, 'both' AS op FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+UNION ALL
+SELECT o_orderpriority, 'only_1996' AS op FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+""",
+        "pct_interleaf": qty_grid + """
+SELECT l_returnflag, F AS F_n, F/(F+O)*100 AS F_pct,
+       O AS O_n, O/(F+O)*100 AS O_pct,
+       F+O AS Totals_n, (F+O)/(F+O)*100 AS Totals_pct
+FROM u
+""",
+        "quality_scores": r"""
+WITH b AS (
+  SELECT doc_id, text,
+    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS ntok,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        x -> x IN ('the','a','an','of','and','to','in','is','it'))) AS nsw,
+    CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+      / length(text) AS pr,
+    CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> length(x))) AS DOUBLE)
+      / len(regexp_split_to_array(trim(text), '\s+')) AS mtl,
+    len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]')) AS nbpe
+  FROM documents),
+s AS (
+  SELECT doc_id, nbpe,
+    CAST(nsw AS DOUBLE)/ntok AS sw, pr, mtl
+  FROM b)
+SELECT doc_id, CAST(nbpe AS BIGINT) AS n_bpe_tokens,
+  round(sw, 6) AS stopword_ratio,
+  round(least(sw*4.0, 1.0)*0.4 + (1.0-least(pr*5.0, 1.0))*0.3
+        + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)*0.3,
+        6) AS quality
+FROM s
 """,
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint, COUNT(*) AS n_dups

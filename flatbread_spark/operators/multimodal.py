@@ -105,6 +105,28 @@ def _decode_batch(pdf_iter) -> Iterator:
         yield pd.DataFrame(out)
 
 
+def synth_assets_from_documents(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modality: str = "image",
+) -> DataFrame:
+    """Deterministic asset rows from a document table (utf-8 payloads) —
+    exercises the binary-column contract where no real media exists."""
+    return documents.select(
+        F.col(id_col).alias("asset_id"),
+        F.lit(modality).alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(text_col, "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+            F.lit("synth").alias("source"),
+        ).alias("meta"),
+    )
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Distributed decode/feature stage. Repartition first if payloads are
     skewed (one giant video per partition starves the others)."""

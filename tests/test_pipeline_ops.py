@@ -1,0 +1,165 @@
+"""Pipeline operators: dedup, similarity, text analysis, multimodal plumbing,
+windowed/sessionized events. Small synthetic frames with hand-checkable
+answers, plus invariants on the driver testdata."""
+import math
+
+from pyspark.sql import functions as F
+
+from flatbread_spark.functions.text import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from flatbread_spark.operators.dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from flatbread_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (4, "completely different text about spark engines and shuffles"),
+        (5, "der hund läuft und der mann und die frau"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    out = {r.fingerprint: (r.doc_id, r.n_dups)
+           for r in dedup_exact(docs_df(spark), "doc_id", "text").collect()}
+    assert len(out) == 4  # 5 docs, one exact dup
+    dup_group = [v for v in out.values() if v[1] == 2]
+    assert dup_group == [(1, 2)]  # keeps lowest id
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = ngram_jaccard_pairs(docs_df(spark), "doc_id", "text", n=2, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    assert (1, 2) in got and 0.5 <= got[(1, 2)] < 1.0
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_agrees_with_exact_jaccard_on_dups(spark):
+    pairs = minhash_lsh_pairs(
+        docs_df(spark), "doc_id", "text", n=2, num_hashes=32, bands=16, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got.get((1, 3)) == 1.0
+    assert (1, 2) in got  # high-similarity pair must collide in some band
+
+
+def test_simhash_exact_dup_distance_zero(spark):
+    sigs = {r["__id"]: r["__sig"]
+            for r in simhash_signatures(docs_df(spark), "doc_id", "text", n=2).collect()}
+    assert sigs[1] == sigs[3]
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_pairs(docs_df(spark), "doc_id", "text", n=2,
+                                    max_hamming=10, bands=8).collect()}
+    assert pairs.get((1, 3)) == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([("a b",)], ["t"])
+    [row] = df.select(word_shingles(F.col("t"), 4).alias("s")).collect()
+    assert row.s == ["a b"]  # shorter than n → whole text as one shingle
+
+
+def test_embedding_dups_and_knn(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "x"),
+        (2, [0.999, 0.01, 0.0], "x"),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0], "x"),
+        (4, [0.0, 0.0, 1.0], "y"),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    dups = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.95)
+    got = [(r.id_a, r.id_b) for r in dups.collect()]
+    assert got == [(1, 2)]
+
+    knn = knn_bruteforce(emb, emb.filter(F.col("vec_id") == 1), k=2)
+    ranked = [(r.rank, r.neighbor_id) for r in knn.collect()]
+    assert sorted(ranked) == [(1, 2), (2, 3)]  # 3 before 4 on id tiebreak
+
+
+def test_knn_lsh_subset_of_bruteforce_candidates(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    exact = knn_bruteforce(embeddings, queries, k=5)
+    approx = knn_lsh(embeddings, queries, k=5, nbits=4, tables=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_text_functions_basics(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog sat on the mat",),
+         ("!!! ??? ###",)],
+        ["t"],
+    )
+    rows = df.select(
+        token_count(F.col("t")).alias("n"),
+        bpe_ish_token_count(F.col("t")).alias("bpe"),
+        F.round(quality_score(F.col("t")), 2).alias("q"),
+        lang_id(F.col("t")).alias("lang"),
+    ).collect()
+    assert rows[0].n == 9
+    assert rows[0].bpe >= rows[0].n  # subword proxy is finer than words
+    assert rows[0].lang == "en"
+    assert rows[0].q > rows[1].q  # punctuation soup scores worse
+    assert rows[1].lang == "und"
+
+
+def test_sessionize_gap_semantics(spark):
+    ns = 1_000_000_000
+    rows = [
+        # user 1: two sessions (gap 40 min), 3 events
+        (1, 1, 0 * ns), (2, 1, 60 * ns), (3, 1, (60 + 2400) * ns),
+        # user 2: one session
+        (4, 2, 0 * ns),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    from flatbread_spark.streaming.windows import sessionize
+
+    out = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
+           for r in sessionize(ev, gap_minutes=30).collect()}
+    assert out[1] == (2, 3, 2)
+    assert out[2] == (1, 1, 1)
+
+
+def test_hourly_rollup_bucket_alignment(spark):
+    ns = 1_000_000_000
+    rows = [(1, "a", 10 * ns, 1.5), (2, "a", 3599 * ns, 2.5), (3, "a", 3600 * ns, 4.0)]
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+    from flatbread_spark.streaming.windows import hourly_rollup
+
+    out = {r.bucket_start: (r.n_events, r.sum_value) for r in hourly_rollup(ev).collect()}
+    assert out[0] == (2, 4.0)
+    assert out[3600] == (1, 4.0)
+
+
+def test_multimodal_feature_schema_and_determinism(spark, documents):
+    from flatbread_spark.operators.multimodal import synth_assets_from_documents, extract_features
+
+    assets = synth_assets_from_documents(documents.limit(50))
+    feats = extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 50
+    r0 = rows[0]
+    assert isinstance(r0.feat, list) and len(r0.feat) > 0
+    assert r0.n_bytes > 0 and len(r0.sha) == 64
+    # deterministic: re-running yields identical features
+    again = {r.asset_id: r.feat for r in extract_features(assets).collect()}
+    assert all(again[r.asset_id] == r.feat for r in rows)

@@ -1,0 +1,43 @@
+"""Structured Streaming: the streaming rollup over a file source must agree
+with the batch rollup on the same data (same grouping, same buckets)."""
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from flatbread_spark.streaming.windows import hourly_rollup, stream_hourly_rollup
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_stream_rollup_matches_batch(spark, events, tmp_path):
+    batch = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in hourly_rollup(events).collect()
+    }
+
+    # file stream sources consume a directory; stage the single parquet file
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    os.symlink(
+        os.path.join(SF_DIR, "events.parquet"), stream_dir / "events.parquet"
+    )
+    sdf = stream_hourly_rollup(spark, str(stream_dir), events.schema)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    assert set(got) == set(batch)
+    for key, (n, s) in batch.items():
+        gn, gs = got[key]
+        assert gn == n
+        assert math.isclose(gs, s, rel_tol=1e-9)
