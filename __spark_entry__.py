@@ -301,6 +301,13 @@ def q_pct_interleaf(spark, sf_dir):
     return ff.add_percentages(axis=1, base=100, interleaf=True).to_df()
 
 
+def q_differences(spark, sf_dir):
+    """add_differences(axis=1): diff block (engine completion of the
+    reference's reserved `differences` transform)."""
+    ff = _qty_pivot(spark, sf_dir)
+    return ff.add_differences(axis=1).to_df()
+
+
 def q_quality_scores(spark, sf_dir):
     from flatbread_spark.functions import text as T
 
@@ -478,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "set_ops": q_set_ops,
         "pct_interleaf": q_pct_interleaf,
+        "differences": q_differences,
         "quality_scores": q_quality_scores,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -731,6 +739,15 @@ SELECT l_returnflag, F AS F_n, F/(F+O)*100 AS F_pct,
        O AS O_n, O/(F+O)*100 AS O_pct,
        F+O AS Totals_n, (F+O)/(F+O)*100 AS Totals_pct
 FROM u
+""",
+        "differences": """
+SELECT l_returnflag,
+       SUM(CASE WHEN l_linestatus='F' THEN l_quantity END) AS n_F,
+       SUM(CASE WHEN l_linestatus='O' THEN l_quantity END) AS n_O,
+       CAST(NULL AS DOUBLE) AS diff_F,
+       SUM(CASE WHEN l_linestatus='O' THEN l_quantity END)
+         - SUM(CASE WHEN l_linestatus='F' THEN l_quantity END) AS diff_O
+FROM lineitem GROUP BY l_returnflag
 """,
         "quality_scores": r"""
 WITH b AS (

@@ -30,6 +30,7 @@ def _attach_fluent_api() -> None:
     from flatbread_spark.operators import percentages as _pct
     from flatbread_spark.operators import levels as _lvl
     from flatbread_spark.operators import dates as _dates
+    from flatbread_spark.operators import differences as _diff
 
     FlatFrame.add_agg = _agg.add_agg
     FlatFrame.add_subagg = _agg.add_subagg
@@ -42,6 +43,7 @@ def _attach_fluent_api() -> None:
     FlatFrame.sort_totals = _lvl.sort_totals
     FlatFrame.add_level = _lvl.add_level
     FlatFrame.sort_index_from_list = _lvl.sort_index_from_list
+    FlatFrame.add_differences = _diff.add_differences
 
     from flatbread_spark.output import display as _disp
     from flatbread_spark.output import excel as _xl

@@ -37,11 +37,21 @@ def pivot_table(
     aggfunc: str = "sum",
     column_values: Sequence[Any] | None = None,
     fill_value: Any = None,
+    persist: bool = True,
 ) -> FlatFrame:
     """Spark analog of ``pd.pivot_table`` returning a FlatFrame.
 
     index/columns/values are column names of ``df``; ``aggfunc`` is a named
     aggregate (JVM built-in — see ``flatbread_spark.aggfuncs``).
+
+    ``persist`` (default on) caches the pivot output. This is THE scale
+    decision of the margin pipeline: every margin/percentage op references
+    the pivot result from two or more plan branches (data + aggregate), and
+    without a persist each branch re-derives it from the fact-table scan —
+    a chained totals+percentages plan was measured re-scanning the fact
+    table 3×. The pivot boundary is exactly where cardinality collapses from
+    fact-scale to presentation-scale (#groups), so the cache is KB-sized
+    while the savings are full scans+shuffles of the input.
     """
     index = [index] if isinstance(index, str) else list(index)
     columns = (
@@ -54,6 +64,8 @@ def pivot_table(
 
     if not columns:
         agged = df.groupBy(*index).agg(*[fn(F.col(v)).alias(v) for v in values])
+        if persist:
+            agged = agged.persist()
         ff = FlatFrame.from_df(agged, index=index)
         ff.col_names = [None]
         return ff
@@ -104,6 +116,8 @@ def pivot_table(
     sel = sel[: len(index)] + [sel[len(index) + i] for i in order]
 
     out = agged.select(*sel)
+    if persist:
+        out = out.persist()
     ff = FlatFrame.from_df(
         out,
         index=index,
