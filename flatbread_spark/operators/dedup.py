@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flatbread_spark.functions.text import fingerprint_md5, word_shingles
+from flatbread_spark.functions.text import fingerprint_md5, with_shingles, word_shingles
 from flatbread_spark.functions.vectors import cosine_exact
 
 # Mersenne prime 2^31-1 for universal hashing: with h, a, b < 2^31 the
@@ -71,12 +71,13 @@ def ngram_jaccard_pairs(
     # join key = xxhash64(shingle), not the shingle string: the self-join
     # shuffles one bigint per (doc, shingle) instead of ~n-word strings
     # (collision odds over a corpus-distinct shingle set are ~|S|²/2⁶⁴ — nil)
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        *[F.col(b) for b in blocks],
-        F.explode(word_shingles(F.col(text_col), n)).alias("__shs"),
-    ).select(
-        "__id", *blocks, F.xxhash64("__shs").alias("__sh")
+    sh = (
+        with_shingles(
+            df.select(F.col(id_col).alias("__id"), *[F.col(b) for b in blocks], text_col),
+            text_col, n,
+        )
+        .select("__id", *blocks, F.explode("__sh").alias("__shs"))
+        .select("__id", *blocks, F.xxhash64("__shs").alias("__sh"))
     )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
 
@@ -147,10 +148,9 @@ def minhash_lsh_pairs(
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
 
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(F.col(text_col), n).alias("__sh"),
-    )
+    base = with_shingles(
+        df.select(F.col(id_col).alias("__id"), text_col), text_col, n
+    ).select("__id", "__sh")
     # signatures via explode → groupBy(id) with `num_hashes` plain MIN
     # aggregates: everything stays in whole-stage codegen with map-side
     # partial aggregation, and the shuffle carries (id, num_hashes×bigint)
@@ -253,10 +253,11 @@ def simhash_signatures(
     The scale path: shingle hashing and the ±1 votes stay in whole-stage
     codegen, partial aggregation combines map-side, and the only shuffle is
     the (id, 64×int) vote rows — independent of document size."""
-    hashed = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
-    ).select("__id", F.xxhash64("__s").alias("__h"))
+    hashed = (
+        with_shingles(df.select(F.col(id_col).alias("__id"), text_col), text_col, n)
+        .select("__id", F.explode("__sh").alias("__s"))
+        .select("__id", F.xxhash64("__s").alias("__h"))
+    )
     votes = [
         F.sum(
             (F.shiftrightunsigned("__h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")

@@ -104,19 +104,27 @@ def knn_lsh(
     """Approximate top-k: candidates share an LSH bucket in ≥1 of ``tables``
     sign-LSH tables; exact cosine re-rank. Returns (query_id, neighbor_id,
     cos, rank) — same shape as brute force so recall is directly measurable."""
+    import numpy as np
+
+    from flatbread_spark.functions._arrow_kernels import make_bucket_udf
+
+    # all tables' hyperplanes stacked into one (tables*nbits, dim) matrix:
+    # bucket assignment for the whole corpus is ONE Arrow-batched matmul per
+    # partition batch instead of tables×nbits interpreted array-dot
+    # expressions per row — the corpus-side scan is the scale cost here.
+    planes_mat = np.array(
+        [p for t in range(tables) for p in _hyperplanes(dim, nbits, seed + 1000 * t)],
+        dtype=np.float64,
+    )
+    all_buckets = make_bucket_udf(planes_mat, tables, nbits)
+
     def with_buckets(df, prefix):
         out = df.select(
             F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"__{prefix}v")
-        )
-        pairs = []
-        for t in range(tables):
-            planes = _hyperplanes(dim, nbits, seed + 1000 * t)
-            pairs.append(
-                F.struct(F.lit(t).alias("t"), lsh_bucket(F.col(f"__{prefix}v"), planes).alias("b"))
-            )
-        return out.withColumn("__bk", F.explode(F.array(*pairs))).select(
+        ).withColumn("__bks", all_buckets(F.col(f"__{prefix}v")))
+        return out.select(
             f"{prefix}_id", f"__{prefix}v",
-            F.col("__bk.t").alias("__t"), F.col("__bk.b").alias("__b"),
+            F.posexplode("__bks").alias("__t", "__b"),
         )
 
     cb = with_buckets(corpus, "neighbor")
