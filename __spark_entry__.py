@@ -429,6 +429,18 @@ def q_knn_lsh(spark, sf_dir):
     return knn_lsh(emb, queries, k=5, nbits=6, tables=4)
 
 
+def q_knn_ivf(spark, sf_dir):
+    from flatbread_spark.operators.similarity import knn_ivf
+
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = [
+        (i, list(r.embedding))
+        for i, r in enumerate(emb.orderBy("vec_id").limit(16).collect())
+    ]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return knn_ivf(emb, queries, cents, k=5, nprobe=4)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: synthesize binary payloads from document text
     (the container has no codecs — decode is a deterministic fake; the Spark
@@ -499,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "multimodal_features": q_multimodal_features,
     }
 

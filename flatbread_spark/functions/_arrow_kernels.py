@@ -26,3 +26,28 @@ def make_bucket_udf(planes_mat, tables: int, nbits: int):
         return pd.Series(list(buckets))
 
     return all_buckets
+
+
+def make_ivf_probe_udf(cent_mat, cent_ids, nprobe: int):
+    """Top-``nprobe`` IVF cells per vector by cosine, one matmul per batch.
+
+    cent_mat: (n_cells, dim) float64 centroid matrix; cent_ids: cell id per
+    row. Ties resolve to the lowest cell id (stable argsort over (-cos, id)).
+    Returns a pandas UDF: array<float> -> array<int>.
+    """
+    cents = np.asarray(cent_mat, dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    ids = np.asarray(cent_ids, dtype=np.int64)
+    id_order = np.argsort(ids, kind="stable")
+
+    @pandas_udf("array<int>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cos = V @ cents.T                                  # (batch, n_cells)
+        # sort by (-cos, id): reorder columns by id first, stable argsort
+        order = np.argsort(-cos[:, id_order], axis=1, kind="stable")[:, :nprobe]
+        out = ids[id_order][order]                         # (batch, nprobe)
+        return pd.Series([row.astype("int32") for row in out])
+
+    return probe

@@ -41,3 +41,36 @@ def test_stream_rollup_matches_batch(spark, events, tmp_path):
         gn, gs = got[key]
         assert gn == n
         assert math.isclose(gs, s, rel_tol=1e-9)
+
+
+def test_stateful_stream_sessionize_matches_batch(spark, events, tmp_path):
+    from flatbread_spark.streaming.stateful import stream_sessionize
+    from flatbread_spark.streaming.windows import sessionize
+
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+
+    stream_dir = tmp_path / "events_stateful"
+    stream_dir.mkdir()
+    os.symlink(
+        os.path.join(SF_DIR, "events.parquet"), stream_dir / "events.parquet"
+    )
+    sdf = stream_sessionize(spark, str(stream_dir), events.schema, gap_minutes=30)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode appends refreshed totals per batch; last row per user wins
+    pdf = spark.sql("SELECT * FROM sess_test").toPandas()
+    got = {
+        int(r.user_id): (int(r.n_sessions), int(r.n_events), int(r.max_session_events))
+        for r in pdf.groupby("user_id").tail(1).itertuples()
+    }
+    assert got == batch
