@@ -39,6 +39,9 @@ def _attach_fluent_api() -> None:
     FlatFrame.drop_totals = _tot.drop_totals
     FlatFrame.as_percentages = _pct.as_percentages
     FlatFrame.add_percentages = _pct.add_percentages
+    # reference accessor aliases (dataframe.py:163,224)
+    FlatFrame.as_pct = _pct.as_percentages
+    FlatFrame.add_pct = _pct.add_percentages
     FlatFrame.sort_aggregates = _lvl.sort_aggregates
     FlatFrame.sort_totals = _lvl.sort_totals
     FlatFrame.add_level = _lvl.add_level
@@ -57,7 +60,9 @@ def _attach_fluent_api() -> None:
 
 _attach_fluent_api()
 
+from flatbread_spark.operators.counts import value_counts  # noqa: E402
+
 __all__ = [
     "FlatFrame", "ColInfo", "POS", "get_spark", "CONFIG", "get_defaults",
-    "pivot_table", "crosstab", "load_table", "load_tables",
+    "pivot_table", "crosstab", "load_table", "load_tables", "value_counts",
 ]

@@ -127,6 +127,11 @@ def _apportioned_round(col: Column, nd: int) -> Column:
     (reference ``percentages.py:390-419``): round(cum) - round(cum - v),
     nulls contribute 0 and stay null."""
     w = Window.orderBy(POS).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Parity note: apportioning always runs DOWN THE ROWS of each value
+    # column, matching the reference, which pipes the whole pcts DataFrame
+    # through a Series-wise cumsum (``percentages.py:229-233`` with
+    # ``round_apportioned`` at ``:413-419``) — even for axis=1 percentages,
+    # where it preserves each column's rounded sum, not each row's.
     v = F.coalesce(col, F.lit(0.0))
     cum = F.sum(v).over(w)
     rounded = F.round(cum, nd) - F.round(cum - v, nd)

@@ -1,0 +1,124 @@
+"""Property-based invariants (hypothesis) over randomized pivot frames —
+the Spark analog of the reference's randomized unittest strategy
+(``tests/transforms/test_totals.py:18`` randint frames) extended to real
+property testing:
+
+- totals row == column sums; grand corner == total of totals
+- totals ∘ subtotals commutes (reference ``test_totals.py:153-164``)
+- percentages sum to base across the divided axis
+- apportioned rounding preserves the base exactly
+- drop_totals is a left inverse of add_totals
+
+One shared SparkSession; hypothesis drives small shapes (Spark job per
+example is the cost — examples are capped, shapes are presentation-sized,
+which is the operators' actual domain).
+"""
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flatbread_spark import FlatFrame
+
+SET = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+frames = st.integers(2, 4).flatmap(
+    lambda ncols: st.integers(2, 5).flatmap(
+        lambda nrows: st.lists(
+            st.lists(st.integers(0, 100), min_size=ncols, max_size=ncols),
+            min_size=nrows, max_size=nrows,
+        )
+    )
+)
+
+
+def lift(spark, data, two_level=False):
+    nrows = len(data)
+    if two_level:
+        idx = pd.MultiIndex.from_tuples(
+            [(f"g{i // 2}", f"r{i}") for i in range(nrows)], names=["g", "r"]
+        )
+    else:
+        idx = pd.Index([f"r{i}" for i in range(nrows)], name="r")
+    pdf = pd.DataFrame(data, index=idx,
+                       columns=[f"c{j}" for j in range(len(data[0]))])
+    return pdf, FlatFrame.from_pandas(spark, pdf)
+
+
+@given(data=frames)
+@settings(**SET)
+def test_totals_row_is_column_sum(spark, data):
+    pdf, ff = lift(spark, data)
+    out = ff.add_totals(axis=0).to_pandas()
+    for c in pdf.columns:
+        assert out.loc["Totals", c] == pdf[c].sum()
+
+
+@given(data=frames)
+@settings(**SET)
+def test_totals_axis2_corner_consistent(spark, data):
+    pdf, ff = lift(spark, data)
+    out = ff.add_totals(axis=2).to_pandas()
+    assert out.loc["Totals", "Totals"] == pdf.values.sum()
+    for c in pdf.columns:
+        assert out.loc["Totals", c] == pdf[c].sum()
+    for r in pdf.index:
+        assert out.loc[r, "Totals"] == pdf.loc[r].sum()
+
+
+@given(data=frames)
+@settings(**SET)
+def test_totals_subtotals_commute(spark, data):
+    _, ff = lift(spark, data, two_level=True)
+    a = ff.add_totals(axis=0).add_subtotals(axis=0, level=0).to_pandas()
+    b = ff.add_subtotals(axis=0, level=0).add_totals(axis=0).to_pandas()
+    a_sorted = a.sort_index()
+    b_sorted = b.sort_index()
+    assert a_sorted.equals(b_sorted), (a_sorted, b_sorted)
+
+
+@given(data=frames)
+@settings(**SET)
+def test_percentages_sum_to_base(spark, data):
+    pdf, ff = lift(spark, data)
+    if (pdf.sum(axis=1) == 0).any():
+        return  # zero-row → division by zero → undefined pcts
+    out = ff.add_totals(axis=1).as_percentages(axis=1, base=100).to_pandas()
+    for r in pdf.index:
+        row = out.loc[r, [c for c in pdf.columns]]
+        assert math.isclose(row.sum(), 100.0, rel_tol=1e-9)
+
+
+@given(data=frames)
+@settings(**SET)
+def test_apportioned_rounding_preserves_base(spark, data):
+    """Apportioning runs down each column (reference parity: DataFrame piped
+    through Series cumsum, ``percentages.py:229-233,413-419``), so the exact
+    invariant is on axis=0 percentages: every column's data cells sum to the
+    base after rounding."""
+    pdf, ff = lift(spark, data)
+    if (pdf.sum(axis=0) == 0).any():
+        return
+    out = (
+        ff.add_totals(axis=0)
+        .as_percentages(axis=0, base=100, ndigits=0, apportioned_rounding=True)
+        .to_pandas()
+    )
+    for c in pdf.columns:
+        col = out.loc[[r for r in pdf.index], c]
+        assert math.isclose(col.sum(), 100.0, abs_tol=1e-9), (c, col.tolist())
+
+
+@given(data=frames)
+@settings(**SET)
+def test_drop_totals_roundtrip(spark, data):
+    pdf, ff = lift(spark, data)
+    back = ff.add_totals(axis=0).drop_totals().to_pandas()
+    assert back.shape[0] == pdf.shape[0]
+    for c in pdf.columns:
+        assert back[c].tolist() == pdf[c].tolist()
