@@ -148,9 +148,13 @@ def minhash_lsh_pairs(
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
 
-    base = with_shingles(
-        df.select(F.col(id_col).alias("__id"), text_col), text_col, n
-    ).select("__id", "__sh")
+    # everything downstream of shingling works on xxhash64'd shingles:
+    # verification arrays shuffle ~8 bytes per shingle instead of the n-word
+    # string (identical Jaccard modulo ~|S|²/2⁶⁴ collisions)
+    base = (
+        with_shingles(df.select(F.col(id_col).alias("__id"), text_col), text_col, n)
+        .select("__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh"))
+    )
     # signatures via explode → groupBy(id) with `num_hashes` plain MIN
     # aggregates: everything stays in whole-stage codegen with map-side
     # partial aggregation, and the shuffle carries (id, num_hashes×bigint)
@@ -159,7 +163,7 @@ def minhash_lsh_pairs(
     # was the operator's bottleneck.)
     hashed = base.select(
         "__id", F.explode("__sh").alias("__s")
-    ).select("__id", (F.abs(F.xxhash64("__s")) % _P).alias("__h"))
+    ).select("__id", (F.abs(F.col("__s")) % _P).alias("__h"))
     sig_df = hashed.groupBy("__id").agg(
         *[
             F.min((F.col("__h") * a + b) % _P).alias(f"__m{i}")
