@@ -283,6 +283,43 @@ def q_tpch_q14(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """Returned-item revenue per customer (top 20) — fact⋈fact join with a
+    broadcast dim, desc-ranked with deterministic tiebreak."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1996-04-01")))
+    )
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Large-quantity orders (sum qty > 300): aggregate → join back — the
+    classic having-subquery shape."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 def q_set_ops(spark, sf_dir):
     """Set-operation surface (SURVEY §2.6): INTERSECT/EXCEPT of the priority
     sets seen in two disjoint years, tagged by operation."""
@@ -495,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q4": q_tpch_q4,
         "tpch_q14": q_tpch_q14,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
         "set_ops": q_set_ops,
         "pct_interleaf": q_pct_interleaf,
         "differences": q_differences,
@@ -739,6 +778,30 @@ SELECT 100.0
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1996-02-01'
+""",
+        "tpch_q10": """
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) > 300)
+SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+LIMIT 100
 """,
         "set_ops": """
 WITH y96 AS (SELECT DISTINCT o_orderpriority FROM orders WHERE year(o_orderdate)=1996),

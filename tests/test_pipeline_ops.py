@@ -150,6 +150,38 @@ def test_hourly_rollup_bucket_alignment(spark):
     assert out[3600] == (1, 4.0)
 
 
+def test_read_binary_assets_and_frame_sampling(spark, tmp_path):
+    from flatbread_spark.operators.multimodal import (
+        extract_features, frame_sample_plan, read_binary_assets,
+    )
+    from pyspark.sql import functions as F
+
+    media = tmp_path / "media"
+    media.mkdir()
+    for i in range(3):
+        (media / f"clip{i}.bin").write_bytes(bytes([i]) * (100 + i))
+    assets = read_binary_assets(spark, str(media), modality="video")
+    rows = assets.collect()
+    assert len(rows) == 3
+    assert all(r.payload is not None and r.meta.source.endswith(".bin") for r in rows)
+
+    # fake a duration so frame sampling fans out: 3 frames per asset at 1s
+    with_dur = assets.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.lit(2000).cast("bigint").alias("duration_ms"),
+            F.col("meta.source").alias("source"),
+        ),
+    )
+    frames = frame_sample_plan(with_dur, every_ms=1000)
+    assert frames.count() == 9  # 3 assets × timestamps {0,1000,2000}
+
+    feats = extract_features(assets)
+    assert feats.count() == 3 and len(feats.columns) == 7
+
+
 def test_multimodal_feature_schema_and_determinism(spark, documents):
     from flatbread_spark.operators.multimodal import synth_assets_from_documents, extract_features
 
