@@ -47,7 +47,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(app="check-oracle", master="local[8]", shuffle_partitions=8)
+    # override via env to probe partition-count invariance (results must be
+    # identical under any parallelism — the decimal-accumulation discipline)
+    cpus = os.environ.get("CHECK_ORACLE_CPUS", "8")
+    parts = int(os.environ.get("CHECK_ORACLE_PARTITIONS", "8"))
+    spark = get_spark(
+        app="check-oracle", master=f"local[{cpus}]", shuffle_partitions=parts
+    )
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
