@@ -283,6 +283,24 @@ def q_tpch_q14(spark, sf_dir):
     )
 
 
+_YEARS = list(range(1995, 2002))
+
+
+def q_subtotals_cols(spark, sf_dir):
+    """Column-axis subtotals on a 2-level column pivot (status × ship-year):
+    per-status subtotal columns inserted after each group — a pure
+    projection, no transpose (SURVEY §1.3)."""
+    from flatbread_spark import pivot_table
+
+    li = _load(spark, sf_dir, "lineitem").withColumn("yr", F.year("l_shipdate"))
+    ff = pivot_table(
+        li, index="l_returnflag", columns=["l_linestatus", "yr"],
+        values="l_quantity", aggfunc="sum",
+        column_values=[("F", y) for y in _YEARS] + [("O", y) for y in _YEARS],
+    )
+    return ff.add_subtotals(axis=1, level=0).to_df()
+
+
 def q_tpch_q10(spark, sf_dir):
     """Returned-item revenue per customer (top 20) — fact⋈fact join with a
     broadcast dim, desc-ranked with deterministic tiebreak."""
@@ -517,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_margins": q_agg_margins,
         "subtotals_chained": q_subtotals_chained,
         "subtotals_rollup": q_subtotals_rollup,
+        "subtotals_cols": q_subtotals_cols,
         "drop_totals_roundtrip": q_drop_totals_roundtrip,
         "add_level": q_add_level,
         "pct_axis0": q_pct_axis0,
@@ -642,6 +661,17 @@ UNION ALL SELECT l_returnflag, 'Subtotals', CAST(SUM(s) AS DOUBLE) FROM d GROUP 
 UNION ALL SELECT 'Totals', '', CAST(SUM(s) AS DOUBLE) FROM d
 """,
         "drop_totals_roundtrip": _PIVOT_SQL,
+        "subtotals_cols": "SELECT l_returnflag, "
+        + ", ".join(
+            ", ".join(
+                f"SUM(CASE WHEN l_linestatus='{s}' AND year(l_shipdate)={y} "
+                f"THEN l_quantity END) AS {s}_{y}"
+                for y in _YEARS
+            )
+            + f", SUM(CASE WHEN l_linestatus='{s}' THEN l_quantity END) AS {s}_Subtotals"
+            for s in ("F", "O")
+        )
+        + " FROM lineitem GROUP BY l_returnflag",
         "add_level": """
 SELECT '2024' AS period, l_returnflag,
        SUM(CASE WHEN l_linestatus='F' THEN l_quantity END) AS F,

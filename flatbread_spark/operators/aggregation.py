@@ -177,9 +177,9 @@ def add_subagg(
     ROLLUP pass is available via ``flatbread_spark.operators.totals.rollup_subtotals``.
     """
     if axis in (1, "columns"):
-        raise NotImplementedError(
-            "subagg on the column axis is metadata-level; use add_subtotals(axis=1) "
-            "once column-level grouping is populated"
+        return _subagg_columns(
+            ff, aggfunc, level, get_label(label, aggfunc), include_level_name,
+            ignore_keys, skip_single_rows, _fill,
         )
     label = get_label(label, aggfunc)
     if ff.nlevels < 2:
@@ -196,6 +196,59 @@ def add_subagg(
             out, aggfunc, lv, label, include_level_name, ignore_keys,
             skip_single_rows, _fill, *args, **kwargs,
         )
+    return out
+
+
+def _subagg_columns(
+    ff: FlatFrame,
+    aggfunc,
+    level,
+    label: str,
+    include_level_name: bool,
+    ignore_keys,
+    skip_single_rows: bool,
+    _fill: str,
+) -> FlatFrame:
+    """Column-axis subaggregates: one new value column per group of data
+    columns sharing a label prefix at ``level``, inserted after its group.
+
+    The reference reaches this via transpose (``tooling.py:31-43``); here it
+    is a pure projection — per-row ``row_wise`` expressions over the group's
+    columns, zero shuffle, column hierarchy handled as metadata (§1.3)."""
+    ncl = ff.ncol_levels
+    if ncl < 2:
+        raise AssertionError(
+            "Flatbread cannot perform subaggregation if axis is not MultiIndex"
+        )
+    levels = [level] if isinstance(level, int) else list(level)
+    for lv in levels:
+        assert lv < ncl - 1, f"Level must be smaller than {ncl - 1}"
+
+    out = ff
+    for lv in sorted(levels, reverse=True):
+        dcols = out.data_cols(ignore_keys)
+        groups: dict[tuple, list[ColInfo]] = {}
+        for c in dcols:
+            groups.setdefault(c.labels[: lv + 1], []).append(c)
+        df = out.df
+        new_cols = list(out.cols)
+        used = list(df.columns)
+        min_cols = 1 if skip_single_rows else 0
+        for prefix, members in groups.items():
+            if len(members) <= min_cols:
+                continue
+            sub_label = f"{label} {prefix[-1]}" if include_level_name else label
+            labels = prefix + (sub_label,) + (_fill,) * (ncl - lv - 2)
+            if any(c.labels == labels for c in new_cols):
+                raise ValueError(f"Aggregation column with key {labels} already exists")
+            name = make_col_name(labels, used)
+            used.append(name)
+            df = df.withColumn(
+                name, row_wise(aggfunc, [F.col(c.name) for c in members])
+            )
+            insert_at = max(i for i, c in enumerate(new_cols) if c in members) + 1
+            new_cols.insert(insert_at, ColInfo(labels, name))
+        out = out._copy(df=df, cols=new_cols)
     return out
 
 

@@ -93,20 +93,20 @@ def add_subtotals(
     axis = _resolve_axis(axis)
     label = DEFAULT_SUBTOTALS_LABEL if label is None else label
     keys = _resolve_ignored_keys(ff, axis, ignore_keys)
-    if axis == 1:
-        raise NotImplementedError(
-            "column-axis subtotals require column-level grouping metadata; "
-            "rows (axis=0) cover the reference test surface"
-        )
     if axis == 2:
         out = add_subtotals(
             ff, axis=0, level=level, label=label,
             include_level_name=include_level_name, ignore_keys=keys,
             skip_single_rows=skip_single_rows, _fill=_fill,
         )
+        out = add_subtotals(
+            out, axis=1, level=level, label=label,
+            include_level_name=include_level_name, ignore_keys=keys,
+            skip_single_rows=skip_single_rows, _fill=_fill,
+        )
         return out.tag("totals", label)
     out = add_subagg(
-        ff, "sum", axis=0, level=level, label=label,
+        ff, "sum", axis=axis, level=level, label=label,
         include_level_name=include_level_name, ignore_keys=keys,
         skip_single_rows=skip_single_rows, _fill=_fill,
     )

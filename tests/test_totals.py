@@ -168,6 +168,44 @@ def test_add_agg_mean_and_axis1(spark):
     assert (out["max"].iloc[:-1].astype(int) == pdf.max(axis=1)).all()
 
 
+def test_subtotals_axis1_column_groups(spark):
+    """Column-axis subtotals: per-group subtotal column inserted after its
+    group (reference reaches this via transpose; ours is a projection)."""
+    pdf = pd.DataFrame(
+        [[1, 2, 3, 4], [5, 6, 7, 8]],
+        index=pd.Index(["r0", "r1"], name="r"),
+        columns=pd.MultiIndex.from_tuples(
+            [("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")], names=["g", "v"]
+        ),
+    )
+    ff = FlatFrame.from_pandas(spark, pdf).add_subtotals(axis=1, level=0)
+    out = ff.to_pandas()
+    cols = list(out.columns)
+    assert cols == [
+        ("A", "x"), ("A", "y"), ("A", "Subtotals"),
+        ("B", "x"), ("B", "y"), ("B", "Subtotals"),
+    ], cols
+    assert out[("A", "Subtotals")].tolist() == [3.0, 11.0]
+    assert out[("B", "Subtotals")].tolist() == [7.0, 15.0]
+
+
+def test_subtotals_axis1_skip_single_and_level_name(spark):
+    pdf = pd.DataFrame(
+        [[1, 2, 3]],
+        index=pd.Index(["r0"], name="r"),
+        columns=pd.MultiIndex.from_tuples(
+            [("A", "x"), ("A", "y"), ("B", "x")], names=["g", "v"]
+        ),
+    )
+    ff = FlatFrame.from_pandas(spark, pdf)
+    out = ff.add_subtotals(axis=1, level=0, include_level_name=True).to_pandas()
+    assert ("A", "Subtotals A") in out.columns
+    assert ("B", "Subtotals B") not in out.columns  # single-column group skipped
+    out2 = ff.add_subtotals(axis=1, level=0, skip_single_rows=False).to_pandas()
+    assert ("B", "Subtotals") in out2.columns
+    assert out2[("B", "Subtotals")].tolist() == [3.0]
+
+
 def test_add_agg_callable(spark):
     pdf = simple_pdf()
 
