@@ -338,6 +338,12 @@ class FlatFrame:
             )
         return data
 
+    def unpersist(self) -> "FlatFrame":
+        """Release the cache pinned at the pivot boundary (see
+        ``sources.pivot.pivot_table(persist=True)``); no-op if not cached."""
+        self.df.unpersist()
+        return self
+
     def __repr__(self) -> str:  # pragma: no cover
         return (
             f"FlatFrame(index={self.index}, cols={[c.labels for c in self.cols]}, "

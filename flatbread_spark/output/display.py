@@ -198,6 +198,17 @@ class Display:
         self.builder.set_formats(formats)
         return self
 
+    def get_format_presets(self, dtype: str | None = None) -> dict[str, dict]:
+        """All available format presets (reference ``display.py:256-281``)."""
+        resolver = self.builder._resolver
+        presets: dict[str, dict] = {}
+        for name, cfg in resolver.output_formats.items():
+            presets[name] = cfg.get("html_options", {})
+        for name, cfg in resolver.format_presets.items():
+            if dtype is None or dtype in cfg.get("dtypes", []):
+                presets[name] = cfg.get("html_options", {})
+        return presets
+
     # output ---------------------------------------------------------------
     def data_spec(self) -> dict:
         return self.builder.build_spec()

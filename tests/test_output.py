@@ -116,3 +116,24 @@ def test_excel_number_formats_and_borders(spark):
     borders = get_auto_border_specs(ff, rows)
     assert "Totals" in borders["rows"]
     assert "pct" in borders["columns"]
+
+
+def test_get_format_presets(spark):
+    from flatbread_spark.output.display import Display
+
+    d = Display(make_ff(spark))
+    presets = d.get_format_presets()
+    assert "percentage" in presets and "currency_eur" in presets
+    assert d.get_format_presets(dtype="float")["currency_eur"]["style"] == "currency"
+
+
+def test_value_counts_null_category(spark):
+    from pyspark.sql import functions as F
+
+    from flatbread_spark import value_counts
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], ["k"]
+    )
+    out = {r.k: r["count"] for r in value_counts(df, "k").to_df().collect()}
+    assert out["<NA>"] == 1 and out["a"] == 2 and out["Totals"] == 4
