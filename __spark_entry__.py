@@ -411,6 +411,17 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (rolling-hash doc fingerprinting): count of
+    distinct fingerprints per document (bounded, hash-free output so the
+    oracle compares counts of an identical selection algorithm)."""
+    from flatbread_spark.functions.text import winnowing_fingerprints
+
+    docs = _load(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(docs, "doc_id", "text", n=4, w=4, portable_hash=True)
+    return fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fingerprints"))
+
+
 def q_token_topk(spark, sf_dir):
     from flatbread_spark.functions.text import tokens
     from pyspark.sql import Window
@@ -560,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "winnowing": q_winnowing,
         "token_topk": q_token_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_dups": q_embedding_dups,
@@ -897,6 +909,22 @@ FROM documents
         "lang_id": "SELECT doc_id, "
         + ", ".join(f"CAST({scores_sql[l]} AS BIGINT) AS score_{l}" for l in langs)
         + f" , {pred} AS pred_lang FROM documents",
+        "winnowing": r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id, i AS pos,
+    md5(CASE WHEN len(t) >= 4 THEN array_to_string(t[i:i+3], ' ')
+             ELSE array_to_string(t, ' ') END) AS h
+  FROM tok, UNNEST(generate_series(1, greatest(len(t)-3, 1))) u(i)),
+mins AS (
+  SELECT doc_id,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+  FROM sh)
+SELECT doc_id, COUNT(DISTINCT fingerprint) AS n_fingerprints
+FROM mins GROUP BY doc_id
+""",
         "token_topk": r"""
 WITH c AS (SELECT u.token, COUNT(*) AS n
            FROM documents, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) u(token)

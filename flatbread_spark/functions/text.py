@@ -109,6 +109,46 @@ def lang_id(text: Column) -> Column:
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
+def winnowing_fingerprints(
+    df, id_col: str, text_col: str, n: int = 4, w: int = 4,
+    portable_hash: bool = False,
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every word n-gram shingle, slide a window of ``w`` consecutive
+    shingle hashes, keep each window's minimum — a deterministic, position-
+    robust fingerprint set ~1/w the shingle count, the standard rolling-hash
+    document fingerprinting scheme.
+
+    Distributed shape: explode to (doc, pos, hash), per-doc window MIN over
+    the next w positions (partitioned by doc — no global ordering), distinct.
+    Returns (id, fingerprint) rows. Winnowing only needs a deterministic
+    total order on hashes: ``portable_hash=True`` uses md5 hex strings
+    (lexicographic min — reproducible in ANSI SQL for the oracle), False
+    uses xxhash64 bigints (the fast path)."""
+    from pyspark.ml.feature import NGram
+    from pyspark.sql import Window
+
+    # raw (sequential, non-distinct) shingles — winnowing is position-based
+    toked = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    grams = NGram(n=n, inputCol="__toks", outputCol="__grams").transform(toked)
+    seq = F.when(F.size("__toks") >= n, F.col("__grams")).otherwise(
+        F.array(F.concat_ws(" ", "__toks"))
+    )
+    hash_fn = F.md5 if portable_hash else F.xxhash64
+    sh = grams.select("__id", F.posexplode(seq).alias("__pos", "__s")).select(
+        "__id", "__pos", hash_fn(F.col("__s")).alias("__h")
+    )
+    win = Window.partitionBy("__id").orderBy("__pos").rowsBetween(0, w - 1)
+    return (
+        sh.select("__id", F.min("__h").over(win).alias("fingerprint"))
+        .distinct()
+        .select(F.col("__id").alias(id_col), "fingerprint")
+    )
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Exact-content fingerprint (md5 hex) — identical in Spark and DuckDB."""
     return F.md5(text)

@@ -103,6 +103,28 @@ def test_knn_lsh_subset_of_bruteforce_candidates(spark, embeddings):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_winnowing_fingerprints(spark):
+    from flatbread_spark.functions.text import winnowing_fingerprints
+
+    docs = docs_df(spark)
+    fp = winnowing_fingerprints(docs, "doc_id", "text", n=2, w=3)
+    got = {}
+    for r in fp.collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert got[1] == got[3]          # exact dups → identical fingerprint sets
+    overlap = len(got[1] & got[2]) / len(got[1] | got[2])
+    assert overlap > 0.3             # near-dups overlap strongly
+    assert not (got[1] & got[4])     # unrelated docs don't
+    # winnowing compresses: fewer fingerprints than shingles
+    n_shingles = 8  # 9 tokens → 8 bigrams
+    assert 1 <= len(got[1]) < n_shingles
+    # portable and fast hashes select the same *number* per doc is NOT
+    # guaranteed; portable mode is self-consistent though
+    fp2 = winnowing_fingerprints(docs, "doc_id", "text", n=2, w=3, portable_hash=True)
+    counts = {r.doc_id for r in fp2.collect()}
+    assert counts == set(got)
+
+
 def test_text_functions_basics(spark):
     df = spark.createDataFrame(
         [("the cat and the dog sat on the mat",),
