@@ -363,6 +363,12 @@ def q_differences(spark, sf_dir):
     return ff.add_differences(axis=1).to_df()
 
 
+def q_differences_rows(spark, sf_dir):
+    """add_differences(axis=0): row-over-row deltas down the table."""
+    ff = _qty_pivot(spark, sf_dir)
+    return ff.add_differences(axis=0).to_df()
+
+
 def q_quality_scores(spark, sf_dir):
     from flatbread_spark.functions import text as T
 
@@ -567,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "pct_interleaf": q_pct_interleaf,
         "differences": q_differences,
+        "differences_rows": q_differences_rows,
         "quality_scores": q_quality_scores,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -866,6 +873,16 @@ SELECT l_returnflag,
        SUM(CASE WHEN l_linestatus='O' THEN l_quantity END)
          - SUM(CASE WHEN l_linestatus='F' THEN l_quantity END) AS diff_O
 FROM lineitem GROUP BY l_returnflag
+""",
+        "differences_rows": """
+WITH g AS (SELECT l_returnflag,
+             SUM(CASE WHEN l_linestatus='F' THEN l_quantity END) AS F,
+             SUM(CASE WHEN l_linestatus='O' THEN l_quantity END) AS O
+           FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, F AS n_F, O AS n_O,
+       F - lag(F) OVER (ORDER BY l_returnflag) AS diff_F,
+       O - lag(O) OVER (ORDER BY l_returnflag) AS diff_O
+FROM g
 """,
         "quality_scores": r"""
 WITH b AS (
