@@ -23,6 +23,10 @@ DEC = "decimal(27,6)"
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS); a vanilla SparkSession (the
+    # driver harness builds its own) rejects it without this runtime conf.
+    # Set it here so every query is self-sufficient on any session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -199,8 +203,11 @@ def q_tpch_q3(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.to_timestamp_ntz(F.lit("1997-01-01"))
     )
+    # customer/orders are fact-scale: no broadcast hints — AQE picks the
+    # strategy (shuffle join at 100 TB, auto-broadcast if a filtered side
+    # happens to be small at runtime).
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(cust, orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
@@ -219,13 +226,15 @@ def q_tpch_q5(spark, sf_dir):
         & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1997-01-01")))
     )
     li = _load(spark, sf_dir, "lineitem")
+    # Broadcast only true dims (region/nation); orders, customer and
+    # supplier scale with the data, so their joins are left to AQE.
     dims = (
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer),
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer,
               (orders.o_custkey == customer.c_custkey)
               & (customer.c_nationkey == supplier.s_nationkey))
         .join(F.broadcast(dims), supplier.s_nationkey == dims.n_nationkey)
@@ -310,9 +319,10 @@ def q_tpch_q10(spark, sf_dir):
         & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1996-04-01")))
     )
     li = _load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # orders/customer are fact-scale: no broadcast hints, AQE decides.
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -728,11 +738,13 @@ o AS (SELECT v, n, grp,
         row_number() OVER (ORDER BY grp, CASE WHEN grp=0 THEN -n END, v) AS pos
       FROM u),
 p AS (SELECT v, n, pos,
-        CAST(n AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE) * 100 AS praw
+        CAST(CAST(n AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE) * 100
+             AS DECIMAL(28,12)) AS praw
       FROM o),
 r AS (SELECT v, n,
-        round(SUM(praw) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING), 2)
-      - round(SUM(praw) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) - praw, 2) AS pct
+        CAST(round(SUM(praw) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING), 2)
+           - round(SUM(praw) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) - praw, 2)
+           AS DOUBLE) AS pct
       FROM p)
 SELECT v AS o_orderpriority, n AS count, pct FROM r
 """,

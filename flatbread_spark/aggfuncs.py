@@ -79,9 +79,11 @@ def row_wise(aggfunc: str, cols: list[Column]) -> Column:
     if aggfunc == "nunique":
         return F.size(F.array_distinct(nn)).cast("bigint")
     if aggfunc == "median":
+        # element_at needs an integer index; (n+1)/2 is double division in
+        # Spark, which fails analysis (DATATYPE_MISMATCH).
         s = F.sort_array(nn)
-        lo = F.element_at(s, (n + 1) / 2)
-        hi = F.element_at(s, (n + 2) / 2)
+        lo = F.element_at(s, F.floor((n + 1) / 2).cast("int"))
+        hi = F.element_at(s, F.floor((n + 2) / 2).cast("int"))
         return F.when(n > 0, (lo + hi) / 2.0)
     if aggfunc in ("std", "var"):
         mean = total / n

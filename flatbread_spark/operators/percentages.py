@@ -132,9 +132,13 @@ def _apportioned_round(col: Column, nd: int) -> Column:
     # through a Series-wise cumsum (``percentages.py:229-233`` with
     # ``round_apportioned`` at ``:413-419``) — even for axis=1 percentages,
     # where it preserves each column's rounded sum, not each row's.
-    v = F.coalesce(col, F.lit(0.0))
+    # Accumulate in DECIMAL: the running sum is then exact and
+    # engine-independent (double cumsum is ulp-sensitive to order), and
+    # decimal arithmetic cannot produce -0.0, which hashes differently from
+    # 0.0 even though == treats them as equal.
+    v = F.coalesce(col, F.lit(0.0)).cast("decimal(28,12)")
     cum = F.sum(v).over(w)
-    rounded = F.round(cum, nd) - F.round(cum - v, nd)
+    rounded = (F.round(cum, nd) - F.round(cum - v, nd)).cast("double")
     return F.when(col.isNull(), F.lit(None)).otherwise(rounded)
 
 

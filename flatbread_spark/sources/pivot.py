@@ -99,7 +99,13 @@ def pivot_table(
         if len(values) == 1:
             col_key, val_name = c, values[0]
         else:
-            col_key, _, val_name = c.rpartition("_")
+            # Spark names these "<pivval>_<valuealias>"; rpartition("_")
+            # mis-splits when the value name itself contains "_" (e.g.
+            # "unit_qty"), so resolve by suffix-matching the known values.
+            val_name = max(
+                (v for v in values if c.endswith(f"_{v}")), key=len
+            )
+            col_key = c[: -len(val_name) - 1]
         parts = tuple(col_key.split(_SEP))
         labels = parts + (val_name,) if len(values) > 1 else parts
         name = make_col_name(labels, used)

@@ -28,12 +28,14 @@ TABLES = (
 def norm_cell(v):
     if v is None:
         return None
+    if hasattr(v, "item"):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
-    if hasattr(v, "item"):
-        v = v.item()
+        # repr-compare, not ==: the driver hashes bytes, so -0.0 vs 0.0 and
+        # last-ulp diffs must FAIL here even though == calls them equal.
+        return repr(v)
     return v
 
 
@@ -51,9 +53,22 @@ def main():
     # identical under any parallelism — the decimal-accumulation discipline)
     cpus = os.environ.get("CHECK_ORACLE_CPUS", "8")
     parts = int(os.environ.get("CHECK_ORACLE_PARTITIONS", "8"))
-    spark = get_spark(
-        app="check-oracle", master=f"local[{cpus}]", shuffle_partitions=parts
-    )
+    if os.environ.get("CHECK_ORACLE_VANILLA"):
+        # Driver-harness parity mode: a default SparkSession with NONE of the
+        # engine's session conf, to catch config-coupled queries (e.g. the
+        # round-1 nanosAsLong regression) before the driver does.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-oracle-vanilla")
+            .master(f"local[{cpus}]")
+            .config("spark.sql.shuffle.partitions", str(parts))
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(
+            app="check-oracle", master=f"local[{cpus}]", shuffle_partitions=parts
+        )
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
