@@ -164,6 +164,34 @@ def q_sort_totals_rank(spark, sf_dir):
     )
 
 
+def q_median_margin(spark, sf_dir):
+    """add_agg('median') on BOTH axes (axis=1 was a round-1 regression:
+    fractional element_at index). Counts are small integers, so medians are
+    exact doubles in any engine."""
+    from flatbread_spark import pivot_table
+
+    orders = _load(spark, sf_dir, "orders")
+    ff = pivot_table(
+        orders, index="o_orderpriority", columns="o_orderstatus",
+        values="o_orderkey", aggfunc="count", column_values=["F", "O", "P"],
+        fill_value=0,
+    )
+    ff = ff.add_agg("median", axis=0, label="Median")
+    ff = ff.add_agg("median", axis=1, label="med")
+    return ff.to_df()
+
+
+def q_sort_index_list(spark, sf_dir):
+    """sort_index_from_list (SURVEY §2 #15): explicit label order, missing
+    labels last — exposed as a rank column so order is data."""
+    from flatbread_spark.frame import POS
+
+    ff = _qty_pivot(spark, sf_dir).sort_index_from_list(["R", "A"])
+    return ff.df.select(
+        "l_returnflag", F.col(POS).cast("bigint").alias("rn"), "F", "O"
+    )
+
+
 def q_offset_dates(spark, sf_dir):
     from flatbread_spark.operators.dates import offset_date_field
 
@@ -571,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_percentages": q_add_percentages,
         "value_counts_pct": q_value_counts_pct,
         "sort_totals_rank": q_sort_totals_rank,
+        "median_margin": q_median_margin,
+        "sort_index_list": q_sort_index_list,
         "offset_dates": q_offset_dates,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -764,6 +794,30 @@ SELECT o_orderpriority, o_orderstatus,
          o_orderstatus) AS rn,
        v AS total_price
 FROM m
+""",
+        "median_margin": """
+WITH g AS (SELECT o_orderpriority,
+             CAST(COUNT(CASE WHEN o_orderstatus='F' THEN 1 END) AS DOUBLE) AS F,
+             CAST(COUNT(CASE WHEN o_orderstatus='O' THEN 1 END) AS DOUBLE) AS O,
+             CAST(COUNT(CASE WHEN o_orderstatus='P' THEN 1 END) AS DOUBLE) AS P
+           FROM orders GROUP BY 1),
+m AS (SELECT 'Median' AS o_orderpriority,
+        median(F) AS F, median(O) AS O, median(P) AS P FROM g),
+u AS (SELECT * FROM g UNION ALL SELECT * FROM m)
+SELECT o_orderpriority, F, O, P,
+       CAST(list_aggregate([F, O, P], 'median') AS DOUBLE) AS med
+FROM u
+""",
+        "sort_index_list": _PIVOT_SQL.replace("SELECT", "WITH g AS (SELECT", 1).replace(
+            "GROUP BY l_returnflag", "GROUP BY l_returnflag)"
+        )
+        + """
+SELECT l_returnflag,
+       row_number() OVER (ORDER BY
+         CASE l_returnflag WHEN 'R' THEN 1 WHEN 'A' THEN 2 ELSE 1000000 END,
+         l_returnflag) AS rn,
+       F, O
+FROM g
 """,
         "offset_dates": """
 WITH mx AS (SELECT MAX(year(o_orderdate)) AS maxy FROM orders)

@@ -9,6 +9,34 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 
+def make_row_agg_udf(aggfunc, col_labels, args=(), kwargs=None):
+    """Row-wise arbitrary-callable aggregate for ``add_agg(axis=1)``.
+
+    The reference reaches callables on axis=1 by transposing and calling
+    ``df.agg(func)`` (``flatbread/tooling.py:31-43``); a transpose is a
+    non-starter at scale, so here each Arrow batch is reshaped to a
+    (batch, n_cols) frame and ``DataFrame.agg(func, axis=1)`` runs the
+    callable per row with the column labels as the Series index — the same
+    Series the reference's transposed path passes. Arrow-batched transfer;
+    the callable itself is the documented Python slow path.
+
+    Returns a pandas UDF: array<double> -> double.
+    """
+    kwargs = kwargs or {}
+    labels = list(col_labels)
+
+    @pandas_udf("double")
+    def row_agg(vals: pd.Series) -> pd.Series:
+        mat = pd.DataFrame(
+            np.stack([np.asarray(v, dtype=np.float64) for v in vals.to_numpy()]),
+            columns=labels,
+        )
+        out = mat.agg(aggfunc, 1, *args, **kwargs)
+        return pd.Series(np.asarray(out, dtype=np.float64))
+
+    return row_agg
+
+
 def make_bucket_udf(planes_mat, tables: int, nbits: int):
     """Sign-LSH bucket assignment for all tables in one matmul per batch.
 

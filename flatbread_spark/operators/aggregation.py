@@ -101,7 +101,7 @@ def add_agg(
     """
     label = get_label(label, aggfunc)
     if axis in (1, "columns"):
-        return _add_agg_column(ff, aggfunc, label, ignore_keys, _fill)
+        return _add_agg_column(ff, aggfunc, label, ignore_keys, _fill, *args, **kwargs)
 
     mask = ff.data_row_mask(ignore_keys)
     key = (label,) + (_fill,) * (ff.nlevels - 1)
@@ -125,31 +125,43 @@ def add_agg(
     return _record_key(out, key)
 
 
+def _row_expr(aggfunc, cols: list[ColInfo], *args, **kwargs):
+    """Row-wise aggregate expression over value columns: named aggfuncs stay
+    JVM-side (``row_wise`` codegen expressions); callables run through an
+    Arrow-batched pandas UDF that hands each row to the callable as a Series
+    indexed by the column labels — reference-parity with the transpose path
+    (``flatbread/tooling.py:31-43``) without a transpose."""
+    if callable(aggfunc):
+        from flatbread_spark.functions._arrow_kernels import make_row_agg_udf
+
+        labels = [c.labels[0] if len(c.labels) == 1 else c.labels for c in cols]
+        kernel = make_row_agg_udf(aggfunc, labels, args, kwargs)
+        return kernel(F.array(*[F.col(c.name).cast("double") for c in cols]))
+    return row_wise(aggfunc, [F.col(c.name) for c in cols])
+
+
 def _add_agg_column(
     ff: FlatFrame,
     aggfunc: str | Callable,
     label: str,
     ignore_keys: str | Sequence[str] | None,
     _fill: str,
+    *args,
+    **kwargs,
 ) -> FlatFrame:
     """axis=1: one new value column = row-wise aggregate over data columns.
 
-    Pure projection — no shuffle, no transpose. Callables are not supported on
-    this axis at scale (a per-row Python callback over columns would be a
-    row-at-a-time UDF); the built-in names cover the reference test surface.
+    Pure projection — no shuffle, no transpose. Named aggfuncs stay inside
+    whole-stage codegen; callables take the Arrow-batched pandas-UDF path.
     """
     data_cols = ff.data_cols(ignore_keys)
     if not data_cols:
         raise ValueError("no data columns to aggregate")
-    if callable(aggfunc):
-        raise NotImplementedError(
-            "callable aggfunc on axis=1 is not supported; use a named aggfunc"
-        )
     new_labels = (label,) + (_fill,) * (ff.ncol_levels - 1)
     if any(c.labels == new_labels for c in ff.cols):
         raise ValueError(f"Aggregation column with key {new_labels} already exists")
     name = make_col_name(new_labels, ff.df.columns)
-    expr = row_wise(aggfunc, [F.col(c.name) for c in data_cols])
+    expr = _row_expr(aggfunc, data_cols, *args, **kwargs)
     return ff._copy(
         df=ff.df.withColumn(name, expr),
         cols=ff.cols + [ColInfo(new_labels, name)],
@@ -243,9 +255,7 @@ def _subagg_columns(
                 raise ValueError(f"Aggregation column with key {labels} already exists")
             name = make_col_name(labels, used)
             used.append(name)
-            df = df.withColumn(
-                name, row_wise(aggfunc, [F.col(c.name) for c in members])
-            )
+            df = df.withColumn(name, _row_expr(aggfunc, members))
             insert_at = max(i for i, c in enumerate(new_cols) if c in members) + 1
             new_cols.insert(insert_at, ColInfo(labels, name))
         out = out._copy(df=df, cols=new_cols)

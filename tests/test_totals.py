@@ -217,6 +217,44 @@ def test_add_agg_callable(spark):
     assert (out.loc["spread"].astype(int) == (pdf.max() - pdf.min())).all()
 
 
+def test_add_agg_callable_axis1(spark):
+    """Callable on the column axis runs via the Arrow row-agg kernel and must
+    match the reference's transpose+agg result (pandas axis=1 agg)."""
+    pdf = simple_pdf()
+
+    def spread(s):
+        return s.max() - s.min()
+
+    ff = add_agg(FlatFrame.from_pandas(spark, pdf), spread, axis=1)
+    out = ff.to_pandas()
+    expected = pdf.agg(spread, axis=1)
+    assert np.allclose(out["spread"].values, expected.values)
+
+
+def test_add_agg_callable_axis1_sees_labels(spark):
+    """The callable receives each row as a Series indexed by column labels,
+    exactly like the reference's transposed frame."""
+    pdf = simple_pdf(3, 3)
+
+    def c0_minus_c2(s):
+        return s["c0"] - s["c2"]
+
+    ff = add_agg(FlatFrame.from_pandas(spark, pdf), c0_minus_c2, axis=1)
+    out = ff.to_pandas()
+    assert np.allclose(out["c0_minus_c2"].values, (pdf["c0"] - pdf["c2"]).values)
+
+
+def test_add_agg_median_std_axis1(spark):
+    """Round-1 regression: (n+1)/2 was double-typed and failed analysis."""
+    pdf = simple_pdf(4, 5)
+    ff = FlatFrame.from_pandas(spark, pdf)
+    ff = add_agg(ff, "median", axis=1, label="med")
+    ff = add_agg(ff, "std", axis=1, label="sd", ignore_keys=["med"])
+    out = ff.to_pandas()
+    assert np.allclose(out["med"].values, pdf.median(axis=1).values)
+    assert np.allclose(out["sd"].values, pdf.std(axis=1).values)
+
+
 def test_duplicate_margin_key_raises(spark):
     pdf = simple_pdf()
     ff = add_totals(FlatFrame.from_pandas(spark, pdf), axis=0)
