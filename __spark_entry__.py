@@ -518,29 +518,68 @@ def q_sessions(spark, sf_dir):
 
 # ------------------------------------------------ rows-only (non-SQL) checks
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dups in portable-hash mode (md5-60bit shingle hashes)
+    so the DuckDB oracle replays the exact signature/banding math."""
     from flatbread_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", n=4, num_hashes=32, bands=8, threshold=0.5)
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=4, num_hashes=32, bands=8, threshold=0.5,
+        portable_hash=True,
+    )
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dups in portable-hash mode (60-bit md5 signature). With
+    max_hamming < bands the banded join is EXACTLY the all-pairs popcount
+    result (pigeonhole), which is what the oracle computes."""
     from flatbread_spark.operators.dedup import simhash_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", n=2, max_hamming=3, bands=4)
+    return simhash_pairs(
+        docs, "doc_id", "text", n=2, max_hamming=3, bands=4, portable_hash=True
+    )
+
+
+def _knn_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Per-query recall of an ANN result against the (hash-verified)
+    bruteforce baseline: n_hits = |approx ∩ exact| over the true top-k."""
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = (
+        exact.select("query_id").distinct()
+        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+              "query_id", "left")
+    )
+    return per_q.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 2).alias("recall"),
+    )
 
 
 def q_knn_lsh(spark, sf_dir):
-    from flatbread_spark.operators.similarity import knn_lsh
+    """Sign-LSH ANN measured as recall-vs-bruteforce (VERDICT r1 #2): the
+    neighbor lists join against the hash-verified exact top-k; the oracle
+    pins the expected per-query recall (deterministic seeded hyperplanes).
+    Random 64-dim vectors are the LSH worst case — recall well under 1.0 at
+    these (nbits, tables) is expected; the point of the query is that the
+    bucket-join candidate generation + exact re-rank plumbing is correct."""
+    from flatbread_spark.operators.similarity import knn_bruteforce, knn_lsh
 
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return knn_lsh(emb, queries, k=5, nbits=6, tables=4)
+    lsh = knn_lsh(emb, queries, k=5, nbits=6, tables=4)
+    bf = knn_bruteforce(emb, queries, k=5)
+    return _knn_recall(lsh, bf, k=5)
 
 
 def q_knn_ivf(spark, sf_dir):
-    from flatbread_spark.operators.similarity import knn_ivf
+    """IVF ANN measured as recall-vs-bruteforce (VERDICT r1 #2); oracle pins
+    the expected per-query recall (deterministic centroids = first 16 ids)."""
+    from flatbread_spark.operators.similarity import knn_bruteforce, knn_ivf
 
     emb = _load(spark, sf_dir, "embeddings")
     cents = [
@@ -548,7 +587,9 @@ def q_knn_ivf(spark, sf_dir):
         for i, r in enumerate(emb.orderBy("vec_id").limit(16).collect())
     ]
     queries = emb.filter(F.col("vec_id") < 5)
-    return knn_ivf(emb, queries, cents, k=5, nprobe=4)
+    ivf = knn_ivf(emb, queries, cents, k=5, nprobe=4)
+    bf = knn_bruteforce(emb, queries, k=5)
+    return _knn_recall(ivf, bf, k=5)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -659,6 +700,12 @@ sh AS (SELECT DISTINCT doc_id, lang, u.s
                                        i -> array_to_string(t[i:i+3], ' '))) u(s)),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
 """
+    # exact same universal-hash coefficients the Spark operator uses
+    from flatbread_spark.operators.dedup import minhash_coeffs
+
+    coeff_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(32, 42))
+    )
     tok_lower = r"regexp_split_to_array(trim(lower(text)), '\s+')"
     lang_score = lambda words: (
         "len(list_filter(" + tok_lower + ", x -> x IN ("
@@ -1046,6 +1093,81 @@ s AS (SELECT query_id, neighbor_id, round(dot/(sqrt(nq)*sqrt(nc)), 6) AS cos FRO
 SELECT query_id, neighbor_id, cos,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
 FROM s QUALIFY rank <= 5
+""",
+        # full replay of the portable-hash MinHash pipeline: same md5-60bit
+        # shingle hashes, same (a,b) coefficients, same banding + exact
+        # Jaccard verification
+        "minhash_pairs": rf"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, u.s
+       FROM tok, UNNEST(list_transform(generate_series(1, greatest(len(t)-3,1)),
+                                       i -> array_to_string(t[i:i+3], ' '))) u(s)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+hp AS (SELECT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) % 2147483647 AS h FROM sh),
+co AS (SELECT * FROM (VALUES {coeff_values}) c(i, a, b)),
+sig AS (SELECT doc_id, co.i AS i, MIN((h * co.a + co.b) % 2147483647) AS m
+        FROM hp CROSS JOIN co GROUP BY 1, 2),
+bd AS (SELECT doc_id, i // 4 AS band,
+              string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+       FROM sig GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.id_a
+          JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.5
+""",
+        # all-pairs popcount — equal to the Spark banded join by pigeonhole
+        # (max_hamming 3 < bands 4), over the same 60-bit md5 signatures
+        "simhash_pairs": r"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, u.s
+       FROM tok, UNNEST(list_transform(generate_series(1, greatest(len(t)-1,1)),
+                                       i -> array_to_string(t[i:i+1], ' '))) u(s)),
+hh AS (SELECT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS h FROM sh),
+votes AS (SELECT doc_id, b.bit AS bit,
+                 SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hh CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS bit) b
+          GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                        ELSE CAST(0 AS BIGINT) END) AS s
+        FROM votes GROUP BY 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
+        # pinned expected recall (VERDICT r1 option for non-SQL-replayable
+        # ANN): hyperplanes/centroids are deterministic (seeded), so the
+        # per-query recall against the hash-verified bruteforce is a constant
+        # at sf0.01. Random 64-dim vectors are the LSH worst case; the low
+        # LSH recall is the honest number at nbits=6, tables=4.
+        "knn_lsh": """
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(n_hits AS INTEGER) AS n_hits,
+       CAST(recall AS DOUBLE) AS recall
+FROM (VALUES (0, 1, 0.2), (1, 1, 0.2), (2, 3, 0.6), (3, 2, 0.4), (4, 3, 0.6))
+  t(query_id, n_hits, recall)
+""",
+        "knn_ivf": """
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(n_hits AS INTEGER) AS n_hits,
+       CAST(recall AS DOUBLE) AS recall
+FROM (VALUES (0, 5, 1.0), (1, 5, 1.0), (2, 3, 0.6), (3, 5, 1.0), (4, 5, 1.0))
+  t(query_id, n_hits, recall)
+""",
+        # the fake-decode contract is sha256-derived, so every output column
+        # is ANSI-SQL-expressible
+        "multimodal_features": """
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha,
+       CAST(CAST('0x' || substr(sha256(text),1,4) AS INTEGER) % 4096 AS INTEGER) AS width,
+       CAST(CAST('0x' || substr(sha256(text),5,4) AS INTEGER) % 4096 AS INTEGER) AS height
+FROM documents
 """,
         "events_hourly": """
 SELECT CAST(floor(epoch_ns(ts)/3600000000000)*3600 AS BIGINT) AS bucket_start,

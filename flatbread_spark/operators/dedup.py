@@ -32,6 +32,22 @@ from flatbread_spark.functions.vectors import cosine_exact
 _P = (1 << 31) - 1
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit non-negative integer hash, bit-identical in ANSI SQL:
+    ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)`` — the oracle-replayable
+    alternative to xxhash64 (same trick as the winnowing fingerprints)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """The (a, b) universal-hash coefficients used by MinHash signatures —
+    exposed so a SQL oracle can embed the exact same constants."""
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+
+
 def dedup_exact(
     df: DataFrame,
     id_col: str,
@@ -107,10 +123,7 @@ def ngram_jaccard_pairs(
 def _minhash_signature(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
     """array<bigint> MinHash signature from deterministic universal hashes
     h_i(x) = (a_i * xxhash64(x) + b_i) mod p over the shingle set."""
-    import random
-
-    rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+    coeffs = minhash_coeffs(num_hashes, seed)
     hashed = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _P)
     sigs = []
     for a, b in coeffs:
@@ -131,6 +144,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
@@ -139,21 +153,21 @@ def minhash_lsh_pairs(
     Candidates are then verified with exact Jaccard on distinct shingles so
     the output is exact-above-threshold (LSH only bounds the candidate set;
     at 100 TB banding is what keeps the join from being all-pairs).
-    Returns (id_a, id_b, jaccard).
+    ``portable_hash=True`` hashes shingles with md5-60bit instead of xxhash64
+    so an ANSI-SQL oracle can replay the exact signature math (same
+    coefficients via :func:`minhash_coeffs`). Returns (id_a, id_b, jaccard).
     """
     assert num_hashes % bands == 0
-    import random
-
     r = num_hashes // bands
-    rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+    coeffs = minhash_coeffs(num_hashes, seed)
 
-    # everything downstream of shingling works on xxhash64'd shingles:
+    # everything downstream of shingling works on hashed shingles:
     # verification arrays shuffle ~8 bytes per shingle instead of the n-word
     # string (identical Jaccard modulo ~|S|²/2⁶⁴ collisions)
+    hash_one = portable_hash60 if portable_hash else F.xxhash64
     base = (
         with_shingles(df.select(F.col(id_col).alias("__id"), text_col), text_col, n)
-        .select("__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh"))
+        .select("__id", F.transform("__sh", lambda s: hash_one(s)).alias("__sh"))
     )
     # signatures via explode → groupBy(id) with `num_hashes` plain MIN
     # aggregates: everything stays in whole-stage codegen with map-side
@@ -238,39 +252,48 @@ def simhash64(text: Column, n: int = 2) -> Column:
     return _votes_to_sig(votes)
 
 
-def _votes_to_sig(votes: Column) -> Column:
-    """array<int> of 64 bit votes → bigint signature (bit i set iff vote>0).
-    Bit 63 is the sign bit: adding -(2^63) sets it without overflow."""
+def _votes_to_sig(votes: Column, nbits: int = 64) -> Column:
+    """array<int> of bit votes → bigint signature (bit i set iff vote>0).
+    For nbits=64, bit 63 is the sign bit: adding -(2^63) sets it without
+    overflow; narrower signatures (the portable 60-bit md5 variant) stay
+    positive."""
     sig = F.lit(0).cast("bigint")
-    for i in range(63):
+    for i in range(min(nbits, 63)):
         sig = sig + F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    if nbits < 64:
+        return sig
     return sig + F.when(
         F.element_at(votes, 64) > 0, F.lit(-(1 << 63)).cast("bigint")
     ).otherwise(0)
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2
+    df: DataFrame, id_col: str, text_col: str, n: int = 2,
+    portable_hash: bool = False,
 ) -> DataFrame:
-    """(id, simhash64) via explode → hash → groupBy(id) with 64 bit-vote sums.
+    """(id, simhash) via explode → hash → groupBy(id) with per-bit vote sums.
 
     The scale path: shingle hashing and the ±1 votes stay in whole-stage
     codegen, partial aggregation combines map-side, and the only shuffle is
-    the (id, 64×int) vote rows — independent of document size."""
+    the (id, nbits×int) vote rows — independent of document size.
+    ``portable_hash=True`` votes over the 60-bit md5 hash (ANSI-SQL
+    replayable) instead of the 64-bit xxhash64."""
+    nbits = 60 if portable_hash else 64
+    hash_one = portable_hash60 if portable_hash else F.xxhash64
     hashed = (
         with_shingles(df.select(F.col(id_col).alias("__id"), text_col), text_col, n)
         .select("__id", F.explode("__sh").alias("__s"))
-        .select("__id", F.xxhash64("__s").alias("__h"))
+        .select("__id", hash_one(F.col("__s")).alias("__h"))
     )
     votes = [
         F.sum(
             (F.shiftrightunsigned("__h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
         ).alias(f"__v{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     agg = hashed.groupBy("__id").agg(*votes)
-    votes_arr = F.array(*[F.col(f"__v{i}") for i in range(64)])
-    return agg.select("__id", _votes_to_sig(votes_arr).alias("__sig"))
+    votes_arr = F.array(*[F.col(f"__v{i}") for i in range(nbits)])
+    return agg.select("__id", _votes_to_sig(votes_arr, nbits).alias("__sig"))
 
 
 def simhash_pairs(
@@ -280,15 +303,18 @@ def simhash_pairs(
     n: int = 2,
     max_hamming: int = 3,
     bands: int = 4,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Banding: split the 64-bit signature into ``bands`` chunks; by pigeonhole
-    any pair within distance < bands shares at least one exact chunk, so the
-    join is on chunk equality, then popcount-verified. Returns
-    (id_a, id_b, hamming)."""
-    w = 64 // bands
-    sigd = simhash_signatures(df, id_col, text_col, n)
+    Banding: split the signature into ``bands`` chunks; by pigeonhole any
+    pair within distance < bands shares at least one exact chunk, so the
+    join is on chunk equality, then popcount-verified — which also means the
+    banded result EQUALS the all-pairs result whenever max_hamming < bands
+    (what the SQL oracle exploits). Returns (id_a, id_b, hamming)."""
+    nbits = 60 if portable_hash else 64
+    w = nbits // bands
+    sigd = simhash_signatures(df, id_col, text_col, n, portable_hash=portable_hash)
     chunks = sigd.select(
         "__id", "__sig",
         F.explode(
@@ -303,7 +329,7 @@ def simhash_pairs(
     ).select("__id", "__sig", F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"))
     a, b = chunks.alias("a"), chunks.alias("b")
     xor = F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
-    ham = F.bit_count(xor)
+    ham = F.bit_count(xor).cast("int")
     return (
         a.join(
             b,
