@@ -93,6 +93,61 @@ def test_embedding_dups_and_knn(spark):
     assert sorted(ranked) == [(1, 2), (2, 3)]  # 3 before 4 on id tiebreak
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_shingle_df drops hot shingles from CANDIDATE GENERATION only:
+    emitted Jaccards stay exact (full sets); a pair is lost only when every
+    shared shingle is hot."""
+    boiler = "spark shuffles data across executors"  # shared by ALL docs
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta epsilon"),
+        (2, f"{boiler} alpha beta gamma delta zeta"),   # real near-dup of 1
+        (3, f"{boiler} one two three four five"),
+        (4, f"{boiler} six seven eight nine ten"),      # only boilerplate shared
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.2).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.2, max_shingle_df=3
+        ).collect()
+    }
+    # (1,2) survives (shares non-hot shingles) with its EXACT uncapped jaccard
+    assert capped[(1, 2)] == uncapped[(1, 2)]
+    # boilerplate-only pairs (e.g. 3-4) are pruned by the cap
+    assert (3, 4) in uncapped and (3, 4) not in capped
+    # a high cap reproduces the uncapped result exactly
+    high = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.2, max_shingle_df=100
+        ).collect()
+    }
+    assert high == uncapped
+
+
+def test_embedding_dups_lsh_bucket_mode(spark, embeddings):
+    """LSH-bucketed candidates: every emitted pair is in the exact all-pairs
+    result with an identical cosine (subset with exact values)."""
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_dup_pairs(embeddings, "vec_id", "embedding", threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_dup_pairs(
+            embeddings, "vec_id", "embedding", threshold=0.4,
+            lsh_nbits=4, lsh_tables=16,
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+    assert len(lsh) >= 0.5 * len(exact), f"LSH recall too low: {len(lsh)}/{len(exact)}"
+
+
 def test_knn_lsh_subset_of_bruteforce_candidates(spark, embeddings):
     queries = embeddings.filter(F.col("vec_id") < 3)
     exact = knn_bruteforce(embeddings, queries, k=5)
