@@ -501,17 +501,19 @@ def q_embedding_dups(spark, sf_dir):
 
 # Deterministic LSH-recovered candidate pairs at sf0.01 (seeded hyperplanes →
 # constant): pinned so the oracle can verify the REAL cosine math over exactly
-# this candidate set. 56 of the 59 exact pairs at cos≥0.4 — recall 0.95 in the
-# LSH-hostile weak-similarity regime this testdata planted.
+# this candidate set. 46 of the 59 exact pairs at cos≥0.4 (recall 0.78 at a
+# 3× candidate-prune rate) — this testdata's "dups" sit at cos 0.40-0.51,
+# the information-theoretic worst case for sign-LSH (barely distinguishable
+# from random pairs); at a production near-dup threshold (cos 0.9) the same
+# nbits=6/tables=24 give recall 1-(1-0.857^6)^24 ≈ 0.999994.
 _EMB_LSH_PAIRS = (
     "(7,340),(7,425),(16,402),(19,87),(24,234),(24,298),(24,384),(28,305),"
-    "(32,200),(35,351),(44,301),(45,298),(53,234),(53,300),(53,430),(70,210),"
-    "(83,310),(85,404),(108,142),(108,232),(131,456),(150,152),(156,438),"
-    "(158,452),(159,202),(162,282),(166,324),(169,466),(172,440),(181,194),"
-    "(183,399),(191,431),(195,317),(197,318),(198,468),(200,204),(202,245),"
-    "(203,414),(205,485),(207,326),(234,384),(238,287),(253,385),(262,291),"
-    "(269,340),(290,325),(290,331),(325,331),(334,382),(334,438),(335,439),"
-    "(338,406),(350,395),(350,479),(355,417),(387,388)"
+    "(32,200),(35,351),(44,301),(45,298),(53,300),(70,210),(83,310),(85,404),"
+    "(108,142),(108,232),(150,152),(156,438),(158,452),(162,282),(166,324),"
+    "(169,466),(172,440),(183,399),(191,431),(195,317),(197,318),(198,468),"
+    "(200,204),(202,245),(203,414),(205,485),(207,326),(238,287),(253,385),"
+    "(262,291),(269,340),(290,331),(335,439),(338,406),(350,395),(350,479),"
+    "(355,417),(387,388)"
 )
 
 
@@ -525,7 +527,7 @@ def q_embedding_dups_lsh(spark, sf_dir):
 
     emb = _load(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.4, lsh_nbits=4, lsh_tables=24
+        emb, "vec_id", "embedding", threshold=0.4, lsh_nbits=6, lsh_tables=24
     )
 
 

@@ -406,37 +406,62 @@ def embedding_dup_pairs(
             [p for t in range(lsh_tables) for p in _hyperplanes(dim, lsh_nbits, seed + 1000 * t)],
             dtype=np.float64,
         )
-        bucketed = base.withColumn(
-            "__bks", make_bucket_udf(planes_mat, lsh_tables, lsh_nbits)(F.col("__v"))
-        ).select("__id", "__v", "__norm", *(["__blk"] if block_col else []),
-                 F.posexplode("__bks").alias("__t", "__b"))
-        a, b = bucketed.alias("a"), bucketed.alias("b")
+        # SLIM bucket join: only (id[, blk], table, bucket) rows flow through
+        # the self-join — the candidate explosion never carries vectors.
+        # Pairs are deduped (a pair can collide in up to `tables` tables)
+        # BEFORE vectors are re-attached by id (small-side broadcast locally,
+        # AQE-chosen at scale), so vector bytes move O(unique candidates).
+        slim = base.select(
+            "__id", *(["__blk"] if block_col else []),
+            F.posexplode(
+                make_bucket_udf(planes_mat, lsh_tables, lsh_nbits)(F.col("__v"))
+            ).alias("__t", "__b"),
+        )
+        a, b = slim.alias("a"), slim.alias("b")
         cond = (
             (F.col("a.__t") == F.col("b.__t"))
             & (F.col("a.__b") == F.col("b.__b"))
             & (F.col("a.__id") < F.col("b.__id"))
         )
+        if block_col:
+            cond &= F.col("a.__blk") == F.col("b.__blk")
+        pairs = (
+            a.join(b, cond)
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        vecs = base.select("__id", "__v", "__norm")
+        cands = (
+            pairs.join(
+                vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+                            F.col("__norm").alias("__na")), "id_a")
+            .join(
+                vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+                            F.col("__norm").alias("__nb")), "id_b")
+            .filter(
+                dot_fast(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+                >= threshold - 1e-6
+            )
+            .select("id_a", "id_b", "__va", "__vb")
+        )
     else:
         a, b = base.alias("a"), base.alias("b")
         cond = F.col("a.__id") < F.col("b.__id")
-    if block_col:
-        cond &= F.col("a.__blk") == F.col("b.__blk")
-
-    fast_cos = dot_fast(F.col("a.__v"), F.col("b.__v")) / (
-        F.col("a.__norm") * F.col("b.__norm")
-    )
-    cands = (
-        a.join(b, cond)
-        .filter(fast_cos >= threshold - 1e-6)
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("b.__v").alias("__vb"),
+        if block_col:
+            cond &= F.col("a.__blk") == F.col("b.__blk")
+        fast_cos = dot_fast(F.col("a.__v"), F.col("b.__v")) / (
+            F.col("a.__norm") * F.col("b.__norm")
         )
-    )
-    if lsh_nbits is not None:
-        cands = cands.dropDuplicates(["id_a", "id_b"])
+        cands = (
+            a.join(b, cond)
+            .filter(fast_cos >= threshold - 1e-6)
+            .select(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                F.col("a.__v").alias("__va"),
+                F.col("b.__v").alias("__vb"),
+            )
+        )
     cos = cosine_exact(F.col("__va"), F.col("__vb"))
     return (
         cands.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
