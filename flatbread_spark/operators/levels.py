@@ -126,16 +126,39 @@ def add_level(
     axis would be a zip-by-position anti-pattern — join a real column instead."""
     axis = _resolve_axis(axis)
     if axis == 0:
-        if isinstance(value, list):
-            raise NotImplementedError(
-                "list values on the row axis are order-positional; join a column instead"
-            )
         pos = level if level >= 0 else ff.nlevels + level + 1
         name = f"lvl_{pos}"
         existing = set(ff.df.columns)
         while name in existing:
             name += "_"
-        df = ff.df.withColumn(name, F.lit(str(value)))
+        if isinstance(value, list):
+            # Per-row list values (reference ``axes.py:253-258``): inherently
+            # order-positional — zip by the frame's ``__pos__`` order via a
+            # broadcast (rank → value) lookup. Like the reference, the list
+            # length is validated against the row count (one eager count; the
+            # reference's eager index build does the same implicitly). Only
+            # sane for presentation-sized frames — at data scale join a real
+            # column instead.
+            n = ff.df.count()
+            if len(value) != n:
+                raise ValueError(
+                    f"Length of values list ({len(value)}) must match "
+                    f"length of index ({n})"
+                )
+            spark = ff.df.sparkSession
+            lookup = spark.createDataFrame(
+                [(i + 1, str(v)) for i, v in enumerate(value)],
+                schema="__rn__ int, __lvl__ string",
+            )
+            w = Window.orderBy(F.col(POS))
+            df = (
+                ff.df.withColumn("__rn__", F.row_number().over(w))
+                .join(F.broadcast(lookup), "__rn__")
+                .withColumnRenamed("__lvl__", name)
+                .drop("__rn__")
+            )
+        else:
+            df = ff.df.withColumn(name, F.lit(str(value)))
         index = ff.index[:pos] + [name] + ff.index[pos:]
         index_names = ff.index_names[:pos] + [level_name] + ff.index_names[pos:]
         return ff._copy(df=df, index=index, index_names=index_names)

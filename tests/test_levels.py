@@ -53,6 +53,24 @@ def test_add_level_rows(spark):
     assert list(pdf.index) == [("G", "x"), ("G", "y")]
 
 
+def test_add_level_rows_list_values(spark):
+    """Per-row list values on the row axis (reference axes.py:253-258):
+    zipped by the frame's current row order, length-validated."""
+    import pytest
+
+    ff = frame(spark, ["x", "y", "z"])
+    out = add_level(ff, ["g1", "g1", "g2"], level=0, level_name="GRP", axis=0)
+    pdf = out.to_pandas()
+    assert list(pdf.index) == [("g1", "x"), ("g1", "y"), ("g2", "z")]
+    assert pdf.index.names == ["GRP", "K"]
+    # inner position keeps values aligned
+    out2 = add_level(ff, ["a", "b", "c"], level=1, axis=0)
+    pdf2 = out2.to_pandas()
+    assert list(pdf2.index) == [("x", "a"), ("y", "b"), ("z", "c")]
+    with pytest.raises(ValueError, match="must match"):
+        add_level(ff, ["only", "two"], level=0, axis=0)
+
+
 def test_add_level_columns(spark):
     ff = frame(spark, ["x", "y"])
     out = add_level(ff, "blk", level=0, axis=1)
