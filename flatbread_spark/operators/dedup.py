@@ -107,6 +107,10 @@ def ngram_jaccard_pairs(
             "__id", *blocks,
             F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh"),
         )
+        # two plan branches read the shingle arrays (candidate explode +
+        # exact verify); without the persist, NGram shingling + hashing runs
+        # twice over the corpus. (id, hash array) rows only — text excluded.
+        .persist()
     )
     sh = base.select("__id", *blocks, F.explode("__sh").alias("__h"))
     if max_shingle_df is not None:
@@ -185,6 +189,9 @@ def minhash_lsh_pairs(
     base = (
         with_shingles(df.select(F.col(id_col).alias("__id"), text_col), text_col, n)
         .select("__id", F.transform("__sh", lambda s: hash_one(s)).alias("__sh"))
+        # signature branch + per-candidate verification branch both read the
+        # hashed shingle arrays — persist so shingling/hashing runs once
+        .persist()
     )
     # signatures via explode → groupBy(id) with `num_hashes` plain MIN
     # aggregates: everything stays in whole-stage codegen with map-side
