@@ -492,6 +492,75 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Within-doc repetition ratio (Gopher-style duplicate-2-gram fraction) —
+    the filter signal for looping/boilerplate documents."""
+    from flatbread_spark.functions.text import repetition_ratio, seq_ngrams
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(seq_ngrams(F.col("text"), 2)).cast("bigint").alias("n_grams"),
+        repetition_ratio(F.col("text"), 2).alias("repetition"),
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (corpus mixing): rates
+    per lang, reproducible under any partitioning — Spark's seeded
+    per-partition sample() is not. Hash math replayed exactly in SQL."""
+    from flatbread_spark.operators.sampling import sample_hash_bucket, sample_stratified
+
+    docs = _load(spark, sf_dir, "documents")
+    out = sample_stratified(
+        docs, key_col="doc_id", strata_col="lang",
+        rates={"en": 0.5, "de": 0.25}, default_rate=0.1, salt="mix",
+    )
+    return out.select(
+        "doc_id", "lang",
+        sample_hash_bucket(F.col("doc_id"), "mix").alias("bucket"),
+    )
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Corpus-mix report: the FlatFrame engine consuming pipeline signals —
+    token counts pivoted lang × quality bucket with grid totals."""
+    from flatbread_spark import pivot_table
+    from flatbread_spark.functions.text import quality_score, token_count
+
+    docs = _load(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("tok"),
+        F.when(quality_score(F.col("text")) >= 0.8, F.lit("high"))
+        .otherwise(F.lit("low")).alias("qb"),
+    )
+    ff = pivot_table(
+        enriched, index="lang", columns="qb", values="tok", aggfunc="sum",
+        column_values=["high", "low"], fill_value=0,
+    ).add_totals(axis=2)
+    return ff.to_df().select(
+        "lang", F.col("high").cast("bigint").alias("high"),
+        F.col("low").cast("bigint").alias("low"),
+        F.col("Totals").cast("bigint").alias("Totals"),
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive dedup: connected components over the (verified) n-gram
+    Jaccard pair graph → one survivor per cluster. The iterative min-label
+    propagation is replayed in the oracle as a recursive CTE."""
+    from flatbread_spark.operators.dedup import ngram_jaccard_pairs
+    from flatbread_spark.operators.graph import dedup_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=4, threshold=0.5, block_col="lang",
+        max_shingle_df=100,
+    )
+    return dedup_clusters(docs, pairs, id_col="doc_id")
+
+
 def q_embedding_dups(spark, sf_dir):
     from flatbread_spark.operators.dedup import embedding_dup_pairs
 
@@ -699,6 +768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "token_topk": q_token_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "repetition": q_repetition,
+        "sample_stratified": q_sample_stratified,
+        "corpus_mix": q_corpus_mix,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1118,6 +1191,74 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos
 FROM p WHERE round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.4
+""",
+        "repetition": r"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+g AS (SELECT doc_id,
+        list_transform(generate_series(1, greatest(len(t)-1, 1)),
+                       i -> array_to_string(t[i:i+1], ' ')) AS grams
+      FROM tok)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         AS repetition
+FROM g
+""",
+        "sample_stratified": """
+WITH b AS (SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15) AS BIGINT)
+               % 1000000 AS bucket
+           FROM documents)
+SELECT doc_id, lang, bucket
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                         ELSE 100000 END
+""",
+        "corpus_mix": r"""
+WITH b AS (
+  SELECT lang,
+    len(regexp_split_to_array(trim(text), '\s+')) AS tok,
+    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        x -> x IN ('the','a','an','of','and','to','in','is','it'))) AS DOUBLE)
+      / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS sw,
+    CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+      / length(text) AS pr,
+    CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> length(x))) AS DOUBLE)
+      / len(regexp_split_to_array(trim(text), '\s+')) AS mtl
+  FROM documents),
+q AS (
+  SELECT lang, tok,
+    CASE WHEN round(least(sw*4.0, 1.0)*0.4 + (1.0-least(pr*5.0, 1.0))*0.3
+              + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)*0.3,
+              6) >= 0.8
+         THEN 'high' ELSE 'low' END AS qb
+  FROM b),
+g AS (
+  SELECT lang,
+    CAST(SUM(CASE WHEN qb = 'high' THEN tok ELSE 0 END) AS BIGINT) AS high,
+    CAST(SUM(CASE WHEN qb = 'low' THEN tok ELSE 0 END) AS BIGINT) AS low
+  FROM q GROUP BY lang),
+u AS (SELECT lang, high, low FROM g
+      UNION ALL SELECT 'Totals', CAST(SUM(high) AS BIGINT), CAST(SUM(low) AS BIGINT) FROM g)
+SELECT lang, high, low, high + low AS Totals FROM u
+""",
+        "dedup_clusters": "WITH RECURSIVE " + shingles.strip().lstrip() + """
+, inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+  WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.5),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+r(n, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM r JOIN e ON e.v = r.n)
+SELECT n AS doc_id, MIN(lbl) AS cluster_id, (n = MIN(lbl)) AS is_survivor
+FROM r GROUP BY n
 """,
         "embedding_dups_lsh": f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),

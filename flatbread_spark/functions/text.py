@@ -149,6 +149,32 @@ def winnowing_fingerprints(
     )
 
 
+def seq_ngrams(text: Column, n: int = 2) -> Column:
+    """Sequential (position-preserving, NON-distinct) word n-grams — the
+    input to within-document repetition measures. Texts shorter than ``n``
+    tokens yield one whole-text gram."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Within-document repetition: fraction of n-gram OCCURRENCES that are
+    repeats of an earlier occurrence — ``1 - distinct/total`` over sequential
+    n-grams. The Gopher/MassiveText-style quality signal for filtering
+    looping or boilerplate-stuffed documents; 0 = no repetition. Pure
+    expression (no shuffle), deterministic double division of exact ints."""
+    grams = seq_ngrams(text, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0, F.round((total - distinct).cast("double") / total.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Exact-content fingerprint (md5 hex) — identical in Spark and DuckDB."""
     return F.md5(text)

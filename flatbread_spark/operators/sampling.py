@@ -1,0 +1,55 @@
+"""Deterministic sampling for corpus construction.
+
+Training-data pipelines need samples that are (a) reproducible across runs
+and engines — a rerun must pick the SAME rows, or downstream dedup/mixing
+stats drift — and (b) stratified, because corpus recipes are expressed as
+per-stratum rates ("keep 10% of lang=en, 100% of lang=nl"). Spark's
+``df.sample`` is seeded per-partition, so its output changes with
+partitioning; these operators hash a stable key instead: a row is kept iff
+``hash(key) mod 1e6 < rate * 1e6``. Pure expression (no shuffle, no state),
+pushdown-friendly, and replayable in ANSI SQL via the md5-based portable
+hash — the same discipline as the dedup fingerprints.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flatbread_spark.operators.dedup import portable_hash60
+
+_MOD = 1_000_000
+
+
+def sample_hash_bucket(key: Column, salt: str = "") -> Column:
+    """Stable sampling bucket in [0, 1e6) from a row key. ``salt`` decouples
+    independent samples over the same keys (e.g. train/eval splits)."""
+    return portable_hash60(F.concat(key.cast("string"), F.lit(salt))) % _MOD
+
+
+def sample_deterministic(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by key hash — reproducible under any
+    partitioning/ordering, and a row's fate never changes between runs."""
+    return df.filter(sample_hash_bucket(F.col(key_col), salt) < int(rate * _MOD))
+
+
+def sample_stratified(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps stratum value →
+    keep rate; strata not listed get ``default_rate``. One scan, zero
+    shuffles — the rate lookup is a literal CASE expression, so Catalyst can
+    still push other predicates below it."""
+    bucket = sample_hash_bucket(F.col(key_col), salt)
+    threshold = F.lit(int(default_rate * _MOD))
+    for value, rate in rates.items():
+        threshold = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(int(rate * _MOD))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

@@ -93,6 +93,75 @@ def test_embedding_dups_and_knn(spark):
     assert sorted(ranked) == [(1, 2), (2, 3)]  # 3 before 4 on id tiebreak
 
 
+def test_repetition_ratio(spark):
+    from flatbread_spark.functions.text import repetition_ratio
+
+    rows = [
+        (1, "a b a b a b"),          # grams: ab,ba,ab,ba,ab -> 2 distinct of 5
+        (2, "all words differ here"),  # no repeated 2-gram
+        (3, "x"),                      # short text -> single gram, ratio 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.rep for r in df.select(
+        "doc_id", repetition_ratio(F.col("text"), 2).alias("rep")).collect()}
+    assert got[1] == 0.6
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_sample_stratified_deterministic(spark, documents):
+    from flatbread_spark.operators.sampling import (
+        sample_deterministic,
+        sample_stratified,
+    )
+
+    out = sample_stratified(
+        documents, key_col="doc_id", strata_col="lang",
+        rates={"en": 1.0}, default_rate=0.0,
+    )
+    # rate 1.0 keeps every en doc, rate 0.0 drops everything else
+    assert out.count() == documents.filter(F.col("lang") == "en").count()
+    assert out.filter(F.col("lang") != "en").count() == 0
+
+    # same keys → same sample, regardless of partitioning; salt decouples
+    s1 = {r.doc_id for r in sample_deterministic(documents, "doc_id", 0.3).collect()}
+    s2 = {r.doc_id for r in
+          sample_deterministic(documents.repartition(13), "doc_id", 0.3).collect()}
+    s3 = {r.doc_id for r in
+          sample_deterministic(documents, "doc_id", 0.3, salt="other").collect()}
+    assert s1 == s2
+    assert s1 != s3
+    # subsample nesting: a lower rate with the same salt is a subset
+    s_small = {r.doc_id for r in sample_deterministic(documents, "doc_id", 0.1).collect()}
+    assert s_small <= s1
+
+
+def test_connected_components_and_dedup_clusters(spark):
+    """Chain A-B-C must collapse to ONE cluster (pairwise survivor-picking
+    over-deletes); singletons survive as their own cluster."""
+    from flatbread_spark.operators.graph import connected_components, dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    #  chain 1-2-3, pair 5-6, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    cc = {r.doc_id: r.cluster_id for r in
+          connected_components(nodes, pairs, id_col="doc_id").collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+    out = {r.doc_id: (r.cluster_id, r.is_survivor) for r in
+           dedup_clusters(nodes, pairs, id_col="doc_id").collect()}
+    survivors = {d for d, (_, s) in out.items() if s}
+    assert survivors == {1, 4, 5, 7}
+
+    # long chain converges (diameter > 2)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], ["id_a", "id_b"])
+    cc2 = {r.doc_id: r.cluster_id for r in
+           connected_components(nodes, chain, id_col="doc_id").collect()}
+    assert all(v == 1 for v in cc2.values())
+
+
 def test_ngram_jaccard_hot_shingle_cap(spark):
     """max_shingle_df drops hot shingles from CANDIDATE GENERATION only:
     emitted Jaccards stay exact (full sets); a pair is lost only when every
