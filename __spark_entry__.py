@@ -494,14 +494,26 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_repetition(spark, sf_dir):
     """Within-doc repetition ratio (Gopher-style duplicate-2-gram fraction) —
-    the filter signal for looping/boilerplate documents."""
-    from flatbread_spark.functions.text import repetition_ratio, seq_ngrams
+    the filter signal for looping/boilerplate documents. Grams come from the
+    JVM NGram helper and are computed ONCE per row; the interpreted
+    higher-order-function form re-evaluated the gram array per referencing
+    expression (4× per row) and was ~10× slower at sf0.1."""
+    from flatbread_spark.functions.text import with_seq_ngrams
 
     docs = _load(spark, sf_dir, "documents")
-    return docs.select(
+    g = with_seq_ngrams(docs.select("doc_id", "text"), "text", n=2, out_col="__g")
+    total = F.size("__g")
+    return g.select(
         "doc_id",
-        F.size(seq_ngrams(F.col("text"), 2)).cast("bigint").alias("n_grams"),
-        repetition_ratio(F.col("text"), 2).alias("repetition"),
+        total.cast("bigint").alias("n_grams"),
+        F.when(
+            total > 0,
+            F.round(
+                (total - F.size(F.array_distinct("__g"))).cast("double")
+                / total.cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("repetition"),
     )
 
 

@@ -56,6 +56,49 @@ def make_bucket_udf(planes_mat, tables: int, nbits: int):
     return all_buckets
 
 
+def make_pair_score_fn(threshold_slack, chunk: int = 2048):
+    """In-group all-pairs cosine candidate scoring for ``applyInPandas``.
+
+    One numpy matmul per LSH bucket / block group replaces an interpreted
+    higher-order-function dot product per candidate PAIR (O(pairs x dim)
+    interpreted ops — the measured bottleneck of embedding dedup). Rows are
+    normalized once, then scored in ``chunk``-row slabs (U[s:e] @ U.T), so
+    peak memory is O(chunk x group) regardless of group size — a hot bucket
+    degrades to more slabs, not an OOM. Emits only (id_a, id_b) with
+    id_a < id_b and fast cosine >= threshold_slack; the exact-decimal
+    re-score downstream decides final values. Requires integer-castable ids.
+
+    Returns a (pdf) -> pdf function for schema "id_a long, id_b long".
+    """
+
+    def score(pdf):
+        m = len(pdf)
+        empty = np.empty(0, dtype=np.int64)
+        if m < 2:
+            return pd.DataFrame({"id_a": empty, "id_b": empty})
+        ids = pdf["__id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        out_a, out_b = [], []
+        for s in range(0, m, chunk):
+            e = min(s + chunk, m)
+            C = U[s:e] @ U.T                       # (slab, m)
+            r, c = np.nonzero(C >= threshold_slack)
+            keep = (r + s) < c                     # strict upper triangle
+            out_a.append(ids[r[keep] + s])
+            out_b.append(ids[c[keep]])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a) if out_a else empty,
+             "id_b": np.concatenate(out_b) if out_b else empty}
+        )
+
+    return score
+
+
 def make_ivf_probe_udf(cent_mat, cent_ids, nprobe: int):
     """Top-``nprobe`` IVF cells per vector by cosine, one matmul per batch.
 

@@ -222,3 +222,26 @@ def with_shingles(df, text_col: str, n: int = 4, out_col: str = "__sh"):
             )
         ),
     ).drop(tok_col, raw_col)
+
+
+def with_seq_ngrams(df, text_col: str, n: int = 2, out_col: str = "__grams"):
+    """DataFrame variant of :func:`seq_ngrams` (same arrays, same order):
+    sequential NON-distinct word n-grams via JVM-native
+    ``pyspark.ml.feature.NGram``. The higher-order-function form of
+    :func:`seq_ngrams` runs interpreted and re-evaluates per referencing
+    expression; this computes the gram array once per row in the JVM, and
+    because the aliased column is referenced (not inlined) downstream,
+    Catalyst keeps it single-evaluation. Appends ``out_col``
+    (array<string>) to ``df``."""
+    from pyspark.ml.feature import NGram
+
+    tok_col = f"{out_col}_toks"
+    raw_col = f"{out_col}_raw"
+    toked = df.withColumn(tok_col, F.split(F.trim(F.col(text_col)), r"\s+"))
+    grams = NGram(n=n, inputCol=tok_col, outputCol=raw_col).transform(toked)
+    return grams.withColumn(
+        out_col,
+        F.when(F.size(tok_col) >= n, F.col(raw_col)).otherwise(
+            F.array(F.concat_ws(" ", tok_col))
+        ),
+    ).drop(tok_col, raw_col)

@@ -391,17 +391,29 @@ def embedding_dup_pairs(
       p_bit = 1 - arccos(c)/π — choose nbits/tables for the threshold.
     With neither set, the join is all-pairs (only sane for small frames).
 
-    Scoring is two-phase: (1) per-vector norms are computed ONCE (O(n)) and
-    candidates are scored with fast double cosine, filtered at threshold −
-    1e-6 slack; (2) survivors — a tiny fraction — are re-scored with
-    exact-decimal cosine, which decides the output value and final filter,
-    so results stay bit-reproducible against a SQL oracle."""
-    from flatbread_spark.functions.vectors import dot_fast
+    Scoring is two-phase: (1) candidate groups (LSH bucket or block) are
+    scored in-group with one chunked numpy matmul per group via
+    ``applyInPandas`` — an interpreted higher-order-function dot per
+    candidate PAIR was the measured bottleneck (O(pairs x dim) interpreted
+    ops; ~4M candidate pairs at the worst-case operating point) — emitting
+    only pairs >= threshold − 1e-6 slack; (2) survivors — a tiny fraction —
+    are re-scored with exact-decimal cosine, which decides the output value
+    and final filter, so results stay bit-reproducible against a SQL oracle.
 
+    Shuffle shape: grouping moves each vector ``lsh_tables`` times (linear,
+    predictable inflation) instead of moving O(candidate-pair) rows through
+    a band self-join — the right trade unless vectors are huge relative to
+    collision rates. In-group compute is quadratic in group size (inherent
+    to LSH verification) but memory-bounded by the kernel's chunked slabs;
+    a skew-hot bucket degrades to more slabs, never an executor OOM."""
+    from flatbread_spark.functions._arrow_kernels import make_pair_score_fn
+
+    id_type = df.schema[id_col].dataType.simpleString()
     cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
     if block_col:
         cols.append(F.col(block_col).alias("__blk"))
-    base = df.select(*cols).withColumn("__norm", F.sqrt(dot_fast(F.col("__v"), F.col("__v"))))
+    base = df.select(*cols)
+    score_fn = make_pair_score_fn(threshold - 1e-6)
 
     if lsh_nbits is not None:
         import numpy as np
@@ -413,64 +425,53 @@ def embedding_dup_pairs(
             [p for t in range(lsh_tables) for p in _hyperplanes(dim, lsh_nbits, seed + 1000 * t)],
             dtype=np.float64,
         )
-        # SLIM bucket join: only (id[, blk], table, bucket) rows flow through
-        # the self-join — the candidate explosion never carries vectors.
-        # Pairs are deduped (a pair can collide in up to `tables` tables)
-        # BEFORE vectors are re-attached by id (small-side broadcast locally,
-        # AQE-chosen at scale), so vector bytes move O(unique candidates).
-        slim = base.select(
-            "__id", *(["__blk"] if block_col else []),
+        bucketed = base.select(
+            "__id", "__v", *(["__blk"] if block_col else []),
             F.posexplode(
                 make_bucket_udf(planes_mat, lsh_tables, lsh_nbits)(F.col("__v"))
             ).alias("__t", "__b"),
         )
-        a, b = slim.alias("a"), slim.alias("b")
-        cond = (
-            (F.col("a.__t") == F.col("b.__t"))
-            & (F.col("a.__b") == F.col("b.__b"))
-            & (F.col("a.__id") < F.col("b.__id"))
-        )
-        if block_col:
-            cond &= F.col("a.__blk") == F.col("b.__blk")
+        group_cols = (["__blk"] if block_col else []) + ["__t", "__b"]
         pairs = (
-            a.join(b, cond)
-            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            bucketed.groupBy(*group_cols)
+            .applyInPandas(score_fn, "id_a long, id_b long")
             .dropDuplicates(["id_a", "id_b"])
         )
-        vecs = base.select("__id", "__v", "__norm")
-        cands = (
-            pairs.join(
-                vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
-                            F.col("__norm").alias("__na")), "id_a")
-            .join(
-                vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
-                            F.col("__norm").alias("__nb")), "id_b")
-            .filter(
-                dot_fast(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
-                >= threshold - 1e-6
-            )
-            .select("id_a", "id_b", "__va", "__vb")
+    elif block_col:
+        pairs = (
+            base.groupBy("__blk")
+            .applyInPandas(score_fn, "id_a long, id_b long")
+            .dropDuplicates(["id_a", "id_b"])
         )
     else:
-        a, b = base.alias("a"), base.alias("b")
-        cond = F.col("a.__id") < F.col("b.__id")
-        if block_col:
-            cond &= F.col("a.__blk") == F.col("b.__blk")
+        # no candidate-generation key: genuine all-pairs join (only sane for
+        # small frames — documented above)
+        from flatbread_spark.functions.vectors import dot_fast
+
+        base_n = base.withColumn("__norm", F.sqrt(dot_fast(F.col("__v"), F.col("__v"))))
+        a, b = base_n.alias("a"), base_n.alias("b")
         fast_cos = dot_fast(F.col("a.__v"), F.col("b.__v")) / (
             F.col("a.__norm") * F.col("b.__norm")
         )
-        cands = (
-            a.join(b, cond)
+        pairs = (
+            a.join(b, F.col("a.__id") < F.col("b.__id"))
             .filter(fast_cos >= threshold - 1e-6)
-            .select(
-                F.col("a.__id").alias("id_a"),
-                F.col("b.__id").alias("id_b"),
-                F.col("a.__v").alias("__va"),
-                F.col("b.__v").alias("__vb"),
-            )
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         )
+
+    vecs = base.select("__id", "__v")
+    cands = (
+        pairs.join(
+            vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
+        .join(
+            vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
+    )
     cos = cosine_exact(F.col("__va"), F.col("__vb"))
     return (
-        cands.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        cands.select(
+            F.col("id_a").cast(id_type).alias("id_a"),
+            F.col("id_b").cast(id_type).alias("id_b"),
+            F.round(cos, 6).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
