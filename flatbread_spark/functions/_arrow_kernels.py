@@ -56,6 +56,66 @@ def make_bucket_udf(planes_mat, tables: int, nbits: int):
     return all_buckets
 
 
+def make_simhash_udf(nbits: int):
+    """Per-document SimHash signature from an array of shingle hashes.
+
+    SimHash is a per-row function of the document's own shingles — it needs
+    NO shuffle at all; the explode→groupBy(60 bit-vote sums) formulation
+    existed only because pure-JVM per-bit votes require aggregation, and its
+    60-aggregate plan paid seconds of codegen compile per query. Here each
+    Arrow batch unpacks the hash bits in numpy (two's-complement uint64 view,
+    identical to Spark's shiftrightunsigned) and votes vectorized.
+
+    Returns a pandas UDF: array<bigint> -> bigint (bit i set iff vote > 0,
+    matching ``_votes_to_sig`` exactly, including the nbits=64 sign bit).
+    """
+    shifts = np.arange(nbits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def simhash(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes.to_numpy()):
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if len(h) == 0:
+                continue
+            bits = (h[:, None] >> shifts) & np.uint64(1)      # (n, nbits)
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
+            sig = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[i] = sig.astype(np.int64)                     # wraps bit 63
+        return pd.Series(out)
+
+    return simhash
+
+
+def make_minhash_udf(coeffs, prime: int):
+    """Per-document MinHash signature from an array of shingle hashes.
+
+    h_i(x) = (a_i * (|x| mod p) + b_i) mod p, minimum over the shingle set —
+    the same universal-hash math as the SQL oracle, vectorized as one
+    (n_shingles, num_hashes) broadcast per document. Per-row like SimHash:
+    no explode, no shuffle, no num_hashes-aggregate plan. Products stay
+    under 2^62 (h, a, b < 2^31), inside int64.
+
+    Returns a pandas UDF: array<bigint> -> array<bigint>.
+    """
+    A = np.asarray([a for a, _ in coeffs], dtype=np.int64)
+    B = np.asarray([b for _, b in coeffs], dtype=np.int64)
+    P = np.int64(prime)
+
+    @pandas_udf("array<bigint>")
+    def minhash(hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in hashes.to_numpy():
+            h = np.abs(np.asarray(arr, dtype=np.int64)) % P
+            if len(h) == 0:
+                out.append(B % P)
+                continue
+            out.append(((h[:, None] * A + B) % P).min(axis=0))
+        return pd.Series(out)
+
+    return minhash
+
+
 def make_pair_score_fn(threshold_slack, chunk: int = 2048):
     """In-group all-pairs cosine candidate scoring for ``applyInPandas``.
 

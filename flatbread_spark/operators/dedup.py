@@ -193,21 +193,15 @@ def minhash_lsh_pairs(
         # hashed shingle arrays — persist so shingling/hashing runs once
         .persist()
     )
-    # signatures via explode → groupBy(id) with `num_hashes` plain MIN
-    # aggregates: everything stays in whole-stage codegen with map-side
-    # partial aggregation, and the shuffle carries (id, num_hashes×bigint)
-    # regardless of document size. (A higher-order-function formulation —
-    # num_hashes transform/array_min passes per row — runs interpreted and
-    # was the operator's bottleneck.)
-    hashed = base.select(
-        "__id", F.explode("__sh").alias("__s")
-    ).select("__id", (F.abs(F.col("__s")) % _P).alias("__h"))
-    sig_df = hashed.groupBy("__id").agg(
-        *[
-            F.min((F.col("__h") * a + b) % _P).alias(f"__m{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
+    # per-document Arrow kernel: the signature is a function of the doc's own
+    # shingles, so it needs no explode/shuffle/num_hashes-aggregate plan at
+    # all — one (n_shingles × num_hashes) numpy broadcast per doc. Persisted:
+    # the banded self-join reads signatures on both sides.
+    from flatbread_spark.functions._arrow_kernels import make_minhash_udf
+
+    sig_df = base.select(
+        "__id", make_minhash_udf(coeffs, _P)(F.col("__sh")).alias("__sig")
+    ).persist()
 
     # band rows carry ONLY (id, band, key): exploding the (possibly large)
     # shingle array `bands`-fold and shuffling it through the self-join would
@@ -219,7 +213,10 @@ def minhash_lsh_pairs(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.concat_ws(",", *[F.col(f"__m{i * r + j}").cast("string") for j in range(r)]).alias("key"),
+                    F.concat_ws(",", *[
+                        F.element_at("__sig", i * r + j + 1).cast("string")
+                        for j in range(r)
+                    ]).alias("key"),
                 )
                 for i in range(bands)
             ])
@@ -295,29 +292,25 @@ def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 2,
     portable_hash: bool = False,
 ) -> DataFrame:
-    """(id, simhash) via explode → hash → groupBy(id) with per-bit vote sums.
-
-    The scale path: shingle hashing and the ±1 votes stay in whole-stage
-    codegen, partial aggregation combines map-side, and the only shuffle is
-    the (id, nbits×int) vote rows — independent of document size.
-    ``portable_hash=True`` votes over the 60-bit md5 hash (ANSI-SQL
+    """(id, simhash) — a per-document Arrow kernel over the shingle-hash
+    array: SimHash is a function of the doc's OWN shingles, so it needs no
+    shuffle at all. Shingles are hashed in one JVM pass; bit unpacking and
+    the ±1 votes run vectorized per Arrow batch (``make_simhash_udf``). The
+    previous explode → groupBy formulation with ``nbits`` vote-sum
+    aggregates shuffled (id, hash) rows and paid seconds of whole-stage
+    codegen compile for its 60-aggregate plan — measured slower at every
+    scale. ``portable_hash=True`` votes over the 60-bit md5 hash (ANSI-SQL
     replayable) instead of the 64-bit xxhash64."""
+    from flatbread_spark.functions._arrow_kernels import make_simhash_udf
+
     nbits = 60 if portable_hash else 64
     hash_one = portable_hash60 if portable_hash else F.xxhash64
-    hashed = (
-        with_shingles(df.select(F.col(id_col).alias("__id"), text_col), text_col, n)
-        .select("__id", F.explode("__sh").alias("__s"))
-        .select("__id", hash_one(F.col("__s")).alias("__h"))
+    hashed = with_shingles(
+        df.select(F.col(id_col).alias("__id"), text_col), text_col, n
+    ).select("__id", F.transform("__sh", lambda s: hash_one(s)).alias("__hs"))
+    return hashed.select(
+        "__id", make_simhash_udf(nbits)(F.col("__hs")).alias("__sig")
     )
-    votes = [
-        F.sum(
-            (F.shiftrightunsigned("__h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
-        ).alias(f"__v{i}")
-        for i in range(nbits)
-    ]
-    agg = hashed.groupBy("__id").agg(*votes)
-    votes_arr = F.array(*[F.col(f"__v{i}") for i in range(nbits)])
-    return agg.select("__id", _votes_to_sig(votes_arr, nbits).alias("__sig"))
 
 
 def simhash_pairs(
@@ -338,7 +331,10 @@ def simhash_pairs(
     (what the SQL oracle exploits). Returns (id_a, id_b, hamming)."""
     nbits = 60 if portable_hash else 64
     w = nbits // bands
-    sigd = simhash_signatures(df, id_col, text_col, n, portable_hash=portable_hash)
+    # persist: the banded self-join reads the signature frame on BOTH sides;
+    # without it the full shingle→hash→60-vote aggregation runs twice
+    # (measured ~2× the operator's wall time at sf0.1)
+    sigd = simhash_signatures(df, id_col, text_col, n, portable_hash=portable_hash).persist()
     chunks = sigd.select(
         "__id", "__sig",
         F.explode(

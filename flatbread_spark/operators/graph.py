@@ -28,47 +28,108 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Assign every node the minimum node id reachable through ``edges``.
 
     Returns (``id_col``, cluster_id). Nodes absent from every edge keep
     themselves as cluster_id (singleton clusters). Deterministic: the label
     is a min over a set, independent of partitioning or iteration order.
-    """
-    labels = nodes.select(
-        F.col(id_col).alias("__n"), F.col(id_col).alias("__lbl")
-    )
+
+    Adaptive execution: near-dup pair graphs are tiny relative to the corpus
+    (|edges| ~ duplicates found, NOT corpus size), so when the distinct edge
+    count is within ``driver_max_edges`` the component labels are computed
+    with a driver-side union-find over the EDGE LIST ONLY (bounded collect:
+    cap × 16 bytes ≈ 32 MB) and joined back to the node frame — the node
+    frame itself never leaves the cluster. Above the cap it falls back to
+    Pregel-style iterative min-label propagation, one shuffle per round,
+    converging in O(component diameter) rounds with a monotone-sum
+    convergence probe (labels only ever decrease, so the label sum is
+    strictly decreasing until fixpoint — one aggregate per round, no
+    old-vs-new join)."""
     und = (
         edges.select(F.col(src_col).alias("__u"), F.col(dst_col).alias("__v"))
-        .union(edges.select(F.col(dst_col).alias("__u"), F.col(src_col).alias("__v")))
         .distinct()
         .persist()
     )
-    labels = labels.persist()
     try:
-        for _ in range(max_iter):
-            nbr = (
-                und.join(labels, und["__v"] == labels["__n"])
-                .select(F.col("__u").alias("__n"), "__lbl")
+        n_edges = und.count()
+        if n_edges <= driver_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for u, v in und.collect():
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:  # min-id root so label == min member id
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            mapping = [(x, find(x)) for x in parent]
+            if not mapping:
+                return nodes.select(
+                    F.col(id_col), F.col(id_col).alias("cluster_id")
+                )
+            spark = nodes.sparkSession
+            id_field = nodes.select(F.col(id_col).alias("__n")).schema.fields[0]
+            from pyspark.sql.types import StructField, StructType
+
+            lbl_df = spark.createDataFrame(
+                mapping,
+                StructType([
+                    StructField("__n", id_field.dataType),
+                    StructField("__lbl", id_field.dataType),
+                ]),
             )
-            new_labels = (
-                labels.unionByName(nbr)
-                .groupBy("__n")
-                .agg(F.min("__lbl").alias("__lbl"))
-                .persist()
+            return (
+                nodes.select(F.col(id_col).alias("__n"))
+                .join(F.broadcast(lbl_df), "__n", "left")
+                .select(
+                    F.col("__n").alias(id_col),
+                    F.coalesce("__lbl", F.col("__n")).alias("cluster_id"),
+                )
             )
-            changed = (
-                new_labels.alias("new")
-                .join(labels.alias("old"), "__n")
-                .filter(F.col("new.__lbl") != F.col("old.__lbl"))
-                .limit(1)
-                .count()
+
+        sym = und.union(und.select(F.col("__v"), F.col("__u"))).persist()
+        labels = nodes.select(
+            F.col(id_col).alias("__n"), F.col(id_col).alias("__lbl")
+        ).persist()
+        prev_sum = None
+        try:
+            for _ in range(max_iter):
+                nbr = (
+                    sym.join(labels, sym["__v"] == labels["__n"])
+                    .select(F.col("__u").alias("__n"), "__lbl")
+                )
+                new_labels = (
+                    labels.unionByName(nbr)
+                    .groupBy("__n")
+                    .agg(F.min("__lbl").alias("__lbl"))
+                    .persist()
+                )
+                # decimal accumulator: a bigint sum over billions of bigint
+                # labels could overflow silently and fake a fixpoint
+                cur_sum = new_labels.agg(
+                    F.sum(F.col("__lbl").cast("decimal(38,0)"))
+                ).collect()[0][0]
+                labels.unpersist()
+                labels = new_labels
+                if cur_sum == prev_sum:
+                    break
+                prev_sum = cur_sum
+            return labels.select(
+                F.col("__n").alias(id_col), F.col("__lbl").alias("cluster_id")
             )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(F.col("__n").alias(id_col), F.col("__lbl").alias("cluster_id"))
+        finally:
+            sym.unpersist()
     finally:
         und.unpersist()
 
