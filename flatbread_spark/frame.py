@@ -191,14 +191,19 @@ class FlatFrame:
         order_by: Sequence[str | Column] | None = None,
         col_labels: Sequence[tuple] | None = None,
         col_names: Sequence[Any] | None = None,
+        pos_strategy: str = "window",
     ) -> "FlatFrame":
         """Attach FlatFrame semantics to a Spark DataFrame.
 
         Index columns are cast to string (margin labels like 'Totals' must union
         with them). ``__pos__`` is assigned by ``row_number`` over ``order_by``
-        (default: the index columns). The unpartitioned window is acceptable
-        here because FlatFrames are presentation-shaped (≈ number of groups of
-        the originating pivot), never raw fact tables.
+        (default: the index columns). The default unpartitioned window is
+        acceptable here because FlatFrames are presentation-shaped (≈ number
+        of groups of the originating pivot), never raw fact tables; for a
+        high-cardinality lift pass ``pos_strategy="ranged"`` to assign
+        positions with the range-partitioned two-phase rank
+        (:func:`flatbread_spark.operators.ranking.scalable_pos` — identical
+        output, no single-task window stage).
         """
         index = list(index)
         if value_cols is None:
@@ -210,11 +215,16 @@ class FlatFrame:
             *([POS] if POS in df.columns else []),
         )
         if POS not in df.columns:
-            from pyspark.sql import Window
-
             ob = list(order_by) if order_by is not None else [F.col(c) for c in index]
-            w = Window.orderBy(*ob)
-            df = df.withColumn(POS, F.row_number().over(w).cast("double"))
+            if pos_strategy == "ranged":
+                from flatbread_spark.operators.ranking import scalable_pos
+
+                df = scalable_pos(df, ob, out_col=POS)
+            else:
+                from pyspark.sql import Window
+
+                w = Window.orderBy(*ob)
+                df = df.withColumn(POS, F.row_number().over(w).cast("double"))
         if col_labels is None:
             col_labels = [(c,) for c in value_cols]
         cols = [ColInfo(tuple(lbl), name) for lbl, name in zip(col_labels, value_cols)]

@@ -341,3 +341,42 @@ def test_multimodal_feature_schema_and_determinism(spark, documents):
     # deterministic: re-running yields identical features
     again = {r.asset_id: r.feat for r in extract_features(assets).collect()}
     assert all(again[r.asset_id] == r.feat for r in rows)
+
+
+def test_scalable_pos_matches_window(spark, lineitem):
+    """Range-partitioned two-phase pos == unpartitioned row_number pos
+    (VERDICT r1 watch item: no single-task window stage on the scale path)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flatbread_spark.operators.ranking import scalable_pos
+
+    base = (
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    order = [F.col("l_orderkey"), F.col("l_linenumber")]
+    ranged = scalable_pos(base, order, out_col="__pos__", num_partitions=7)
+    window = base.withColumn(
+        "__pos__",
+        F.row_number().over(Window.orderBy(*order)).cast("double"),
+    )
+    diff = ranged.exceptAll(window).count() + window.exceptAll(ranged).count()
+    assert diff == 0
+    # plan fact: the ranged path's window is partitioned (no single task)
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_from_df_ranged_strategy(spark, lineitem):
+    from flatbread_spark.frame import FlatFrame
+
+    agg = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    ff_w = FlatFrame.from_df(agg, index=["l_returnflag"])
+    ff_r = FlatFrame.from_df(agg, index=["l_returnflag"], pos_strategy="ranged")
+    rows_w = sorted(tuple(r) for r in ff_w.df.collect())
+    rows_r = sorted(tuple(r) for r in ff_r.df.collect())
+    assert rows_w == rows_r
