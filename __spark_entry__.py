@@ -420,6 +420,16 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher/MassiveText quality-filter flags per document — the standard
+    pre-training corpus gate (word-count bounds, mean word length,
+    symbol/bullet/ellipsis ratios, alpha-word floor, stopword presence)."""
+    from flatbread_spark.functions.text import with_gopher_flags
+
+    docs = _load(spark, sf_dir, "documents")
+    return with_gopher_flags(docs.select("doc_id", "text"), "text").drop("text")
+
+
 # ------------------------------------------------------------------- pipeline
 def q_dedup_exact(spark, sf_dir):
     from flatbread_spark.operators.dedup import dedup_exact
@@ -774,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "differences": q_differences,
         "differences_rows": q_differences_rows,
         "quality_scores": q_quality_scores,
+        "gopher_filter": q_gopher_filter,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1147,6 +1158,38 @@ FROM s
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(text)
+""",
+        "gopher_filter": r"""
+WITH b AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(text), '\s+') AS t,
+    string_split(text, chr(10)) AS lines,
+    length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS n_sym
+  FROM documents),
+m AS (
+  SELECT doc_id, n_sym,
+    len(t) AS nw,
+    len(lines) AS nl,
+    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/len(t) AS mwl,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\-\*]'))) AS bullet,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS ellipsis,
+    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_intersect(list_transform(t, x -> lower(x)),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM b)
+SELECT doc_id,
+  (nw >= 50 AND nw <= 100000) AS gq_words,
+  (mwl >= 3.0 AND mwl <= 10.0) AS gq_word_len,
+  (CAST(n_sym AS DOUBLE)/nw <= 0.1) AS gq_symbols,
+  (CAST(bullet AS DOUBLE)/nl <= 0.9) AS gq_bullets,
+  (CAST(ellipsis AS DOUBLE)/nl <= 0.3) AS gq_ellipsis,
+  (CAST(alpha AS DOUBLE)/nw >= 0.8) AS gq_alpha,
+  (stop_hits >= 2) AS gq_stopwords,
+  ((nw >= 50 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+   AND (CAST(n_sym AS DOUBLE)/nw <= 0.1) AND (CAST(bullet AS DOUBLE)/nl <= 0.9)
+   AND (CAST(ellipsis AS DOUBLE)/nl <= 0.3) AND (CAST(alpha AS DOUBLE)/nw >= 0.8)
+   AND (stop_hits >= 2)) AS gq_pass
+FROM m
 """,
         "text_stats": r"""
 SELECT doc_id,

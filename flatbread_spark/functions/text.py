@@ -109,6 +109,88 @@ def lang_id(text: Column) -> Column:
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def with_gopher_flags(
+    df,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+):
+    """Gopher-style document quality filter flags (Rae et al. 2021, the
+    MassiveText filtering rules) — the standard pre-training corpus gate.
+
+    Appends per-rule booleans and an overall ``gq_pass``:
+
+    - word count within [min_words, max_words]
+    - mean word length within [min, max]
+    - symbol-to-word ratio (# and … characters per word) below cap
+    - bullet-started lines / ellipsis-ended lines below caps
+    - fraction of words containing an alphabetic character above floor
+    - at least ``min_stop_hits`` DISTINCT common stopwords present
+
+    Pure JVM expressions, token/line arrays computed once per row (aliased
+    columns, not re-inlined — the single-evaluation discipline of
+    ``with_seq_ngrams``); every rule is ANSI-SQL-replayable for the oracle.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    lines = F.split(F.col(text_col), r"\n")
+    base = df.withColumn("__toks", toks).withColumn("__lines", lines)
+    n_words = F.size("__toks")
+    n_lines = F.size("__lines")
+    mean_len = F.aggregate(
+        "__toks", F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    ).cast("double") / n_words
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"[#…]", ""))
+    )
+    bullet = F.size(
+        F.filter("__lines", lambda l: F.trim(l).rlike(r"^[•\-\*]"))
+    )
+    ellipsis = F.size(
+        F.filter("__lines", lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha = F.size(F.filter("__toks", lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform("__toks", lambda t: F.lower(t)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = base.select(
+        "*",
+        ((n_words >= min_words) & (n_words <= max_words)).alias("gq_words"),
+        ((mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)).alias(
+            "gq_word_len"
+        ),
+        (n_symbols.cast("double") / n_words <= max_symbol_word_ratio).alias(
+            "gq_symbols"
+        ),
+        (bullet.cast("double") / n_lines <= max_bullet_ratio).alias("gq_bullets"),
+        (ellipsis.cast("double") / n_lines <= max_ellipsis_ratio).alias(
+            "gq_ellipsis"
+        ),
+        (alpha.cast("double") / n_words >= min_alpha_ratio).alias("gq_alpha"),
+        (stop_hits >= min_stop_hits).alias("gq_stopwords"),
+    )
+    rule_cols = [
+        "gq_words", "gq_word_len", "gq_symbols", "gq_bullets",
+        "gq_ellipsis", "gq_alpha", "gq_stopwords",
+    ]
+    return flags.withColumn(
+        "gq_pass", F.expr(" AND ".join(rule_cols))
+    ).drop("__toks", "__lines")
+
+
 def winnowing_fingerprints(
     df, id_col: str, text_col: str, n: int = 4, w: int = 4,
     portable_hash: bool = False,

@@ -60,3 +60,35 @@ def test_bucketed_agg_has_no_exchange(spark, bucketed_tables):
     agged = spark.table(lt).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
     plan = agged._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_read_write_roundtrip_formats(spark, orders, tmp_path):
+    """write_table/read_table round-trip across formats; partitioned parquet
+    write produces hive-style dirs that prune on the partition key."""
+    from flatbread_spark.sources.tables import read_table, write_table
+
+    sample = orders.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).limit(200)
+    expected = sorted(
+        (r.o_orderkey, r.o_orderpriority, round(r.o_totalprice, 2))
+        for r in sample.collect()
+    )
+
+    for fmt in ("parquet", "orc", "csv", "json"):
+        path = str(tmp_path / f"rt_{fmt}")
+        write_table(sample, path, fmt=fmt, mode="overwrite")
+        back = read_table(spark, path, fmt=fmt, schema=sample.schema)
+        got = sorted(
+            (r.o_orderkey, r.o_orderpriority, round(r.o_totalprice, 2))
+            for r in back.collect()
+        )
+        assert got == expected, fmt
+
+    # partitioned write: directory per key, scan prunes to one partition
+    ppath = str(tmp_path / "rt_part")
+    write_table(sample, ppath, mode="overwrite", partition_by="o_orderpriority")
+    one = read_table(spark, ppath).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == sum(1 for _, p, _ in expected if p == "1-URGENT")
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan

@@ -380,3 +380,20 @@ def test_from_df_ranged_strategy(spark, lineitem):
     rows_w = sorted(tuple(r) for r in ff_w.df.collect())
     rows_r = sorted(tuple(r) for r in ff_r.df.collect())
     assert rows_w == rows_r
+
+
+def test_gopher_flags_rules(spark):
+    from flatbread_spark.functions.text import with_gopher_flags
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with great energy and"] * 6
+    )  # 72 words, all alpha, stopwords present
+    bullets = "\n".join(["• item one of the list"] * 10)
+    symbols = " ".join(["####word"] * 60)
+    rows = [(1, good), (2, bullets), (3, symbols)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in with_gopher_flags(df, "text").collect()}
+
+    assert got[1].gq_pass
+    assert not got[2].gq_bullets and not got[2].gq_pass
+    assert not got[3].gq_symbols and not got[3].gq_pass

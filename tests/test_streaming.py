@@ -74,3 +74,35 @@ def test_stateful_stream_sessionize_matches_batch(spark, events, tmp_path):
         for r in pdf.groupby("user_id").tail(1).itertuples()
     }
     assert got == batch
+
+
+def test_stream_dedup_exact_matches_batch(spark, documents, tmp_path):
+    """Watermarked streaming dedup keeps exactly one row per distinct
+    content (single availableNow batch — no late arrivals by construction)."""
+    from flatbread_spark.streaming.dedup import stream_dedup_exact
+
+    n_distinct = documents.select(F.md5("text")).distinct().count()
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    os.symlink(
+        os.path.join(SF_DIR, "documents.parquet"), stream_dir / "documents.parquet"
+    )
+    sdf = (
+        spark.readStream.schema(documents.schema)
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+    )
+    deduped = stream_dedup_exact(sdf, "text", "ts", delay="10 minutes")
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT fingerprint FROM stream_dedup_test").collect()
+    assert len(got) == n_distinct
+    assert len({r.fingerprint for r in got}) == n_distinct
