@@ -408,16 +408,10 @@ def q_differences_rows(spark, sf_dir):
 
 
 def q_quality_scores(spark, sf_dir):
-    from flatbread_spark.functions import text as T
+    from flatbread_spark.functions.text import with_quality
 
     docs = _load(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        T.bpe_ish_token_count(t).alias("n_bpe_tokens"),
-        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
-        T.quality_score(t).alias("quality"),
-    )
+    return with_quality(docs.select("doc_id", "text"), "text").drop("text")
 
 
 def q_gopher_filter(spark, sf_dir):
@@ -630,6 +624,32 @@ def q_knn_bruteforce(spark, sf_dir):
     return knn_bruteforce(emb, queries, k=5)
 
 
+def q_asof_attribution(spark, sf_dir):
+    """As-of join: each purchase attributed to the user's most recent
+    prior-or-simultaneous view — the canonical event-attribution query.
+    Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from flatbread_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    out = asof_join(purchases, views, on=["user_id"], left_ts="ts", right_ts="view_ts")
+    # nanos → micros for the oracle: DuckDB TIMESTAMP carries microsecond
+    # precision, Spark reads the parquet's raw nanos (nanosAsLong)
+    return out.select(
+        "user_id", "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "value", "view_id",
+        F.expr("view_ts DIV 1000").alias("view_ts_us"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     from flatbread_spark.streaming.windows import hourly_rollup
 
@@ -798,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "knn_bruteforce": q_knn_bruteforce,
+        "asof_attribution": q_asof_attribution,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "minhash_pairs": q_minhash_pairs,
@@ -1414,6 +1435,13 @@ SELECT doc_id AS asset_id,
        CAST(CAST('0x' || substr(sha256(text),1,4) AS INTEGER) % 4096 AS INTEGER) AS width,
        CAST(CAST('0x' || substr(sha256(text),5,4) AS INTEGER) % 4096 AS INTEGER) AS height
 FROM documents
+""",
+        "asof_attribution": """
+SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us, l.value,
+       r.event_id AS view_id, epoch_us(r.ts) AS view_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
         "events_hourly": """
 SELECT CAST(floor(epoch_ns(ts)/3600000000000)*3600 AS BIGINT) AS bucket_start,

@@ -109,6 +109,40 @@ def lang_id(text: Column) -> Column:
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
+def with_quality(df, text_col: str, out_cols=("n_bpe_tokens", "stopword_ratio", "quality")):
+    """Single-pass quality columns: the expression forms (:func:`quality_score`
+    etc.) re-tokenize per referencing expression when inlined into one
+    projection; here the lowercase and original token arrays are aliased
+    columns computed once per row, and every ratio derives from them.
+    Identical math/rounding to the expression forms (same oracle)."""
+    t = F.col(text_col)
+    base = (
+        df.withColumn("__lt", F.split(F.trim(F.lower(t)), r"\s+"))
+        .withColumn("__tt", F.split(F.trim(t), r"\s+"))
+    )
+    n_l = F.size("__lt")
+    hits = F.size(F.filter("__lt", lambda x: x.isin(STOPWORDS_EN)))
+    sw = F.when(n_l > 0, hits.cast("double") / n_l.cast("double")).otherwise(F.lit(0.0))
+    n_t = F.size("__tt")
+    total_len = F.aggregate("__tt", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+    mtl = F.when(n_t > 0, total_len.cast("double") / n_t).otherwise(F.lit(0.0))
+    pr = punct_ratio(t)
+    len_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    quality = F.round(
+        F.least(sw * 4.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(pr * 5.0, F.lit(1.0))) * 0.3
+        + len_ok * 0.3,
+        6,
+    )
+    bpe, swc, qc = out_cols
+    return base.select(
+        *df.columns,
+        bpe_ish_token_count(t).alias(bpe),
+        F.round(sw, 6).alias(swc),
+        quality.alias(qc),
+    )
+
+
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

@@ -1,0 +1,120 @@
+"""Distributed as-of (nearest-event) join.
+
+Spark has no ASOF JOIN operator (DuckDB/kdb/pandas ``merge_asof`` do); the
+naive emulation — an inequality range join + per-left-row argmax — explodes
+to O(|left| x matching-window) rows before pruning. The scale-correct
+composition is the tagged-union trick:
+
+1. union left and right rows into one frame keyed (key, ts, src) where
+   src orders the RIGHT row first at equal timestamps (so ts-equal matches
+   are included, matching DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``),
+2. one window per key ordered by (ts, src): ``last(right_payload,
+   ignorenulls=True)`` carries the most recent right row forward onto every
+   later left row,
+3. keep src=left rows.
+
+Exactly ONE shuffle (the window partitioning on the key), row count
+|left| + |right| throughout — no intermediate blowup, skew bounded by the
+busiest key like any keyed window. ``direction="forward"`` reverses the
+ordering (first right row at-or-after). ``tolerance`` nulls out matches
+older (newer) than the given gap without changing the join shape.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` (backward; ``forward`` = smallest >=) within
+    the same ``on`` key. Unmatched left rows keep nulls (left-join
+    semantics). Returns all left columns + ``right_cols`` (suffixed on name
+    collisions) + ``{right_ts}{suffix}`` (the matched timestamp).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = list(on)
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    right_cols = list(right_cols)
+    left_payload = [c for c in left.columns if c not in keys and c != left_ts]
+
+    def out_name(c: str) -> str:
+        return f"{c}{suffix}" if c in left.columns else c
+
+    rts_out = f"{right_ts}{suffix}" if right_ts in left.columns else right_ts
+    rtype = dict(right.dtypes)
+
+    lpart = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__src"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(rtype[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(rtype[right_ts]).alias("__rts"),
+    )
+    rpart = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__src"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c in left_payload],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__rts"),
+    )
+    both = lpart.unionByName(rpart)
+
+    from pyspark.sql import Window
+
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__src").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__src").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = both.select(
+        *keys, "__ts", "__src",
+        *left_payload,
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in right_cols],
+        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
+    ).filter(F.col("__src") == 1)
+
+    matched_ts = F.col("__mts")
+    if tolerance is not None:
+        gap = (
+            F.col("__ts") - matched_ts
+            if direction == "backward"
+            else matched_ts - F.col("__ts")
+        )
+        in_tol = matched_ts.isNotNull() & (gap <= tolerance)
+        sel_m = [
+            F.when(in_tol, F.col(f"__m_{c}")).alias(out_name(c)) for c in right_cols
+        ]
+        sel_ts = F.when(in_tol, matched_ts).alias(rts_out)
+    else:
+        sel_m = [F.col(f"__m_{c}").alias(out_name(c)) for c in right_cols]
+        sel_ts = matched_ts.alias(rts_out)
+
+    return carried.select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *left_payload,
+        *sel_m,
+        sel_ts,
+    )

@@ -397,3 +397,46 @@ def test_gopher_flags_rules(spark):
     assert got[1].gq_pass
     assert not got[2].gq_bullets and not got[2].gq_pass
     assert not got[3].gq_symbols and not got[3].gq_pass
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    from flatbread_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 1, "L1"), ("a", 5, "L5"), ("a", 10, "L10"), ("b", 3, "LB")],
+        ["k", "ts", "lbl"],
+    )
+    right = spark.createDataFrame(
+        [("a", 2, "R2"), ("a", 5, "R5"), ("a", 9, "R9")],
+        ["k", "rts", "rv"],
+    )
+    back = {
+        (r.k, r.ts): (r.rv, r.rts)
+        for r in asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").collect()
+    }
+    assert back[("a", 1)] == (None, None)          # nothing at-or-before
+    assert back[("a", 5)] == ("R5", 5)             # equal ts matches
+    assert back[("a", 10)] == ("R9", 9)
+    assert back[("b", 3)] == (None, None)          # key with no right rows
+
+    fwd = {
+        (r.k, r.ts): (r.rv, r.rts)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", direction="forward"
+        ).collect()
+    }
+    assert fwd[("a", 1)] == ("R2", 2)
+    assert fwd[("a", 5)] == ("R5", 5)
+    assert fwd[("a", 10)] == (None, None)
+
+    tol = {
+        (r.k, r.ts): (r.rv, r.rts)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            tolerance=F.lit(2),
+        ).collect()
+    }
+    assert tol[("a", 10)] == ("R9", 9)             # gap 1 <= 2
+    assert tol[("a", 5)] == ("R5", 5)              # gap 0
+    # gap 3 from ("a",5)'s R2?  no — R5 matched; check a gap-exceeding case:
+    assert tol[("a", 1)] == (None, None)
