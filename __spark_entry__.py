@@ -414,6 +414,70 @@ def q_quality_scores(spark, sf_dir):
     return with_quality(docs.select("doc_id", "text"), "text").drop("text")
 
 
+def q_pii_redaction(spark, sf_dir):
+    """Email/URL redaction (the minimum PII pass before tokenization). The
+    synthetic corpus carries no PII, so deterministic spans are injected on
+    every 7th doc — the oracle replays the same injection, so the regex
+    match/replace behavior is what's actually verified."""
+    from flatbread_spark.functions.text import with_pii_redaction
+
+    docs = _load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" contact bob@example.com via https://ex.org/x?q=1"),
+            ).otherwise(F.lit("")),
+        ).alias("text_aug"),
+    )
+    out = with_pii_redaction(aug, "text_aug")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_url").cast("bigint").alias("n_url"),
+        F.md5("text_redacted").alias("red_md5"),
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    """Per-language token-budget sampling: fill each stratum's token budget
+    in stable hash order — corpus recipes are written in tokens, not docs."""
+    from flatbread_spark.functions.text import token_count
+    from flatbread_spark.operators.sampling import sample_token_budget
+
+    docs = _load(spark, sf_dir, "documents")
+    out = sample_token_budget(
+        docs.select("doc_id", "lang", "text"),
+        key_col="doc_id", strata_col="lang",
+        tokens_col=token_count(F.col("text")),
+        budgets={"en": 6_000, "de": 2_000}, default_budget=1_500,
+        salt="budget",
+    )
+    return out.select("doc_id", "lang", "cum_tokens")
+
+
+def q_topk_by_group(spark, sf_dir):
+    """Per-group top-k (top 5 tokens per language) — grouped rank, the
+    partitioned-window complement of the global token_topk query."""
+    from flatbread_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "token", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher/MassiveText quality-filter flags per document — the standard
     pre-training corpus gate (word-count bounds, mean word length,
@@ -805,6 +869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "differences_rows": q_differences_rows,
         "quality_scores": q_quality_scores,
         "gopher_filter": q_gopher_filter,
+        "pii_redaction": q_pii_redaction,
+        "token_budget": q_token_budget,
+        "topk_by_group": q_topk_by_group,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1179,6 +1246,44 @@ FROM s
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(text)
+""",
+        "pii_redaction": r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact bob@example.com via https://ex.org/x?q=1'
+                 ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+  md5(regexp_replace(
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        'https?://[^\s]+', '<URL>', 'g')) AS red_md5
+FROM aug
+""",
+        "token_budget": r"""
+WITH t AS (
+  SELECT doc_id, lang,
+    len(regexp_split_to_array(trim(text), '\s+')) AS tok,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'budget'), 1, 15) AS BIGINT)
+      % 1000000 AS bucket
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, tok,
+    SUM(tok) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens
+FROM c
+WHERE cum - tok < CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 2000 ELSE 1500 END
+""",
+        "topk_by_group": r"""
+WITH c AS (SELECT lang, u.token, COUNT(*) AS n
+           FROM documents, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) u(token)
+           GROUP BY 1, 2)
+SELECT lang, token, n, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS INTEGER) AS rank
+FROM c QUALIFY rank <= 5
 """,
         "gopher_filter": r"""
 WITH b AS (

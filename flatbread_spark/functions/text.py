@@ -109,6 +109,34 @@ def lang_id(text: Column) -> Column:
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
+# redaction patterns stay inside the RE2 ∩ java.util.regex common subset so
+# the Spark expression and the ANSI-SQL oracle replace identical spans
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+}
+
+
+def with_pii_redaction(df, text_col: str, out_col: str = "text_redacted"):
+    """Scrub emails/URLs from a text column — the minimum-viable PII pass
+    every training-corpus pipeline runs before tokenization.
+
+    Appends ``out_col`` (spans replaced by ``<EMAIL>``/``<URL>`` sentinels)
+    and ``n_<kind>`` match counts per pattern. Pure JVM regex expressions —
+    no Python in the path, patterns chosen for byte-identical behavior in
+    DuckDB (RE2) for the oracle. Counting uses the pre-redaction text so
+    counts and sentinels always agree."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    red = t
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return df.select("*", *counts, red.alias(out_col))
+
+
 def with_quality(df, text_col: str, out_cols=("n_bpe_tokens", "stopword_ratio", "quality")):
     """Single-pass quality columns: the expression forms (:func:`quality_score`
     etc.) re-tokenize per referencing expression when inlined into one

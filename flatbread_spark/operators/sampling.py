@@ -53,3 +53,44 @@ def sample_stratified(
             F.col(strata_col) == F.lit(value), F.lit(int(rate * _MOD))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def sample_token_budget(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tokens_col: Column | str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Fill a per-stratum TOKEN budget (corpus recipes are written in tokens,
+    not documents): rows are taken in stable hash order within each stratum
+    until the running token sum reaches the stratum's budget; the first
+    document crossing the budget is included (budgets are floors, and a
+    budget smaller than the first doc still yields that doc).
+
+    Deterministic under any partitioning — the order is (hash bucket, key),
+    both pure functions of the row. One shuffle (the per-stratum window);
+    skew is bounded by the largest stratum, the same bound any per-stratum
+    statistic has. Appends ``cum_tokens`` (running sum INCLUDING the row).
+    """
+    from pyspark.sql import Window
+
+    tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    bucket = sample_hash_bucket(F.col(key_col), salt)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(bucket, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = F.lit(default_budget).cast("bigint")
+    for value, b in budgets.items():
+        budget = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(b).cast("bigint")
+        ).otherwise(budget)
+    cum = F.sum(tok.cast("bigint")).over(w)
+    return (
+        df.withColumn("cum_tokens", cum)
+        .filter((F.col("cum_tokens") - tok < budget) & (budget > 0))
+    )

@@ -440,3 +440,41 @@ def test_asof_join_directions_and_tolerance(spark):
     assert tol[("a", 5)] == ("R5", 5)              # gap 0
     # gap 3 from ("a",5)'s R2?  no — R5 matched; check a gap-exceeding case:
     assert tol[("a", 1)] == (None, None)
+
+
+def test_sample_token_budget_first_crossing_included(spark):
+    from flatbread_spark.operators.sampling import sample_hash_bucket, sample_token_budget
+
+    rows = [(i, "en", 10) for i in range(10)] + [(100, "de", 7), (101, "de", 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "tok"])
+    out = sample_token_budget(
+        df, "doc_id", "lang", F.col("tok"),
+        budgets={"en": 25}, default_budget=7, salt="t",
+    ).collect()
+    en = sorted(r.cum_tokens for r in out if r.lang == "en")
+    de = sorted(r.cum_tokens for r in out if r.lang == "de")
+    assert en == [10, 20, 30]      # 3rd doc crosses the 25-token budget, included
+    assert de == [7]               # budget 7: exactly the first doc
+    # determinism: same rows under different partitioning
+    out2 = sample_token_budget(
+        df.repartition(7), "doc_id", "lang", F.col("tok"),
+        budgets={"en": 25}, default_budget=7, salt="t",
+    ).collect()
+    assert sorted((r.doc_id, r.cum_tokens) for r in out) == sorted(
+        (r.doc_id, r.cum_tokens) for r in out2
+    )
+
+
+def test_pii_redaction_spans(spark):
+    from flatbread_spark.functions.text import with_pii_redaction
+
+    df = spark.createDataFrame(
+        [(1, "write to a.b-c@mail.example.org or see https://x.io/p?a=1 now"),
+         (2, "no pii here")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in with_pii_redaction(df, "text").collect()}
+    assert got[1].n_email == 1 and got[1].n_url == 1
+    assert got[1].text_redacted == "write to <EMAIL> or see <URL> now"
+    assert got[2].n_email == 0 and got[2].n_url == 0
+    assert got[2].text_redacted == "no pii here"
