@@ -271,6 +271,138 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bilateral supplier↔customer nation flows
+    by ship year. Nation is a true dim (broadcast twice under different
+    aliases); lineitem⋈orders⋈customer⋈supplier strategies left to AQE."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    supplier = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (market share): NATION_3 suppliers' share of ASIA customers'
+    STANDARD-part volume by order year. Decimal sums, double division."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    supplier = _load(spark, sf_dir, "supplier")
+    part = _load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ncust = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("nc_key"))
+    nsupp = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(ncust), F.col("c_nationkey") == F.col("nc_key"))
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nsupp), F.col("s_nationkey") == F.col("ns_key"))
+    )
+    agg = base.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0).cast(DEC)).alias("__n"),
+        F.sum(vol.cast(DEC)).alias("__d"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("__n").cast("double") / F.col("__d").cast("double"), 6).alias("mkt_share"),
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT join so
+    zero-order customers land in the 0 bucket; double aggregation."""
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): brand parts whose order
+    quantity is below 20% of that part's average. The correlated subquery
+    becomes one per-part aggregate joined back (quantities are small exact
+    ints in double, so the 0.2*avg threshold is engine-independent)."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("__avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0, 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (dormant high-balance customers): above-average-balance
+    customers with no RECENT orders (none since 2000 — every customer in
+    this corpus has some order), counted per nation. The scalar average is a
+    decimal-sum / count double (exact same operands in both engines); the
+    NOT EXISTS is a left-anti join against the date-filtered orders."""
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("2000-01-01"))
+    )
+    avg_row = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("__avg")
+    )
+    return (
+        customer.join(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
 def q_tpch_q6(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     return (
@@ -861,6 +993,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q4": q_tpch_q4,
         "tpch_q14": q_tpch_q14,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "set_ops": q_set_ops,
@@ -1133,6 +1270,74 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
+""",
+        "tpch_q7": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+        "tpch_q8": """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  round(
+    CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                  THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))
+                  ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE),
+    6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+GROUP BY 1
+""",
+        "tpch_q13": """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+        "tpch_q17": """
+WITH pp AS (
+  SELECT l_partkey, SUM(l_quantity)/COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT round(
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0, 6
+) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pp ON lineitem.l_partkey = pp.l_partkey
+WHERE p_brand = 'Brand#12' AND l_quantity < 0.2 * avg_qty
+""",
+        "tpch_q22": """
+WITH a AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)/COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+FROM customer, a
+WHERE c_acctbal > a.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
 """,
         "tpch_q6": """
 SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
