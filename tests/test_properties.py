@@ -122,3 +122,48 @@ def test_drop_totals_roundtrip(spark, data):
     assert back.shape[0] == pdf.shape[0]
     for c in pdf.columns:
         assert back[c].tolist() == pdf[c].tolist()
+
+
+asof_events = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),          # key
+        st.integers(0, 50),                        # ts
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@given(left=asof_events, right=asof_events,
+       direction=st.sampled_from(["backward", "forward"]))
+@settings(**SET)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
+    """asof_join ≡ pandas merge_asof on random keyed event sets (right
+    timestamps deduped per key — merge_asof picks the LAST of equal-ts right
+    rows, an order-dependent choice our set-semantics operator rejects by
+    construction)."""
+    from flatbread_spark.operators.asof import asof_join
+
+    seen = set()
+    rdedup = []
+    for k, ts in right:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rdedup.append((k, ts))
+    ldf = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts", kind="stable")
+    rdf = pd.DataFrame(rdedup, columns=["k", "rts"]).sort_values("rts", kind="stable")
+    rdf["rv"] = rdf["k"] + rdf["rts"].astype(str)
+
+    expected = pd.merge_asof(
+        ldf, rdf.rename(columns={"rts": "ts"}), on="ts", by="k",
+        direction=direction,
+    )
+    got = asof_join(
+        spark.createDataFrame(ldf), spark.createDataFrame(rdf),
+        on=["k"], left_ts="ts", right_ts="rts", direction=direction,
+    ).collect()
+
+    exp = sorted(
+        (r.k, r.ts, None if pd.isna(r.rv) else r.rv) for r in expected.itertuples()
+    )
+    act = sorted((r.k, r.ts, r.rv) for r in got)
+    assert act == exp
