@@ -812,6 +812,23 @@ def q_embedding_dups_lsh(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): embedding near-dup
+    pairs from the sign-LSH-bucketed scorer, transitively closed to one
+    survivor per semantic cluster — the composition a pre-training corpus
+    actually applies. Oracle: recursive-CTE label propagation over the same
+    exact-cosine pair set the (hash-verified) embedding_dups_lsh query
+    emits."""
+    from flatbread_spark.operators.dedup import embedding_dup_pairs
+    from flatbread_spark.operators.graph import dedup_clusters
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, lsh_nbits=6, lsh_tables=24
+    )
+    return dedup_clusters(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
 def q_knn_bruteforce(spark, sf_dir):
     from flatbread_spark.operators.similarity import knn_bruteforce
 
@@ -1021,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "knn_bruteforce": q_knn_bruteforce,
         "asof_attribution": q_asof_attribution,
         "events_hourly": q_events_hourly,
@@ -1657,6 +1675,26 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                JOIN e b ON b.vec_id = cand.y)
 SELECT id_a, id_b, round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos
 FROM p WHERE round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.4
+""",
+        "semantic_dedup": f"""
+WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings),
+cand AS (SELECT * FROM (VALUES {_EMB_LSH_PAIRS}) v(x, y)),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        {_DOT.format(a='a.embedding', b='b.embedding')} AS dot,
+        {_DOT.format(a='a.embedding', b='a.embedding')} AS na,
+        {_DOT.format(a='b.embedding', b='b.embedding')} AS nb
+      FROM e0 a JOIN cand ON a.vec_id = cand.x
+                JOIN e0 b ON b.vec_id = cand.y),
+pairs AS (SELECT id_a, id_b FROM p
+          WHERE round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.4),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+r(n, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.u, r.lbl FROM r JOIN e ON e.v = r.n)
+SELECT n AS vec_id, MIN(lbl) AS cluster_id, (n = MIN(lbl)) AS is_survivor
+FROM r GROUP BY n
 """,
         "knn_bruteforce": f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -106,3 +106,41 @@ def test_stream_dedup_exact_matches_batch(spark, documents, tmp_path):
     got = spark.sql("SELECT fingerprint FROM stream_dedup_test").collect()
     assert len(got) == n_distinct
     assert len({r.fingerprint for r in got}) == n_distinct
+
+
+def test_streaming_ingest_pipeline_composes(spark, documents, tmp_path):
+    """Quality gate + watermarked dedup compose in ONE streaming pipeline
+    (the actual ingest shape): row count equals the batch equivalent."""
+    from flatbread_spark.functions.text import with_gopher_flags
+    from flatbread_spark.streaming.dedup import stream_dedup_exact
+
+    batch_n = (
+        with_gopher_flags(documents, "text")
+        .filter("gq_stopwords")
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+
+    stream_dir = tmp_path / "ingest_stream"
+    stream_dir.mkdir()
+    os.symlink(
+        os.path.join(SF_DIR, "documents.parquet"), stream_dir / "documents.parquet"
+    )
+    sdf = (
+        spark.readStream.schema(documents.schema)
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+    )
+    gated = with_gopher_flags(sdf, "text").filter("gq_stopwords")
+    deduped = stream_dedup_exact(gated, "text", "ts", delay="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ingest_pipeline_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n FROM ingest_pipeline_test").collect()[0].n
+    assert got == batch_n
