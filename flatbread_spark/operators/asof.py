@@ -43,6 +43,12 @@ def asof_join(
     the same ``on`` key. Unmatched left rows keep nulls (left-join
     semantics). Returns all left columns + ``right_cols`` (suffixed on name
     collisions) + ``{right_ts}{suffix}`` (the matched timestamp).
+
+    Determinism contract: (key, right_ts) should uniquely identify a right
+    row. If multiple right rows share a timestamp within a key, which one
+    matches is partition-order-dependent — the same caveat pandas
+    ``merge_asof`` has (it silently picks the last in input order).
+    Pre-aggregate or dedupe the right side to restore a total order.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
