@@ -53,8 +53,11 @@ def connected_components(
         .persist()
     )
     try:
-        n_edges = und.count()
-        if n_edges <= driver_max_edges:
+        # one bounded action decides the path AND fetches the edges: collect
+        # at most cap+1 rows (cap × 16 bytes driver memory); an extra row
+        # means the graph is over the cap and the distributed path runs
+        probe = und.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
             parent: dict = {}
 
             def find(x):
@@ -65,7 +68,7 @@ def connected_components(
                     parent[x], x = root, parent[x]
                 return root
 
-            for u, v in und.collect():
+            for u, v in probe:
                 parent.setdefault(u, u)
                 parent.setdefault(v, v)
                 ru, rv = find(u), find(v)
