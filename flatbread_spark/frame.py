@@ -214,6 +214,10 @@ class FlatFrame:
             *value_cols,
             *([POS] if POS in df.columns else []),
         )
+        if pos_strategy not in ("window", "ranged"):
+            raise ValueError(
+                f"pos_strategy must be 'window' or 'ranged', got {pos_strategy!r}"
+            )
         if POS not in df.columns:
             ob = list(order_by) if order_by is not None else [F.col(c) for c in index]
             if pos_strategy == "ranged":

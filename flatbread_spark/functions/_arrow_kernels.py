@@ -125,20 +125,22 @@ def make_pair_score_fn(threshold_slack, chunk: int = 2048):
     normalized once, then scored in ``chunk``-row slabs (U[s:e] @ U.T), so
     peak memory is O(chunk x group) regardless of group size — a hot bucket
     degrades to more slabs, not an OOM. Emits only (id_a, id_b) with
-    id_a < id_b and fast cosine >= threshold_slack; the exact-decimal
-    re-score downstream decides final values. Requires integer-castable ids.
+    id_a < id_b — compared on the id VALUES, not row indices, so duplicate
+    ids never emit a self-pair — and fast cosine >= threshold_slack; the
+    exact-decimal re-score downstream decides final values. Ids keep their
+    input type (the caller's applyInPandas schema mirrors it); any type
+    with a total order works (ints, strings).
 
-    Returns a (pdf) -> pdf function for schema "id_a long, id_b long".
+    Returns a (pdf) -> pdf function for schema "id_a <t>, id_b <t>".
     """
 
     def score(pdf):
         m = len(pdf)
-        empty = np.empty(0, dtype=np.int64)
+        ids_in = pdf["__id"].to_numpy()
         if m < 2:
-            return pd.DataFrame({"id_a": empty, "id_b": empty})
-        ids = pdf["__id"].to_numpy().astype(np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
+            return pd.DataFrame({"id_a": ids_in[:0], "id_b": ids_in[:0]})
+        order = np.argsort(ids_in, kind="stable")
+        ids = ids_in[order]
         V = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64)
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0.0] = 1.0
@@ -148,12 +150,14 @@ def make_pair_score_fn(threshold_slack, chunk: int = 2048):
             e = min(s + chunk, m)
             C = U[s:e] @ U.T                       # (slab, m)
             r, c = np.nonzero(C >= threshold_slack)
-            keep = (r + s) < c                     # strict upper triangle
+            # ids sorted ascending: id-strict keeps exactly the upper
+            # triangle AND drops equal-id (duplicate-row) self-pairs
+            keep = ids[r + s] < ids[c]
             out_a.append(ids[r[keep] + s])
             out_b.append(ids[c[keep]])
         return pd.DataFrame(
-            {"id_a": np.concatenate(out_a) if out_a else empty,
-             "id_b": np.concatenate(out_b) if out_b else empty}
+            {"id_a": np.concatenate(out_a) if out_a else ids_in[:0],
+             "id_b": np.concatenate(out_b) if out_b else ids_in[:0]}
         )
 
     return score

@@ -347,45 +347,33 @@ def word_shingles(text: Column, n: int = 4) -> Column:
     )
 
 
-def with_shingles(df, text_col: str, n: int = 4, out_col: str = "__sh"):
-    """DataFrame variant of :func:`word_shingles` (same arrays, same order)
-    built on ``pyspark.ml.feature.NGram`` — the shingle generation stays in
-    the JVM instead of interpreted higher-order functions. Appends
-    ``out_col`` (array<string> of distinct shingles) to ``df``."""
+def with_shingles(
+    df, text_col: str, n: int = 4, out_col: str = "__sh", distinct: bool = True
+):
+    """Word n-gram arrays via JVM-native ``pyspark.ml.feature.NGram`` — the
+    gram generation stays in the JVM instead of interpreted higher-order
+    functions, computed once per row (the aliased column is referenced, not
+    inlined, downstream — Catalyst keeps non-cheap multi-referenced aliases
+    single-evaluation). Texts shorter than ``n`` tokens yield one whole-text
+    gram. ``distinct=True`` gives the shingle SET (:func:`word_shingles`
+    semantics, dedup input); ``distinct=False`` the sequential occurrence
+    list (:func:`seq_ngrams` semantics, repetition input). Appends
+    ``out_col`` (array<string>) to ``df``."""
     from pyspark.ml.feature import NGram
 
     tok_col = f"{out_col}_toks"
     raw_col = f"{out_col}_raw"
     toked = df.withColumn(tok_col, F.split(F.trim(F.col(text_col)), r"\s+"))
     grams = NGram(n=n, inputCol=tok_col, outputCol=raw_col).transform(toked)
+    seq = F.when(F.size(tok_col) >= n, F.col(raw_col)).otherwise(
+        F.array(F.concat_ws(" ", tok_col))
+    )
     return grams.withColumn(
-        out_col,
-        F.array_distinct(
-            F.when(F.size(tok_col) >= n, F.col(raw_col)).otherwise(
-                F.array(F.concat_ws(" ", tok_col))
-            )
-        ),
+        out_col, F.array_distinct(seq) if distinct else seq
     ).drop(tok_col, raw_col)
 
 
 def with_seq_ngrams(df, text_col: str, n: int = 2, out_col: str = "__grams"):
-    """DataFrame variant of :func:`seq_ngrams` (same arrays, same order):
-    sequential NON-distinct word n-grams via JVM-native
-    ``pyspark.ml.feature.NGram``. The higher-order-function form of
-    :func:`seq_ngrams` runs interpreted and re-evaluates per referencing
-    expression; this computes the gram array once per row in the JVM, and
-    because the aliased column is referenced (not inlined) downstream,
-    Catalyst keeps it single-evaluation. Appends ``out_col``
-    (array<string>) to ``df``."""
-    from pyspark.ml.feature import NGram
-
-    tok_col = f"{out_col}_toks"
-    raw_col = f"{out_col}_raw"
-    toked = df.withColumn(tok_col, F.split(F.trim(F.col(text_col)), r"\s+"))
-    grams = NGram(n=n, inputCol=tok_col, outputCol=raw_col).transform(toked)
-    return grams.withColumn(
-        out_col,
-        F.when(F.size(tok_col) >= n, F.col(raw_col)).otherwise(
-            F.array(F.concat_ws(" ", tok_col))
-        ),
-    ).drop(tok_col, raw_col)
+    """Sequential NON-distinct word n-grams (:func:`with_shingles` with
+    ``distinct=False``)."""
+    return with_shingles(df, text_col, n, out_col, distinct=False)

@@ -65,21 +65,28 @@ def asof_join(
     rts_out = f"{right_ts}{suffix}" if right_ts in left.columns else right_ts
     rtype = dict(right.dtypes)
 
+    # the right row travels as ONE struct, null exactly for left rows: a
+    # per-column last(ignorenulls) would skip a matched right row's own NULL
+    # column and backfill it from an OLDER right row, stitching together
+    # columns of different right rows
+    r_struct = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
     lpart = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__src"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(rtype[c]).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(rtype[right_ts]).alias("__rts"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     rpart = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__src"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c in left_payload],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(right_ts).alias("__rts"),
+        r_struct.alias("__r"),
     )
     both = lpart.unionByName(rpart)
 
@@ -94,12 +101,19 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = both.select(
-        *keys, "__ts", "__src",
-        *left_payload,
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in right_cols],
-        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
-    ).filter(F.col("__src") == 1)
+    carried = (
+        both.select(
+            *keys, "__ts", "__src",
+            *left_payload,
+            F.last("__r", ignorenulls=True).over(w).alias("__m"),
+        )
+        .filter(F.col("__src") == 1)
+        .select(
+            *keys, "__ts", *left_payload,
+            *[F.col(f"__m.__r_{c}").alias(f"__m_{c}") for c in right_cols],
+            F.col("__m.__rts").alias("__mts"),
+        )
+    )
 
     matched_ts = F.col("__mts")
     if tolerance is not None:

@@ -395,6 +395,9 @@ def embedding_dup_pairs(
     only pairs >= threshold − 1e-6 slack; (2) survivors — a tiny fraction —
     are re-scored with exact-decimal cosine, which decides the output value
     and final filter, so results stay bit-reproducible against a SQL oracle.
+    Ids may be any type with a total order (ints, strings) — pairs keep the
+    input id type, ordered id_a < id_b, and duplicate ids never emit
+    self-pairs.
 
     Shuffle shape: grouping moves each vector ``lsh_tables`` times (linear,
     predictable inflation) instead of moving O(candidate-pair) rows through
@@ -405,6 +408,7 @@ def embedding_dup_pairs(
     from flatbread_spark.functions._arrow_kernels import make_pair_score_fn
 
     id_type = df.schema[id_col].dataType.simpleString()
+    pair_schema = f"id_a {id_type}, id_b {id_type}"
     cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
     if block_col:
         cols.append(F.col(block_col).alias("__blk"))
@@ -430,13 +434,13 @@ def embedding_dup_pairs(
         group_cols = (["__blk"] if block_col else []) + ["__t", "__b"]
         pairs = (
             bucketed.groupBy(*group_cols)
-            .applyInPandas(score_fn, "id_a long, id_b long")
+            .applyInPandas(score_fn, pair_schema)
             .dropDuplicates(["id_a", "id_b"])
         )
     elif block_col:
         pairs = (
             base.groupBy("__blk")
-            .applyInPandas(score_fn, "id_a long, id_b long")
+            .applyInPandas(score_fn, pair_schema)
             .dropDuplicates(["id_a", "id_b"])
         )
     else:

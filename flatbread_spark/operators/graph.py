@@ -28,7 +28,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
-    driver_max_edges: int = 2_000_000,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Assign every node the minimum node id reachable through ``edges``.
 
@@ -39,14 +39,18 @@ def connected_components(
     Adaptive execution: near-dup pair graphs are tiny relative to the corpus
     (|edges| ~ duplicates found, NOT corpus size), so when the distinct edge
     count is within ``driver_max_edges`` the component labels are computed
-    with a driver-side union-find over the EDGE LIST ONLY (bounded collect:
-    cap × 16 bytes ≈ 32 MB) and joined back to the node frame — the node
-    frame itself never leaves the cluster. Above the cap it falls back to
+    with a driver-side union-find over the EDGE LIST ONLY — the node frame
+    itself never leaves the cluster. The collect is bounded by the cap, but
+    honestly costed: pyspark Rows + the union-find dict are ~100-200 bytes
+    per edge of Python heap, so the 500k default is ~50-100 MB; raise it
+    only with driver memory to match. Above the cap it falls back to
     Pregel-style iterative min-label propagation, one shuffle per round,
-    converging in O(component diameter) rounds with a monotone-sum
-    convergence probe (labels only ever decrease, so the label sum is
-    strictly decreasing until fixpoint — one aggregate per round, no
-    old-vs-new join)."""
+    converging in O(component diameter) rounds. Convergence detection is
+    type-aware: numeric ids use a monotone label-sum probe in decimal
+    (labels only ever decrease, so the sum strictly decreases until
+    fixpoint — one aggregate per round); non-numeric ids (strings, uuids)
+    use a changed-label join probe, since a decimal cast would NULL out and
+    fake an instant fixpoint."""
     und = (
         edges.select(F.col(src_col).alias("__u"), F.col(dst_col).alias("__v"))
         .distinct()
@@ -101,6 +105,11 @@ def connected_components(
                 )
             )
 
+        from pyspark.sql.types import NumericType
+
+        numeric_ids = isinstance(
+            nodes.select(F.col(id_col)).schema.fields[0].dataType, NumericType
+        )
         sym = und.union(und.select(F.col("__v"), F.col("__u"))).persist()
         labels = nodes.select(
             F.col(id_col).alias("__n"), F.col(id_col).alias("__lbl")
@@ -118,16 +127,27 @@ def connected_components(
                     .agg(F.min("__lbl").alias("__lbl"))
                     .persist()
                 )
-                # decimal accumulator: a bigint sum over billions of bigint
-                # labels could overflow silently and fake a fixpoint
-                cur_sum = new_labels.agg(
-                    F.sum(F.col("__lbl").cast("decimal(38,0)"))
-                ).collect()[0][0]
+                if numeric_ids:
+                    # decimal accumulator: a bigint sum over billions of
+                    # bigint labels could overflow silently, faking a fixpoint
+                    cur_sum = new_labels.agg(
+                        F.sum(F.col("__lbl").cast("decimal(38,0)"))
+                    ).collect()[0][0]
+                    converged = cur_sum == prev_sum
+                    prev_sum = cur_sum
+                else:
+                    changed = (
+                        new_labels.alias("new")
+                        .join(labels.alias("old"), "__n")
+                        .filter(F.col("new.__lbl") != F.col("old.__lbl"))
+                        .limit(1)
+                        .count()
+                    )
+                    converged = changed == 0
                 labels.unpersist()
                 labels = new_labels
-                if cur_sum == prev_sum:
+                if converged:
                     break
-                prev_sum = cur_sum
             return labels.select(
                 F.col("__n").alias(id_col), F.col("__lbl").alias("cluster_id")
             )

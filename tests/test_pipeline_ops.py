@@ -478,3 +478,65 @@ def test_pii_redaction_spans(spark):
     assert got[1].text_redacted == "write to <EMAIL> or see <URL> now"
     assert got[2].n_email == 0 and got[2].n_url == 0
     assert got[2].text_redacted == "no pii here"
+
+
+def test_asof_join_null_right_payload_not_backfilled(spark):
+    """A matched right row's own NULL column must stay NULL — not be
+    backfilled from an older right row (struct-carry regression test)."""
+    from flatbread_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [("k", 2, "X"), ("k", 9, None)], ["k", "rts", "rv"]
+    )
+    row = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").collect()[0]
+    assert row.rts == 9 and row.rv is None
+
+
+def test_embedding_dups_duplicate_and_string_ids(spark):
+    from flatbread_spark.operators.dedup import embedding_dup_pairs
+
+    # duplicate numeric ids: no self-pairs may appear
+    rows = [(1, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.01])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = embedding_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, lsh_nbits=2, lsh_tables=4, dim=2
+    ).collect()
+    assert all(r.id_a != r.id_b for r in got)
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+    # string ids flow through the LSH path with their type preserved
+    srows = [("a", [1.0, 0.0]), ("b", [1.0, 0.01]), ("c", [0.0, 1.0])]
+    sdf = spark.createDataFrame(srows, ["vec_id", "embedding"])
+    out = embedding_dup_pairs(
+        sdf, "vec_id", "embedding", threshold=0.9, lsh_nbits=2, lsh_tables=4, dim=2
+    )
+    assert dict(out.dtypes)["id_a"] == "string"
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {("a", "b")}
+
+
+def test_connected_components_string_ids_distributed(spark):
+    """Distributed path with NON-numeric ids must keep iterating (the
+    decimal-sum probe would NULL out and fake instant convergence)."""
+    from flatbread_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["id"])
+    # chain a-b-c: c needs 2 propagation rounds to reach label 'a'
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["id_a", "id_b"])
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(
+            nodes, edges, id_col="id", driver_max_edges=0
+        ).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+def test_from_df_rejects_unknown_pos_strategy(spark, lineitem):
+    import pytest as _pytest
+
+    from flatbread_spark.frame import FlatFrame
+
+    agg = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    with _pytest.raises(ValueError, match="pos_strategy"):
+        FlatFrame.from_df(agg, index=["l_returnflag"], pos_strategy="range")
