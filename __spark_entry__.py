@@ -904,7 +904,11 @@ def q_simhash_pairs(spark, sf_dir):
 
 def _knn_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """Per-query recall of an ANN result against the (hash-verified)
-    bruteforce baseline: n_hits = |approx ∩ exact| over the true top-k."""
+    bruteforce baseline: n_hits = |approx ∩ exact| over the true top-k.
+    ``exact`` is persisted — it feeds both the hit semi-join and the
+    per-query frame, and recomputing it means re-running the full
+    bruteforce corpus scan."""
+    exact = exact.persist()
     hits = exact.select("query_id", "neighbor_id").join(
         approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"],
         "left_semi",

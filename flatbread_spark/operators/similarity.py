@@ -138,10 +138,22 @@ def knn_lsh(
         .select("query_id", "neighbor_id", "__queryv", "__neighborv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # same two-phase discipline as knn_bruteforce: candidates (the hot set —
+    # thousands per query) rank by fast double cosine first; only a bounded
+    # shortlist pays the exact-decimal re-score that decides output values
+    shortlist_depth = max(4 * k, k + 20)
+    wf = Window.partitionBy("query_id").orderBy(F.desc("__fast"), F.asc("neighbor_id"))
+    shortlist = (
+        cands.withColumn(
+            "__fast", cosine_fast(F.col("__queryv"), F.col("__neighborv"))
+        )
+        .withColumn("__frank", F.row_number().over(wf))
+        .filter(F.col("__frank") <= shortlist_depth)
+    )
     cos = cosine_exact(F.col("__queryv"), F.col("__neighborv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cands.select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
+        shortlist.select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
