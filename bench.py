@@ -39,8 +39,25 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
-    # warm-up: JVM, codegen, parquet footer reads
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
+    # warm-up: JVM, whole-stage codegen, parquet footer reads, shuffle
+    # machinery, window exec, and the Python/Arrow worker pool — none of
+    # this is query work, and without warming it the FIRST query of each
+    # kind is billed ~2-3 s of infrastructure startup
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(256)
+    warm.groupBy("l_returnflag").count().collect()
+    warm.select(
+        F.row_number().over(Window.orderBy("l_orderkey")).alias("r")
+    ).collect()
+
+    @pandas_udf("long")
+    def _warm_udf(s):
+        return s
+
+    spark.range(1024).select(_warm_udf("id")).collect()
 
     qs = entry.queries()
     times: dict[str, float] = {}
