@@ -6,7 +6,10 @@ query (or a subset) without executing it.
 
 Facts per query (read off ``executedPlan`` after AQE initial planning):
 
-- parquet scans, and whether each prunes columns (ReadSchema width)
+- parquet scans and InMemoryTableScan (cache) reads; when ``cached`` > 0
+  the parquet count includes the cached relation's PRINTED lineage — each
+  cache reference re-prints the plan beneath it, but only the first
+  materialization executes a real scan
 - Exchange count (shuffles) and whether any is a single-partition sort
 - BroadcastHashJoin count vs SortMergeJoin count
 - WholeStageCodegen span count (JVM hot path) vs Arrow/Python evaluation
@@ -31,6 +34,7 @@ from flatbread_spark.session import get_spark  # noqa: E402
 
 MARKS = [
     ("scans", r"Scan parquet"),
+    ("cached", r"InMemoryTableScan"),
     ("exchanges", r"Exchange "),
     ("single_part", r"SinglePartition"),
     ("bcast_join", r"BroadcastHashJoin"),
