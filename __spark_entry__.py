@@ -863,6 +863,35 @@ def q_asof_attribution(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketed range join: per signup, how many error events by the same
+    user in the following 30 minutes — the funnel/anomaly window query. An
+    inequality join would plan as a per-key nested loop; bucketing by the
+    window width makes it an equi-join with a <=2x candidate filter."""
+    from flatbread_spark.operators.asof import range_join_bucketed
+
+    ev = _load(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts")
+    )
+    window_ns = 30 * 60 * 1_000_000_000
+    hits = range_join_bucketed(
+        signups, errors, on=["user_id"], left_ts="ts", right_ts="err_ts",
+        lower=0, upper=window_ns,
+    )
+    counts = hits.groupBy("signup_id").agg(F.count(F.lit(1)).alias("n_errors"))
+    return (
+        signups.join(counts, "signup_id", "left")
+        .select(
+            "user_id", "signup_id",
+            F.coalesce("n_errors", F.lit(0)).cast("bigint").alias("n_errors"),
+        )
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     from flatbread_spark.streaming.windows import hourly_rollup
 
@@ -1045,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "knn_bruteforce": q_knn_bruteforce,
         "asof_attribution": q_asof_attribution,
+        "range_join": q_range_join,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "minhash_pairs": q_minhash_pairs,
@@ -1794,6 +1824,17 @@ SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us, l.value,
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "range_join": """
+WITH s AS (SELECT user_id, event_id AS signup_id, ts FROM events
+           WHERE event_type = 'signup'),
+e AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT s.user_id, s.signup_id,
+       CAST(COUNT(e.ts) AS BIGINT) AS n_errors
+FROM s LEFT JOIN e
+  ON s.user_id = e.user_id
+ AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 30 MINUTE
+GROUP BY 1, 2
 """,
         "events_hourly": """
 SELECT CAST(floor(epoch_ns(ts)/3600000000000)*3600 AS BIGINT) AS bucket_start,

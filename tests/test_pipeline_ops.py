@@ -540,3 +540,37 @@ def test_from_df_rejects_unknown_pos_strategy(spark, lineitem):
     agg = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
     with _pytest.raises(ValueError, match="pos_strategy"):
         FlatFrame.from_df(agg, index=["l_returnflag"], pos_strategy="range")
+
+
+def test_range_join_bucketed_boundaries(spark):
+    from flatbread_spark.operators.asof import range_join_bucketed
+
+    left = spark.createDataFrame([("u", 1, 100)], ["k", "lid", "ts"])
+    # window [ts+0, ts+50] = [100, 150]; rights at 99,100,125,150,151 and a
+    # cross-bucket case (width 50: buckets 2 and 3 both probed)
+    right = spark.createDataFrame(
+        [("u", 10, 99), ("u", 11, 100), ("u", 12, 125), ("u", 13, 150),
+         ("u", 14, 151), ("x", 15, 125)],
+        ["k", "rid", "rts"],
+    )
+    got = sorted(
+        r.rid
+        for r in range_join_bucketed(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", lower=0, upper=50
+        ).collect()
+    )
+    assert got == [11, 12, 13]        # inclusive bounds, wrong key excluded
+
+    # negative lower (window straddling the left ts) and duplicate-bucket dedup
+    got2 = sorted(
+        r.rid
+        for r in range_join_bucketed(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", lower=-1, upper=49
+        ).collect()
+    )
+    assert got2 == [10, 11, 12]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="upper"):
+        range_join_bucketed(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                            lower=5, upper=5)
