@@ -167,3 +167,39 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
     )
     act = sorted((r.k, r.ts, r.rv) for r in got)
     assert act == exp
+
+
+range_events = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(-60, 60)),
+    min_size=1, max_size=10,
+)
+
+
+@given(left=range_events, right=range_events,
+       bounds=st.tuples(st.integers(-20, 19), st.integers(-19, 20)).filter(
+           lambda b: b[1] > b[0]))
+@settings(**SET)
+def test_range_join_matches_naive_inequality_join(spark, left, right, bounds):
+    from flatbread_spark.operators.asof import range_join_bucketed
+
+    lower, upper = bounds
+    ldf = spark.createDataFrame(
+        [(k, i, ts) for i, (k, ts) in enumerate(left)], ["k", "lid", "ts"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, i, ts) for i, (k, ts) in enumerate(right)], ["k", "rid", "rts"]
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in range_join_bucketed(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+            lower=lower, upper=upper,
+        ).collect()
+    )
+    naive = sorted(
+        (li, ri)
+        for (lk, lts), li in zip(left, range(len(left)))
+        for (rk, rts), ri in zip(right, range(len(right)))
+        if lk == rk and lts + lower <= rts <= lts + upper
+    )
+    assert got == naive
