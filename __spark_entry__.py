@@ -610,6 +610,16 @@ def q_topk_by_group(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval: top-10 documents for a 3-term query — the
+    'find training docs about X' tool, posting-explode + broadcast term
+    stats, no UDFs."""
+    from flatbread_spark.functions.text import bm25_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", ["spark", "hash", "merge"], k=10)
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher/MassiveText quality-filter flags per document — the standard
     pre-training corpus gate (word-count bounds, mean word length,
@@ -1056,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "differences_rows": q_differences_rows,
         "quality_scores": q_quality_scores,
         "gopher_filter": q_gopher_filter,
+        "bm25_search": q_bm25_search,
         "pii_redaction": q_pii_redaction,
         "token_budget": q_token_budget,
         "topk_by_group": q_topk_by_group,
@@ -1503,6 +1514,26 @@ FROM s
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(text)
+""",
+        "bm25_search": r"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl, t FROM tok),
+stats AS (SELECT COUNT(*) AS n, SUM(dl)*1.0/COUNT(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, dl, u.term, COUNT(*) AS tf
+       FROM dl, UNNEST(list_filter(t, x -> x IN ('spark','hash','merge'))) u(term)
+       GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT doc_id,
+         round(CAST(SUM(CAST(round(
+           ln((n - df + 0.5)/(df + 0.5) + 1.0)
+             * ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))),
+           9) AS DECIMAL(27,9))) AS DOUBLE), 6) AS score
+       FROM tf JOIN dfreq USING(term) CROSS JOIN stats
+       GROUP BY doc_id)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM sc QUALIFY rank <= 10
 """,
         "pii_redaction": r"""
 WITH aug AS (

@@ -253,6 +253,79 @@ def with_gopher_flags(
     ).drop("__toks", "__lines")
 
 
+def bm25_topk(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 keyword retrieval over the corpus: top-``k`` documents for a
+    bag of query terms (Robertson/Spärck Jones; the classic quality-weighted
+    retrieval scorer, also the standard "find training docs about X" tool).
+
+    Distributed shape — everything is aggregates over the posting explode:
+
+    1. one explode → (doc, term) tf counts for QUERY TERMS ONLY (the filter
+       is pushed into the explode, so the posting list never materializes
+       for non-query terms),
+    2. per-term document frequency and global (N, avgdl) — tiny aggregate
+       frames, broadcast back,
+    3. the BM25 sum with ``ln((N - df + 0.5)/(df + 0.5) + 1)`` IDF, ranked
+       (score desc, id asc).
+
+    No UDFs; scores round to 6 digits. Returns (id, score, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+    ).select("__id", F.size("__t").alias("__dl"), "__t")
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.sum("__dl") / F.count(F.lit(1))).alias("__avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        toks.select(
+            "__id", "__dl",
+            F.explode(F.filter("__t", lambda x: F.array_contains(terms, x))).alias("__term"),
+        )
+        .groupBy("__id", "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    contrib = idf * (
+        (F.col("__tf") * (k1 + 1.0))
+        / (F.col("__tf") + k1 * (1.0 - b + b * (F.col("__dl") / F.col("__avgdl"))))
+    )
+    # per-term contributions round to 9 digits and sum in DECIMAL: absorbs
+    # the 1-ulp Java-vs-C `ln` divergence and makes the sum associative, so
+    # the score hashes identically against the SQL oracle
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .join(F.broadcast(stats))
+        .groupBy("__id")
+        .agg(
+            F.round(
+                F.sum(F.round(contrib, 9).cast("decimal(27,9)")).cast("double"), 6
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("__id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__id").alias(id_col), "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def winnowing_fingerprints(
     df, id_col: str, text_col: str, n: int = 4, w: int = 4,
     portable_hash: bool = False,

@@ -574,3 +574,25 @@ def test_range_join_bucketed_boundaries(spark):
     with _pytest.raises(ValueError, match="upper"):
         range_join_bucketed(left, right, on=["k"], left_ts="ts", right_ts="rts",
                             lower=5, upper=5)
+
+
+def test_bm25_topk_ordering(spark):
+    import math
+
+    from flatbread_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat cat dog"), (2, "cat dog dog dog"), (3, "bird bird fish")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.score, r.rank) for r in
+           bm25_topk(docs, "doc_id", "text", ["cat"], k=3).collect()}
+    assert set(got) == {1, 2}                # doc 3 has no query terms
+    assert got[1][1] == 1 and got[2][1] == 2  # higher tf ranks first
+    # hand-computed: N=3, df=2, idf=ln((3-2+0.5)/(2+0.5)+1); dl=4, avgdl=11/3
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    avgdl = 11 / 3
+    s1 = round(
+        round(idf * (3 * 2.2) / (3 + 1.2 * (1 - 0.75 + 0.75 * (4 / avgdl))), 9), 6
+    )
+    assert abs(got[1][0] - s1) < 1e-9
