@@ -144,3 +144,59 @@ def test_streaming_ingest_pipeline_composes(spark, documents, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT COUNT(*) AS n FROM ingest_pipeline_test").collect()[0].n
     assert got == batch_n
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, events, tmp_path):
+    """Append-mode windowed agg with watermark, driven across TWO runs that
+    share a checkpoint: run 1 advances the watermark; run 2 delivers a row
+    whose event time is older than the watermark — it must be DROPPED, and
+    windows must finalize exactly once."""
+    import pandas as pd
+
+    src = tmp_path / "wm_src"; src.mkdir()
+    ckpt = str(tmp_path / "wm_ckpt")
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user", "ts_sec", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        # move the part file into the watched dir atomically
+        import glob, shutil
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user string, ts_sec long, value double")
+            .parquet(str(src))
+            .withColumn("__t", F.timestamp_seconds("ts_sec"))
+            .withWatermark("__t", "1 hour")
+            .groupBy(F.window("__t", "1 hour"), "user")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp("window.start").alias("w"), "user", "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "wm_out"))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    h = 3600
+    # run 1: two events in hour-0, then one in hour-3 → watermark advances to
+    # hour-3 minus 1h = hour-2; hour-0 window finalizes and is emitted
+    write_batch("b1", [("u", 10, 1.0), ("u", 20, 1.0), ("u", 3 * h + 5, 1.0)])
+    run_once()
+    # run 2: a LATE row back in hour-0 (behind the watermark) plus a fresh
+    # row in hour-6 → hour-0 must NOT be re-emitted or double-counted
+    write_batch("b2", [("u", 30, 1.0), ("u", 6 * h + 5, 1.0)])
+    run_once()
+
+    out = spark.read.parquet(str(tmp_path / "wm_out"))
+    rows = {(r.w, r.user): r.n for r in out.collect()}
+    assert rows[(0, "u")] == 2          # finalized once, late row dropped
+    assert (0, "u") not in {k for k, v in rows.items() if v != rows[(0, "u")]}
