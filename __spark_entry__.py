@@ -610,6 +610,24 @@ def q_topk_by_group(spark, sf_dir):
     )
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus profile: doc count, token total, EXACT doc-length
+    quartiles (linear-interpolated percentile — identical in Spark and
+    ANSI SQL; the sort-based computation has no float-order sensitivity)."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.size(F.split(F.trim("text"), r"\s+")).alias("__n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+            F.expr("percentile(__n, 0.25)").alias("p25"),
+            F.expr("percentile(__n, 0.5)").alias("p50"),
+            F.expr("percentile(__n, 0.75)").alias("p75"),
+        )
+    )
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 keyword retrieval: top-10 documents for a 3-term query — the
     'find training docs about X' tool, posting-explode + broadcast term
@@ -1066,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "differences_rows": q_differences_rows,
         "quality_scores": q_quality_scores,
         "gopher_filter": q_gopher_filter,
+        "corpus_stats": q_corpus_stats,
         "bm25_search": q_bm25_search,
         "pii_redaction": q_pii_redaction,
         "token_budget": q_token_budget,
@@ -1514,6 +1533,15 @@ FROM s
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(text)
+""",
+        "corpus_stats": r"""
+WITH t AS (SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS n
+           FROM documents)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       quantile_cont(n, 0.25) AS p25,
+       quantile_cont(n, 0.5) AS p50,
+       quantile_cont(n, 0.75) AS p75
+FROM t GROUP BY lang
 """,
         "bm25_search": r"""
 WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
