@@ -62,7 +62,33 @@ _attach_fluent_api()
 
 from flatbread_spark.operators.counts import value_counts  # noqa: E402
 
+# pipeline-operator surface (beyond-reference): exported at package level so
+# a corpus pipeline reads as one import
+from flatbread_spark.operators.asof import asof_join, range_join_bucketed  # noqa: E402
+from flatbread_spark.operators.dedup import (  # noqa: E402
+    dedup_exact,
+    embedding_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from flatbread_spark.operators.graph import connected_components, dedup_clusters  # noqa: E402
+from flatbread_spark.operators.sampling import (  # noqa: E402
+    sample_deterministic,
+    sample_stratified,
+    sample_token_budget,
+)
+from flatbread_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh  # noqa: E402
+from flatbread_spark.sources.tables import read_table, write_table  # noqa: E402
+
 __all__ = [
     "FlatFrame", "ColInfo", "POS", "get_spark", "CONFIG", "get_defaults",
     "pivot_table", "crosstab", "load_table", "load_tables", "value_counts",
+    "read_table", "write_table",
+    "asof_join", "range_join_bucketed",
+    "dedup_exact", "minhash_lsh_pairs", "simhash_pairs",
+    "ngram_jaccard_pairs", "embedding_dup_pairs",
+    "connected_components", "dedup_clusters",
+    "sample_deterministic", "sample_stratified", "sample_token_budget",
+    "knn_bruteforce", "knn_lsh", "knn_ivf",
 ]
