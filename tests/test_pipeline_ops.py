@@ -596,3 +596,25 @@ def test_bm25_topk_ordering(spark):
         round(idf * (3 * 2.2) / (3 + 1.2 * (1 - 0.75 + 0.75 * (4 / avgdl))), 9), 6
     )
     assert abs(got[1][0] - s1) < 1e-9
+
+
+def test_text_operators_degenerate_inputs(spark):
+    """Empty / whitespace-only / single-token / blank-line / very-long docs
+    flow through every text operator without error; trim-identical docs
+    (empty vs whitespace) pair as exact near-dups."""
+    from flatbread_spark.functions.text import (
+        bm25_topk, with_gopher_flags, with_pii_redaction, with_quality,
+        with_seq_ngrams,
+    )
+    from flatbread_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(1, ""), (2, "   "), (3, "word"), (4, "a\n\n\nb"), (5, "x " * 5000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert with_gopher_flags(df, "text").count() == 5
+    assert with_pii_redaction(df, "text").count() == 5
+    assert with_quality(df, "text").count() == 5
+    assert with_seq_ngrams(df, "text").count() == 5
+    assert bm25_topk(df, "doc_id", "text", ["x"], k=3).count() == 1
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(df, "doc_id", "text").collect()}
+    assert pairs == {(1, 2): 1.0}
