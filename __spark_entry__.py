@@ -720,6 +720,22 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Eval-set decontamination: 10% of docs (stable hash split) act as the
+    eval set; flag eval docs whose 4-gram shingles are >=50% contained in
+    any train doc — the benchmark-leakage check before training."""
+    from flatbread_spark.operators.dedup import contamination_pairs
+    from flatbread_spark.operators.sampling import sample_hash_bucket
+
+    docs = _load(spark, sf_dir, "documents")
+    b = sample_hash_bucket(F.col("doc_id"), "eval")
+    ev = docs.filter(b < 100_000)
+    tr = docs.filter(b >= 100_000)
+    return contamination_pairs(
+        tr, ev, "doc_id", "text", n=4, threshold=0.5, portable_hash=True
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Within-doc repetition ratio (Gopher-style duplicate-2-gram fraction) —
     the filter signal for looping/boilerplate documents. Grams come from the
@@ -1095,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "token_topk": q_token_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "contamination": q_contamination,
         "repetition": q_repetition,
         "sample_stratified": q_sample_stratified,
         "corpus_mix": q_corpus_mix,
@@ -1688,6 +1705,24 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos
 FROM p WHERE round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.4
+""",
+        "contamination": r"""
+WITH b AS (SELECT doc_id, text,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'eval'), 1, 15) AS BIGINT)
+      % 1000000 AS bucket
+  FROM documents),
+tok AS (SELECT doc_id, bucket, regexp_split_to_array(trim(text), '\s+') AS t FROM b),
+sh AS (SELECT DISTINCT doc_id, bucket, u.s
+       FROM tok, UNNEST(list_transform(generate_series(1, greatest(len(t)-3, 1)),
+                                       i -> array_to_string(t[i:i+3], ' '))) u(s)),
+ev AS (SELECT doc_id, s FROM sh WHERE bucket < 100000),
+tr AS (SELECT doc_id, s FROM sh WHERE bucket >= 100000),
+esz AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY 1),
+inter AS (SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS i
+          FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1, 2)
+SELECT train_id, eval_id, round(i*1.0/esz.n, 6) AS containment
+FROM inter JOIN esz ON eval_id = esz.doc_id
+WHERE round(i*1.0/esz.n, 6) >= 0.5
 """,
         "repetition": r"""
 WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

@@ -141,6 +141,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Eval-set decontamination: (train_id, eval_id, containment) for eval
+    documents whose shingle set is >= ``threshold`` CONTAINED in a train
+    document — the benchmark-leakage check every pre-training pipeline runs
+    before training. Containment (|∩| / |eval shingles|), not Jaccard: a
+    short eval prompt embedded verbatim in a long train doc must flag even
+    though their Jaccard is tiny.
+
+    Bipartite two-phase, same scale shape as :func:`ngram_jaccard_pairs`:
+    candidates share >= 1 shingle hash (train-explode ⋈ eval-explode — the
+    join is train×eval only, never train×train), verification re-scores
+    exact containment on the full hashed-shingle arrays. ``max_shingle_df``
+    caps hot-shingle candidate blowup on the TRAIN side (document frequency
+    measured over train, the big corpus); verification is uncapped, so
+    emitted containments are exact."""
+    hash_one = portable_hash60 if portable_hash else F.xxhash64
+    tr = (
+        with_shingles(train.select(F.col(id_col).alias("__tid"), text_col), text_col, n)
+        .select("__tid", F.transform("__sh", lambda s: hash_one(s)).alias("__sh"))
+        .persist()
+    )
+    ev = (
+        with_shingles(eval_df.select(F.col(id_col).alias("__eid"), text_col), text_col, n)
+        .select("__eid", F.transform("__sh", lambda s: hash_one(s)).alias("__sh"))
+        .persist()
+    )
+    tr_ex = tr.select("__tid", F.explode("__sh").alias("__h"))
+    if max_shingle_df is not None:
+        hot = (
+            tr_ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df).select("__h")
+        )
+        tr_ex = tr_ex.join(hot, "__h", "left_anti")
+    ev_ex = ev.select("__eid", F.explode("__sh").alias("__h"))
+    cands = (
+        tr_ex.join(ev_ex, "__h")
+        .select("__tid", "__eid")
+        .dropDuplicates(["__tid", "__eid"])
+    )
+    scored = (
+        cands.join(tr.select("__tid", F.col("__sh").alias("__tsh")), "__tid")
+        .join(ev.select("__eid", F.col("__sh").alias("__esh")), "__eid")
+    )
+    inter = F.size(F.array_intersect("__tsh", "__esh"))
+    containment = F.round(inter.cast("double") / F.size("__esh").cast("double"), 6)
+    return (
+        scored.select(
+            F.col("__tid").alias("train_id"),
+            F.col("__eid").alias("eval_id"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def _minhash_signature(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
     """array<bigint> MinHash signature from deterministic universal hashes
     h_i(x) = (a_i * xxhash64(x) + b_i) mod p over the shingle set."""

@@ -618,3 +618,25 @@ def test_text_operators_degenerate_inputs(spark):
     pairs = {(r.id_a, r.id_b): r.jaccard
              for r in ngram_jaccard_pairs(df, "doc_id", "text").collect()}
     assert pairs == {(1, 2): 1.0}
+
+
+def test_contamination_containment_catches_embedded_prompt(spark):
+    """A short eval prompt embedded VERBATIM in a long train doc must flag
+    (containment 1.0) even though the pair's Jaccard is tiny — the property
+    that makes containment, not Jaccard, the decontamination score."""
+    from flatbread_spark.operators.dedup import contamination_pairs
+
+    prompt = "what is the capital of france"
+    filler = " ".join(f"tok{i}" for i in range(60))
+    train = spark.createDataFrame(
+        [(1, f"{filler} {prompt} {filler}"), (2, "unrelated training text only")],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, prompt), (101, "completely novel eval question here")],
+        ["doc_id", "text"],
+    )
+    got = {(r.train_id, r.eval_id): r.containment
+           for r in contamination_pairs(train, eval_df, "doc_id", "text",
+                                        n=4, threshold=0.5).collect()}
+    assert got == {(1, 100): 1.0}
