@@ -25,6 +25,7 @@ def value_counts(
     ndigits: int = -1,
     base: int = 1,
     totals_label: str = "Totals",
+    apportioned_rounding: bool = True,
 ) -> FlatFrame:
     sel = F.col(column).cast("string")
     if fillna is not None:
@@ -50,7 +51,7 @@ def value_counts(
             label_totals=totals_label,
             ndigits=ndigits,
             base=base,
-            apportioned_rounding=True,
+            apportioned_rounding=apportioned_rounding,
         )
         # reference Series output keeps single-level columns [count, pct]
         ff = ff._copy(
