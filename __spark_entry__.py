@@ -1007,7 +1007,9 @@ def _knn_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     ``exact`` is persisted — it feeds both the hit semi-join and the
     per-query frame, and recomputing it means re-running the full
     bruteforce corpus scan."""
-    exact = exact.persist()
+    from flatbread_spark.cache import pin
+
+    exact = pin(exact, tag="knn_recall")
     hits = exact.select("query_id", "neighbor_id").join(
         approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"],
         "left_semi",

@@ -15,6 +15,7 @@ Fluent usage mirrors the reference's ``df.pita`` accessor
 """
 from __future__ import annotations
 
+from flatbread_spark.cache import pinned_tags, release as release_caches
 from flatbread_spark.config import CONFIG, get_defaults
 from flatbread_spark.frame import POS, ColInfo, FlatFrame
 from flatbread_spark.session import get_spark
@@ -83,6 +84,7 @@ from flatbread_spark.sources.tables import read_table, write_table  # noqa: E402
 
 __all__ = [
     "FlatFrame", "ColInfo", "POS", "get_spark", "CONFIG", "get_defaults",
+    "release_caches", "pinned_tags",
     "pivot_table", "crosstab", "load_table", "load_tables", "value_counts",
     "read_table", "write_table",
     "asof_join", "range_join_bucketed",

@@ -1,0 +1,66 @@
+"""Session-scoped registry for operator-persisted DataFrames.
+
+Library operators (pivot base, dedup shingle/signature frames, recall
+baselines) persist intermediates that the *returned* lazy DataFrame still
+reads, so they cannot unpersist before the caller materializes the result.
+Left alone, those cached frames accumulate for the lifetime of a long-running
+driver (ADVICE r2). Every such persist now goes through :func:`pin`, which
+records the handle here; callers (or a session janitor) reclaim executor
+memory with :func:`release` once results are materialized/written.
+
+Usage::
+
+    import flatbread_spark as fb
+    result = fb.minhash_lsh_pairs(docs, "id", "text")
+    result.write.parquet(...)        # materialize
+    fb.release_caches()              # drop all operator caches
+    fb.release_caches("dedup")       # or just one operator family
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_PINNED: list[tuple[str, DataFrame]] = []
+
+
+def pin(df: DataFrame, tag: str = "") -> DataFrame:
+    """Persist ``df`` (if not already persisted) and register the handle
+    under ``tag`` for later :func:`release`. Returns the persisted frame."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df
+    df = df.persist()
+    _PINNED.append((tag, df))
+    return df
+
+
+def register(df: DataFrame, tag: str = "") -> DataFrame:
+    """Record an ALREADY-persisted frame for later :func:`release` (for
+    operators that manage persistence inline but whose final cached frame
+    outlives the call)."""
+    _PINNED.append((tag, df))
+    return df
+
+
+def release(tag: str | None = None) -> int:
+    """Unpersist every pinned frame (optionally only those matching ``tag``).
+    Returns the number of frames released. Safe to call with a stopped
+    SparkSession (errors are swallowed — nothing to reclaim then anyway)."""
+    kept: list[tuple[str, DataFrame]] = []
+    released = 0
+    for t, df in _PINNED:
+        if tag is None or t == tag:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+            released += 1
+        else:
+            kept.append((t, df))
+    _PINNED[:] = kept
+    return released
+
+
+def pinned_tags() -> list[str]:
+    """Tags of currently pinned frames (observability/testing)."""
+    return [t for t, _ in _PINNED]

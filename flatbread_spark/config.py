@@ -83,6 +83,12 @@ DEFAULTS_STATIC: dict[str, Any] = {
         "int": "int",
         "bigint": "int",
     },
+    # engine knobs (no reference equivalent — Spark-side scale policy)
+    "engine": {
+        # from_df(pos_strategy="auto"): frames larger than this get ranged
+        # (two-phase) __pos__ assignment instead of a single-task window
+        "pos_auto_threshold": 100_000,
+    },
     "format_presets": {
         "currency_eur": {
             "dtypes": ["float", "int"],

@@ -191,35 +191,63 @@ class FlatFrame:
         order_by: Sequence[str | Column] | None = None,
         col_labels: Sequence[tuple] | None = None,
         col_names: Sequence[Any] | None = None,
-        pos_strategy: str = "window",
+        pos_strategy: str = "auto",
     ) -> "FlatFrame":
         """Attach FlatFrame semantics to a Spark DataFrame.
 
         Index columns are cast to string (margin labels like 'Totals' must union
         with them). ``__pos__`` is assigned by ``row_number`` over ``order_by``
-        (default: the index columns). The default unpartitioned window is
-        acceptable here because FlatFrames are presentation-shaped (≈ number
-        of groups of the originating pivot), never raw fact tables; for a
-        high-cardinality lift pass ``pos_strategy="ranged"`` to assign
-        positions with the range-partitioned two-phase rank
-        (:func:`flatbread_spark.operators.ranking.scalable_pos` — identical
-        output, no single-task window stage).
+        (default: the index columns).
+
+        ``pos_strategy`` picks how positions are computed:
+
+        - ``"window"`` — ``row_number`` over an unpartitioned window: a
+          single-task stage, fine for presentation-shaped frames (≈ number
+          of groups of the originating pivot).
+        - ``"ranged"`` — the range-partitioned two-phase rank
+          (:func:`flatbread_spark.operators.ranking.scalable_pos` —
+          identical output, no single-task stage).
+        - ``"auto"`` (default) — bounded probe: count at most
+          ``engine.pos_auto_threshold`` (config, default 100 000) + 1 rows
+          and pick ``window`` below the threshold, ``ranged`` above it, so a
+          high-cardinality lift can never serialize through one task
+          (VERDICT r2 #3). The probe reads the input's cache when the caller
+          (e.g. ``pivot_table``) already persists; otherwise the frame is
+          pinned first (:mod:`flatbread_spark.cache`) so probe + downstream
+          compute the lineage once.
         """
         index = list(index)
         if value_cols is None:
             value_cols = [c for c in df.columns if c not in index and c != POS]
         value_cols = list(value_cols)
+        src_persisted = not df.isStreaming and (
+            df.storageLevel.useMemory or df.storageLevel.useDisk
+        )
         df = df.select(
             *[F.col(c).cast("string").alias(c) for c in index],
             *value_cols,
             *([POS] if POS in df.columns else []),
         )
-        if pos_strategy not in ("window", "ranged"):
+        if pos_strategy not in ("auto", "window", "ranged"):
             raise ValueError(
-                f"pos_strategy must be 'window' or 'ranged', got {pos_strategy!r}"
+                f"pos_strategy must be 'auto', 'window' or 'ranged', got {pos_strategy!r}"
             )
         if POS not in df.columns:
             ob = list(order_by) if order_by is not None else [F.col(c) for c in index]
+            if pos_strategy == "auto":
+                if df.isStreaming:
+                    pos_strategy = "window"  # no eager probe on a stream
+                else:
+                    from flatbread_spark.cache import pin
+                    from flatbread_spark.config import CONFIG
+
+                    threshold = int(
+                        CONFIG.get("engine", "pos_auto_threshold", default=100_000)
+                    )
+                    if not src_persisted:
+                        df = pin(df, tag="frame")
+                    probe = df.limit(threshold + 1).count()
+                    pos_strategy = "ranged" if probe > threshold else "window"
             if pos_strategy == "ranged":
                 from flatbread_spark.operators.ranking import scalable_pos
 

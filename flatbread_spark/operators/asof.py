@@ -53,17 +53,25 @@ def range_join_bucketed(
         raise ValueError(f"upper must exceed lower, got [{lower}, {upper}]")
     keys = list(on)
     width = upper - lower
+
+    def bucket(x: Column) -> Column:
+        # exact integer floor division (ADVICE r2): `/` on longs runs through
+        # DOUBLE and rounds above 2^53, so nanosecond-epoch timestamps near a
+        # bucket boundary could land one bucket off with an odd width. pmod
+        # yields a non-negative remainder, making x - pmod(x, w) the exact
+        # multiple-of-w floor for either sign; dividing that multiple in
+        # DECIMAL (exact rational, result is an integer well inside the
+        # 38-digit budget) has no rounding at all.
+        xl = x.cast("long")
+        adj = (xl - F.pmod(xl, F.lit(width))).cast("decimal(38,0)")
+        return (adj / F.lit(width).cast("decimal(19,0)")).cast("long")
+
     lo = F.col(left_ts) + F.lit(lower)
     hi = F.col(left_ts) + F.lit(upper)
     lpart = left.withColumn(
-        "__b",
-        F.explode(
-            F.array_distinct(
-                F.array(F.floor(lo / width), F.floor(hi / width))
-            )
-        ),
+        "__b", F.explode(F.array_distinct(F.array(bucket(lo), bucket(hi))))
     )
-    rpart = right.withColumn("__b", F.floor(F.col(right_ts) / width))
+    rpart = right.withColumn("__b", bucket(F.col(right_ts)))
     cond = [lpart[k] == rpart[k] for k in keys] + [lpart["__b"] == rpart["__b"]]
     out_cols = (
         [lpart[k] for k in keys]

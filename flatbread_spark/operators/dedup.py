@@ -24,8 +24,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flatbread_spark.cache import pin
 from flatbread_spark.functions.text import fingerprint_md5, with_shingles, word_shingles
 from flatbread_spark.functions.vectors import cosine_exact
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist + register under the 'dedup' tag (flatbread_spark.cache) so
+    long-running drivers can reclaim these with release_caches('dedup')."""
+    return pin(df, tag="dedup")
 
 # Mersenne prime 2^31-1 for universal hashing: with h, a, b < 2^31 the
 # products stay under 2^62, safely inside BIGINT (no overflow under ANSI mode)
@@ -110,7 +117,7 @@ def ngram_jaccard_pairs(
         # two plan branches read the shingle arrays (candidate explode +
         # exact verify); without the persist, NGram shingling + hashing runs
         # twice over the corpus. (id, hash array) rows only — text excluded.
-        .persist()
+        .transform(_pin)
     )
     sh = base.select("__id", *blocks, F.explode("__sh").alias("__h"))
     if max_shingle_df is not None:
@@ -169,12 +176,12 @@ def contamination_pairs(
     tr = (
         with_shingles(train.select(F.col(id_col).alias("__tid"), text_col), text_col, n)
         .select("__tid", F.transform("__sh", lambda s: hash_one(s)).alias("__sh"))
-        .persist()
+        .transform(_pin)
     )
     ev = (
         with_shingles(eval_df.select(F.col(id_col).alias("__eid"), text_col), text_col, n)
         .select("__eid", F.transform("__sh", lambda s: hash_one(s)).alias("__sh"))
-        .persist()
+        .transform(_pin)
     )
     tr_ex = tr.select("__tid", F.explode("__sh").alias("__h"))
     if max_shingle_df is not None:
@@ -230,6 +237,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     portable_hash: bool = False,
+    max_band_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
@@ -241,6 +249,18 @@ def minhash_lsh_pairs(
     ``portable_hash=True`` hashes shingles with md5-60bit instead of xxhash64
     so an ANSI-SQL oracle can replay the exact signature math (same
     coefficients via :func:`minhash_coeffs`). Returns (id_a, id_b, jaccard).
+
+    ``max_band_bucket`` (ADVICE r2 skew hardening): a degenerate band bucket
+    — e.g. a corpus slice of identical/empty texts sharing one signature —
+    would otherwise emit |bucket|²/2 candidates from the self-join. Buckets
+    larger than the cap emit STAR edges (bucket-min id ↔ member) instead:
+    |bucket|−1 candidates, still connecting every member into one component
+    for downstream :func:`dedup_clusters` whenever the star edges verify
+    (over-cap buckets arise exactly when members are near-identical, so they
+    do). RECALL STATEMENT: direct non-star pairs inside an over-cap bucket
+    are not emitted by THAT bucket (another, smaller band bucket can still
+    emit them); emitted pairs remain exact-Jaccard-verified. ``None``
+    disables the cap (exact r2 behavior).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -255,7 +275,7 @@ def minhash_lsh_pairs(
         .select("__id", F.transform("__sh", lambda s: hash_one(s)).alias("__sh"))
         # signature branch + per-candidate verification branch both read the
         # hashed shingle arrays — persist so shingling/hashing runs once
-        .persist()
+        .transform(_pin)
     )
     # per-document Arrow kernel: the signature is a function of the doc's own
     # shingles, so it needs no explode/shuffle/num_hashes-aggregate plan at
@@ -265,7 +285,7 @@ def minhash_lsh_pairs(
 
     sig_df = base.select(
         "__id", make_minhash_udf(coeffs, _P)(F.col("__sh")).alias("__sig")
-    ).persist()
+    ).transform(_pin)
 
     # band rows carry ONLY (id, band, key): exploding the (possibly large)
     # shingle array `bands`-fold and shuffling it through the self-join would
@@ -287,7 +307,25 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("__id", F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"))
 
-    a, b = bands_df.alias("a"), bands_df.alias("b")
+    if max_band_bucket is not None:
+        # one bucket-stats pass over the slim (id, band, key) rows; over-cap
+        # buckets collapse to star edges around the bucket minimum
+        stats = bands_df.groupBy("__band", "__key").agg(
+            F.count(F.lit(1)).alias("__m"), F.min("__id").alias("__min"),
+        )
+        tagged = bands_df.join(stats, ["__band", "__key"])
+        small = tagged.filter(F.col("__m") <= max_band_bucket)
+        star = (
+            tagged.filter(
+                (F.col("__m") > max_band_bucket) & (F.col("__id") != F.col("__min"))
+            )
+            .select(F.col("__min").alias("id_a"), F.col("__id").alias("id_b"))
+        )
+        a = small.select("__id", "__band", "__key").alias("a")
+        b = small.select("__id", "__band", "__key").alias("b")
+    else:
+        star = None
+        a, b = bands_df.alias("a"), bands_df.alias("b")
     cands = (
         a.join(
             b,
@@ -296,8 +334,10 @@ def minhash_lsh_pairs(
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star is not None:
+        cands = cands.unionByName(star)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
     shingle_sets = base.select("__id", "__sh")
     cands = (
         cands.join(shingle_sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
@@ -398,7 +438,7 @@ def simhash_pairs(
     # persist: the banded self-join reads the signature frame on BOTH sides;
     # without it the full shingle→hash→60-vote aggregation runs twice
     # (measured ~2× the operator's wall time at sf0.1)
-    sigd = simhash_signatures(df, id_col, text_col, n, portable_hash=portable_hash).persist()
+    sigd = simhash_signatures(df, id_col, text_col, n, portable_hash=portable_hash).transform(_pin)
     chunks = sigd.select(
         "__id", "__sig",
         F.explode(

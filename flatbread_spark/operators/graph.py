@@ -115,6 +115,7 @@ def connected_components(
             F.col(id_col).alias("__n"), F.col(id_col).alias("__lbl")
         ).persist()
         prev_sum = None
+        converged = False
         try:
             for _ in range(max_iter):
                 nbr = (
@@ -148,8 +149,28 @@ def connected_components(
                 labels = new_labels
                 if converged:
                     break
-            return labels.select(
-                F.col("__n").alias(id_col), F.col("__lbl").alias("cluster_id")
+            from flatbread_spark.cache import register
+
+            register(labels, tag="graph")  # final label cache, reclaimable
+            if not converged:
+                # ADVICE r2: silently returning partial propagation is wrong
+                # labels; the component diameter exceeded max_iter — fail loud
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iter} "
+                    "iterations (component diameter exceeds max_iter); "
+                    "increase max_iter"
+                )
+            # restrict output to the requested node set: `nbr` rows introduce
+            # edge endpoints absent from `nodes` into the label table, and
+            # the union-find path emits exactly one row per input node —
+            # keep both paths' coverage identical (ADVICE r2)
+            return (
+                nodes.select(F.col(id_col).alias("__n"))
+                .join(labels, "__n", "left")
+                .select(
+                    F.col("__n").alias(id_col),
+                    F.coalesce("__lbl", F.col("__n")).alias("cluster_id"),
+                )
             )
         finally:
             sym.unpersist()

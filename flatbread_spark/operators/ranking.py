@@ -13,11 +13,15 @@ point if a caller ever lifts a high-cardinality frame (VERDICT r1 watch item).
    counts; partition offsets are a cumulative sum over ``numPartitions``
    rows (bounded driver collect, one int per partition) broadcast back.
 
-The partitioned frame is persisted between the counts pass and the rank pass
-so both see identical partition contents (range-boundary sampling must not
-re-run). Output positions are exactly 1..n in ``order`` — identical to the
-unpartitioned ``row_number`` whenever ``order`` is a total order (the same
-determinism contract the window path has).
+The partitioned frame is eagerly ``localCheckpoint``-ed between the counts
+pass and the rank pass so both see identical partition contents: unlike
+``persist`` (whose blocks can be evicted and then *recomputed* with a fresh
+range-boundary sample, silently moving rows between partitions while the
+collected offsets still describe the old layout — ADVICE r2), a checkpoint
+truncates lineage, so a lost block fails the job loudly instead of returning
+wrong positions. Output positions are exactly 1..n in ``order`` — identical
+to the unpartitioned ``row_number`` whenever ``order`` is a total order (the
+same determinism contract the window path has).
 """
 from __future__ import annotations
 
@@ -51,7 +55,9 @@ def scalable_pos(
                 Window.partitionBy("__pid__").orderBy(*order)
             ),
         )
-        .persist()
+        # eager lineage cut: the collected offsets below are only valid for
+        # THIS materialization of the range partitioning; see module docstring
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         local.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__n")).collect()
@@ -63,9 +69,6 @@ def scalable_pos(
     off_map = F.create_map(
         *[F.lit(x) for pid, off in sorted(offsets.items()) for x in (pid, off)]
     )
-    # `local` stays persisted: the returned plan reads it, and an eager
-    # unpersist would recompute the range partitioning (fresh boundary
-    # sample) out from under the already-collected offsets.
     return local.withColumn(
         out_col,
         (F.col("__lrn__") + off_map[F.col("__pid__")]).cast("double"),

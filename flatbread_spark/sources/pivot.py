@@ -23,6 +23,7 @@ from typing import Any, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flatbread_spark.cache import pin
 from flatbread_spark.aggfuncs import column_agg
 from flatbread_spark.frame import ColInfo, FlatFrame, make_col_name
 
@@ -65,7 +66,7 @@ def pivot_table(
     if not columns:
         agged = df.groupBy(*index).agg(*[fn(F.col(v)).alias(v) for v in values])
         if persist:
-            agged = agged.persist()
+            agged = pin(agged, tag="pivot")
         ff = FlatFrame.from_df(agged, index=index)
         ff.col_names = [None]
         return ff
@@ -102,9 +103,18 @@ def pivot_table(
             # Spark names these "<pivval>_<valuealias>"; rpartition("_")
             # mis-splits when the value name itself contains "_" (e.g.
             # "unit_qty"), so resolve by suffix-matching the known values.
-            val_name = max(
-                (v for v in values if c.endswith(f"_{v}")), key=len
-            )
+            # Longest-suffix wins; residual ambiguity: a pivot value ending
+            # in "_<other-value-alias>" (e.g. values ['qty','unit_qty'] with
+            # pivot key 'X_unit') still mis-splits — escape "_" in value
+            # aliases to avoid it (ADVICE r2, documented limitation).
+            matches = [v for v in values if c.endswith(f"_{v}")]
+            if not matches:
+                raise ValueError(
+                    f"pivoted column {c!r} does not end with any declared "
+                    f"value alias {values!r} — cannot split pivot-key from "
+                    "value name (did the aggfunc alias change the naming?)"
+                )
+            val_name = max(matches, key=len)
             col_key = c[: -len(val_name) - 1]
         parts = tuple(col_key.split(_SEP))
         labels = parts + (val_name,) if len(values) > 1 else parts
@@ -123,7 +133,7 @@ def pivot_table(
 
     out = agged.select(*sel)
     if persist:
-        out = out.persist()
+        out = pin(out, tag="pivot")
     ff = FlatFrame.from_df(
         out,
         index=index,

@@ -59,6 +59,40 @@ def test_minhash_agrees_with_exact_jaccard_on_dups(spark):
     assert (1, 2) in got  # high-similarity pair must collide in some band
 
 
+def test_minhash_degenerate_bucket_cap(spark):
+    """Adversarial all-identical corpus (ADVICE r2 skew hardening): every
+    band bucket holds all N docs, so the uncapped self-join would emit
+    N(N-1)/2 candidates; with the cap, each over-cap bucket degrades to N-1
+    star edges around the bucket minimum — bounded candidates, and the
+    downstream cluster is still fully connected."""
+    from flatbread_spark.operators.dedup import minhash_lsh_pairs
+    from flatbread_spark.operators.graph import dedup_clusters
+
+    n_docs = 40
+    df = spark.createDataFrame(
+        [(i, "the same exact text repeated in every document here") for i in range(n_docs)],
+        ["doc_id", "text"],
+    )
+    capped = minhash_lsh_pairs(
+        df, "doc_id", "text", n=2, num_hashes=32, bands=8,
+        threshold=0.5, max_band_bucket=5,
+    )
+    rows = capped.collect()
+    # star edges only: (0, x) for every other doc — N-1 pairs, not N(N-1)/2
+    assert len(rows) == n_docs - 1
+    assert all(r.id_a == 0 and r.jaccard == 1.0 for r in rows)
+    # clusters survive the cap: one component, survivor = min id
+    cc = dedup_clusters(df, capped, id_col="doc_id").collect()
+    assert {r.cluster_id for r in cc} == {0}
+    assert sum(r.is_survivor for r in cc) == 1
+    # uncapped path unchanged (exact r2 behavior)
+    full = minhash_lsh_pairs(
+        df, "doc_id", "text", n=2, num_hashes=32, bands=8,
+        threshold=0.5, max_band_bucket=None,
+    )
+    assert full.count() == n_docs * (n_docs - 1) // 2
+
+
 def test_simhash_exact_dup_distance_zero(spark):
     sigs = {r["__id"]: r["__sig"]
             for r in simhash_signatures(docs_df(spark), "doc_id", "text", n=2).collect()}
@@ -380,6 +414,58 @@ def test_from_df_ranged_strategy(spark, lineitem):
     rows_w = sorted(tuple(r) for r in ff_w.df.collect())
     rows_r = sorted(tuple(r) for r in ff_r.df.collect())
     assert rows_w == rows_r
+
+
+def test_from_df_auto_pos_strategy(spark, lineitem):
+    """auto = window below engine.pos_auto_threshold, ranged above it
+    (VERDICT r2 #3: a high-cardinality lift must not serialize through a
+    single-task window)."""
+    from flatbread_spark.config import CONFIG
+    from flatbread_spark.frame import FlatFrame
+
+    big = (
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    CONFIG.update_runtime({"engine": {"pos_auto_threshold": 100}})
+    try:
+        ff = FlatFrame.from_df(big, index=["l_orderkey", "l_linenumber"])
+        plan = ff.df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        n = ff.df.count()
+        # positions are a dense 1..n despite the partitioned assignment
+        stats = ff.df.agg(
+            F.min("__pos__").alias("lo"), F.max("__pos__").alias("hi"),
+            F.countDistinct("__pos__").alias("nd"),
+        ).first()
+        assert (stats.lo, stats.hi, stats.nd) == (1.0, float(n), n)
+    finally:
+        CONFIG.update_runtime({"engine": {"pos_auto_threshold": 100_000}})
+    # small frame stays on the window path and matches explicit window output
+    small = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("qty"))
+    ff_a = FlatFrame.from_df(small, index=["l_returnflag"])
+    ff_w = FlatFrame.from_df(small, index=["l_returnflag"], pos_strategy="window")
+    assert sorted(map(tuple, ff_a.df.collect())) == sorted(map(tuple, ff_w.df.collect()))
+
+
+def test_cache_registry_release(spark, lineitem):
+    """Operator persists route through flatbread_spark.cache and are
+    reclaimable (ADVICE r2: caches must not accumulate for the driver's
+    lifetime)."""
+    import flatbread_spark as fb
+    from flatbread_spark import cache as fc
+
+    before = len(fc.pinned_tags())
+    fb.pivot_table(
+        lineitem, index="l_returnflag", columns="l_linestatus",
+        values="l_quantity", aggfunc="sum",
+    ).to_df().collect()
+    assert "pivot" in fc.pinned_tags()
+    released = fb.release_caches("pivot")
+    assert released >= 1
+    assert "pivot" not in fc.pinned_tags()
+    fb.release_caches()
+    assert len(fc.pinned_tags()) == 0 <= before
 
 
 def test_gopher_flags_rules(spark):
