@@ -82,12 +82,29 @@ def main() -> None:
 
     spark.range(1024).select(_warm_udf("id")).collect()
 
+    # the text-pipeline machinery (NGram shingling, HOF transform + xxhash
+    # codegen, grouped-pandas workers) costs ~3-4 s the first time any
+    # process touches it — measured billed to whichever dedup query ran
+    # first; warm it with a 64-row corpus so query times measure queries
+    from flatbread_spark.functions.text import with_shingles
+
+    tiny = spark.createDataFrame(
+        [(i, "warm up the shingle kernel machinery now") for i in range(64)],
+        ["id", "text"],
+    )
+    with_shingles(tiny, "text", 4).select(
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s)))
+    ).collect()
+    tiny.groupBy("id").applyInPandas(lambda p: p[["id"]], "id long").collect()
+
     probe_before = host_probe()
     qs = entry.queries()
     times: dict[str, float] = {}
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    # CLI args both filter AND order (lets a warm/cold comparison put a
+    # query after its warm-up peers)
+    names = [n for n in (only or qs) if n in qs]
+    for name in names:
+        fn = qs[name]
         t0 = time.perf_counter()
         try:
             n = len(fn(spark, sf_dir).collect())

@@ -244,10 +244,14 @@ class FlatFrame:
                     threshold = int(
                         CONFIG.get("engine", "pos_auto_threshold", default=100_000)
                     )
-                    if not src_persisted:
-                        df = pin(df, tag="frame")
-                    probe = df.limit(threshold + 1).count()
-                    pos_strategy = "ranged" if probe > threshold else "window"
+                    if threshold <= 0:
+                        # probe disabled (benchmark / known-small deployments)
+                        pos_strategy = "window"
+                    else:
+                        if not src_persisted:
+                            df = pin(df, tag="frame")
+                        probe = df.limit(threshold + 1).count()
+                        pos_strategy = "ranged" if probe > threshold else "window"
             if pos_strategy == "ranged":
                 from flatbread_spark.operators.ranking import scalable_pos
 

@@ -308,21 +308,28 @@ def minhash_lsh_pairs(
     ).select("__id", F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"))
 
     if max_band_bucket is not None:
-        # one bucket-stats pass over the slim (id, band, key) rows; over-cap
-        # buckets collapse to star edges around the bucket minimum
-        stats = bands_df.groupBy("__band", "__key").agg(
-            F.count(F.lit(1)).alias("__m"), F.min("__id").alias("__min"),
+        # one bucket-stats pass over the slim (id, band, key) rows, reduced
+        # immediately to the OVER-CAP bucket list — ≤ |band rows|/cap rows
+        # by construction (≤10⁶ at 10¹⁰ band rows with the default cap), so
+        # it broadcasts; the self-join branches then pay only a broadcast
+        # anti-join each instead of re-running the stats shuffle per branch
+        over = (
+            bands_df.groupBy("__band", "__key")
+            .agg(F.count(F.lit(1)).alias("__m"), F.min("__id").alias("__min"))
+            .filter(F.col("__m") > max_band_bucket)
+            .drop("__m")
+            .transform(_pin)
         )
-        tagged = bands_df.join(stats, ["__band", "__key"])
-        small = tagged.filter(F.col("__m") <= max_band_bucket)
+        small = bands_df.join(
+            F.broadcast(over.select("__band", "__key")),
+            ["__band", "__key"], "left_anti",
+        )
         star = (
-            tagged.filter(
-                (F.col("__m") > max_band_bucket) & (F.col("__id") != F.col("__min"))
-            )
+            bands_df.join(F.broadcast(over), ["__band", "__key"])
+            .filter(F.col("__id") != F.col("__min"))
             .select(F.col("__min").alias("id_a"), F.col("__id").alias("id_b"))
         )
-        a = small.select("__id", "__band", "__key").alias("a")
-        b = small.select("__id", "__band", "__key").alias("b")
+        a, b = small.alias("a"), small.alias("b")
     else:
         star = None
         a, b = bands_df.alias("a"), bands_df.alias("b")
