@@ -173,6 +173,39 @@ def q_trimmed_margin(spark, sf_dir):
     )
 
 
+def q_salted_agg(spark, sf_dir):
+    """Skew-mitigation operators exercised end-to-end (first driver-graded
+    row for the family, pytest-plan-asserted before): a salt-exploded
+    dim join (event_type -> tag, dim replicated n_salts x) feeding a
+    two-stage salted aggregation. Semantically identical to the plain
+    join+groupBy — the oracle IS the plain formulation; decimal accumulation
+    makes the sum independent of the salt-induced partial ordering."""
+    from flatbread_spark.operators.skew import salt_explode_join, salted_agg
+
+    ev = _load(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("type_tag", F.upper("event_type"))
+    )
+    joined = salt_explode_join(
+        ev.select("event_type", "value"), dim, ["event_type"], n_salts=8
+    )
+    out = salted_agg(
+        joined,
+        ["type_tag"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "total_value": (F.sum(F.col("value").cast(DEC)), F.sum("total_value")),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "type_tag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("type_tag")
+
+
 def q_value_counts_pct_naive(spark, sf_dir):
     """Bisect variant of value_counts_pct: naive per-cell F.round instead of
     the order-dependent apportioned kernel. If the driver grades this green
@@ -1241,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_replay": q_stream_replay,
         "contamination_planted": q_contamination_planted,
         "trimmed_margin": q_trimmed_margin,
+        "salted_agg": q_salted_agg,
         # -- core reference-parity margin family (stable green) --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -2122,6 +2156,11 @@ SELECT CAST(floor(epoch_ns(ts)/3600000000000)*3600 AS BIGINT) AS bucket_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "salted_agg": """
+SELECT upper(event_type) AS type_tag, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1 ORDER BY type_tag
 """,
         "trimmed_margin": """
 WITH d AS (SELECT o_orderpriority,
