@@ -96,6 +96,11 @@ def main() -> None:
         F.explode(F.transform("__sh", lambda s: F.xxhash64(s)))
     ).collect()
     tiny.groupBy("id").applyInPandas(lambda p: p[["id"]], "id long").collect()
+    # quality/token expression codegen (first use otherwise bills ~2 s to
+    # whichever query touches them first, e.g. corpus_mix)
+    from flatbread_spark.functions.text import quality_score, token_count
+
+    tiny.select(quality_score(F.col("text")), token_count(F.col("text"))).collect()
 
     probe_before = host_probe()
     qs = entry.queries()
