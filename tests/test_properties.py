@@ -177,12 +177,21 @@ range_events = st.lists(
 
 @given(left=range_events, right=range_events,
        bounds=st.tuples(st.integers(-20, 19), st.integers(-19, 20)).filter(
-           lambda b: b[1] > b[0]))
+           lambda b: b[1] > b[0]),
+       base=st.sampled_from(
+           [0, 1_700_000_000_000_000_001, -1_700_000_000_000_000_001]
+       ))
 @settings(**SET)
-def test_range_join_matches_naive_inequality_join(spark, left, right, bounds):
+def test_range_join_matches_naive_inequality_join(spark, left, right, bounds, base):
     from flatbread_spark.operators.asof import range_join_bucketed
 
+    # `base` shifts timestamps to odd int64-nanosecond magnitudes beyond
+    # 2^53 — exactly where double-division bucket ids silently misrounded
+    # before the exact pmod+decimal floor division (ADVICE r2); the naive
+    # Python oracle below compares with exact ints either way
     lower, upper = bounds
+    left = [(k, ts + base) for k, ts in left]
+    right = [(k, ts + base) for k, ts in right]
     ldf = spark.createDataFrame(
         [(k, i, ts) for i, (k, ts) in enumerate(left)], ["k", "lid", "ts"]
     )
@@ -203,3 +212,35 @@ def test_range_join_matches_naive_inequality_join(spark, left, right, bounds):
         if lk == rk and lts + lower <= rts <= lts + upper
     )
     assert got == naive
+
+
+_phrases = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "the quick brown fox jumps over the lazy cat",
+    "sphinx of black quartz judge my vow",
+]
+
+
+@given(picks=st.lists(st.integers(0, 3), min_size=3, max_size=10))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_cap_is_conservative(spark, picks):
+    """Capped minhash pairs ⊆ uncapped pairs on arbitrary duplicate-heavy
+    corpora (the star edges of an over-cap bucket are candidates of the
+    uncapped self-join too, and verification is identical), and every capped
+    pair keeps the exact uncapped jaccard."""
+    from flatbread_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, _phrases[p]) for i, p in enumerate(picks)], ["doc_id", "text"]
+    )
+    kw = dict(n=2, num_hashes=16, bands=4, threshold=0.3)
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in minhash_lsh_pairs(docs, "doc_id", "text",
+                                       max_band_bucket=None, **kw).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in minhash_lsh_pairs(docs, "doc_id", "text",
+                                         max_band_bucket=2, **kw).collect()}
+    assert set(capped) <= set(full)
+    assert all(full[p] == j for p, j in capped.items())
