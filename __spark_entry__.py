@@ -823,6 +823,41 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_stream_dedup_replay(spark, sf_dir):
+    """Watermarked streaming ingest-dedup (dropDuplicatesWithinWatermark)
+    replayed over the bounded documents source: the surviving rows are
+    exactly one per distinct content fingerprint — a SET, so the oracle is
+    DISTINCT md5(text). Second driver-checkable streaming artifact next to
+    stream_replay (stateful sessionize)."""
+    import tempfile
+
+    from flatbread_spark.streaming.dedup import stream_dedup_exact
+
+    docs = _load(spark, sf_dir, "documents")
+    stream_dir = tempfile.mkdtemp(prefix="fb_stream_dedup_")
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    for q in spark.streams.active:
+        if q.name == "fb_stream_dedup":
+            q.stop()
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+    )
+    deduped = stream_dedup_exact(sdf, "text", "ts", delay="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("fb_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("fb_stream_dedup").select("fingerprint").distinct()
+
+
 def q_contamination_planted(spark, sf_dir):
     """Planted-contamination recall fixture (VERDICT r2 #5): every 50th doc
     is copied verbatim into a synthetic eval set (eval_id = doc_id + 1e6),
@@ -1272,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_counts_pct_raw": q_value_counts_pct_raw,
         # -- new in round 3 --
         "stream_replay": q_stream_replay,
+        "stream_dedup_replay": q_stream_dedup_replay,
         "contamination_planted": q_contamination_planted,
         "trimmed_margin": q_trimmed_margin,
         "salted_agg": q_salted_agg,
@@ -2156,6 +2192,9 @@ SELECT CAST(floor(epoch_ns(ts)/3600000000000)*3600 AS BIGINT) AS bucket_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "stream_dedup_replay": """
+SELECT DISTINCT md5(text) AS fingerprint FROM documents ORDER BY fingerprint
 """,
         "salted_agg": """
 SELECT upper(event_type) AS type_tag, COUNT(*) AS n,
