@@ -88,6 +88,9 @@ DEFAULTS_STATIC: dict[str, Any] = {
         # from_df(pos_strategy="auto"): frames larger than this get ranged
         # (two-phase) __pos__ assignment instead of a single-task window
         "pos_auto_threshold": 100_000,
+        # embedding_dup_pairs with no candidate-generation key refuses the
+        # all-pairs join above this row count (0 disables the guard)
+        "allpairs_max_rows": 100_000,
     },
     "format_presets": {
         "currency_eur": {

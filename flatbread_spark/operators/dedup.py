@@ -556,7 +556,20 @@ def embedding_dup_pairs(
         )
     else:
         # no candidate-generation key: genuine all-pairs join (only sane for
-        # small frames — documented above)
+        # small frames — documented above). ENFORCED, not just documented:
+        # probe the frame size and refuse the O(n²) join beyond the bound
+        # (engine.allpairs_max_rows config) instead of silently launching a
+        # quadratic job on a production corpus.
+        from flatbread_spark.config import CONFIG
+
+        bound = int(CONFIG.get("engine", "allpairs_max_rows", default=100_000))
+        if bound > 0 and base.limit(bound + 1).count() > bound:
+            raise ValueError(
+                f"embedding_dup_pairs without block_col/lsh_nbits is an "
+                f"all-pairs join, refused above {bound} rows "
+                "(engine.allpairs_max_rows); set lsh_nbits (scale path) or "
+                "block_col, or raise the bound explicitly"
+            )
         from flatbread_spark.functions.vectors import dot_fast
 
         base_n = base.withColumn("__norm", F.sqrt(dot_fast(F.col("__v"), F.col("__v"))))

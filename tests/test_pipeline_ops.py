@@ -726,3 +726,25 @@ def test_contamination_containment_catches_embedded_prompt(spark):
            for r in contamination_pairs(train, eval_df, "doc_id", "text",
                                         n=4, threshold=0.5).collect()}
     assert got == {(1, 100): 1.0}
+
+
+def test_embedding_allpairs_guard(spark):
+    """The keyless all-pairs path refuses corpora above
+    engine.allpairs_max_rows instead of silently going quadratic."""
+    import pytest as _pytest
+
+    from flatbread_spark.config import CONFIG
+    from flatbread_spark.operators.dedup import embedding_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(1, 21)], ["vec_id", "embedding"]
+    )
+    CONFIG.update_runtime({"engine": {"allpairs_max_rows": 10}})
+    try:
+        with _pytest.raises(ValueError, match="all-pairs"):
+            embedding_dup_pairs(df, "vec_id", "embedding", threshold=0.9)
+    finally:
+        CONFIG.update_runtime({"engine": {"allpairs_max_rows": 100_000}})
+    # under the bound the path still works
+    out = embedding_dup_pairs(df, "vec_id", "embedding", threshold=0.99)
+    assert out.count() > 0
