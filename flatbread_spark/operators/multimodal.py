@@ -150,3 +150,63 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_ms"),
         "payload",
     )
+
+
+RESIZED_SCHEMA = (
+    "asset_id bigint, modality string, payload binary, "
+    "width int, height int, n_bytes bigint"
+)
+
+
+def resize_images(
+    assets: DataFrame, max_w: int = 256, max_h: int = 256
+) -> DataFrame:
+    """Distributed image resize: Arrow-batched ``mapInPandas`` over the
+    binary payload column — bytes stay on executors, output carries the new
+    payload + dimensions. The codec slot is the same swappable stub as
+    :func:`extract_features` (no PIL in this container): the deterministic
+    fake emits a payload whose bytes derive from (sha256(payload), target
+    box) and dimensions that respect the aspect-box contract
+    (w <= max_w, h <= max_h, deterministic per input), so schema, batch
+    shape, and partitioning behavior are real and testable."""
+
+    def _resize_batch(pdf_iter):
+        import pandas as pd
+
+        fake = os.environ.get("FLATBREAD_FAKE_DECODE", "1") == "1"
+        if not fake:
+            raise NotImplementedError(
+                "real image resize requires PIL; set FLATBREAD_FAKE_DECODE=1 "
+                "or install codecs"
+            )
+        for pdf in pdf_iter:
+            payloads, widths, heights, sizes = [], [], [], []
+            for b in pdf["payload"]:
+                h = hashlib.sha256(b or b"").digest()
+                # fake decoded dims (same derivation as _decode_batch) ...
+                w0 = int.from_bytes(h[0:2], "big") % 4096 or 1
+                h0 = int.from_bytes(h[2:4], "big") % 4096 or 1
+                # ... then a real aspect-preserving fit into the target box
+                scale = min(max_w / w0, max_h / h0, 1.0)
+                w1, h1 = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+                fake_payload = hashlib.sha256(
+                    h + max_w.to_bytes(4, "big") + max_h.to_bytes(4, "big")
+                ).digest() * 4
+                payloads.append(fake_payload)
+                widths.append(w1)
+                heights.append(h1)
+                sizes.append(len(fake_payload))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "payload": payloads,
+                    "width": widths,
+                    "height": heights,
+                    "n_bytes": sizes,
+                }
+            )
+
+    return assets.filter(F.col("modality") == "image").mapInPandas(
+        _resize_batch, schema=RESIZED_SCHEMA
+    )

@@ -748,3 +748,31 @@ def test_embedding_allpairs_guard(spark):
     # under the bound the path still works
     out = embedding_dup_pairs(df, "vec_id", "embedding", threshold=0.99)
     assert out.count() > 0
+
+
+def test_resize_images_contract(spark, documents):
+    """Resize stage: aspect-box contract holds, output is deterministic, and
+    payload bytes stay binary through the Arrow boundary."""
+    from flatbread_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        synth_assets_from_documents,
+    )
+
+    assets = synth_assets_from_documents(documents.limit(30))
+    imgs = assets.filter("modality = 'image'")
+    n_imgs = imgs.count()
+    out = resize_images(assets, max_w=128, max_h=96).collect()
+    assert len(out) == n_imgs > 0
+    assert all(1 <= r.width <= 128 and 1 <= r.height <= 96 for r in out)
+    assert all(isinstance(r.payload, (bytes, bytearray)) and r.n_bytes == len(r.payload) for r in out)
+    # aspect preserved w.r.t. the fake-decoded dims: scale applied equally
+    feats = {r.asset_id: (r.width, r.height) for r in extract_features(imgs).collect()}
+    for r in out:
+        w0, h0 = feats[r.asset_id]
+        if w0 <= 128 and h0 <= 96:
+            assert (r.width, r.height) == (max(w0, 1), max(h0, 1))
+    # deterministic
+    again = {r.asset_id: (r.payload, r.width, r.height)
+             for r in resize_images(assets, max_w=128, max_h=96).collect()}
+    assert all(again[r.asset_id] == (r.payload, r.width, r.height) for r in out)
