@@ -206,6 +206,27 @@ def q_salted_agg(spark, sf_dir):
     ).orderBy("type_tag")
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global shuffle for training order: rank documents by
+    md5(doc_id || salt) — reproducible across runs/partitionings, and
+    epoch-independent via the salt. Ranks come from the range-partitioned
+    two-phase assignment (operators/ranking.scalable_pos — no single-task
+    window), exercising the scale path for global ordering in a graded
+    query. Oracle: row_number() OVER (ORDER BY md5(...)) — byte-wise string
+    order matches Spark's."""
+    from flatbread_spark.operators.ranking import scalable_pos
+
+    docs = _load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0")))
+        .alias("__shufkey")
+    )
+    ranked = scalable_pos(keyed, [F.col("__shufkey")], out_col="__pos__")
+    return ranked.select(
+        F.col("__pos__").cast("bigint").alias("rank"), "doc_id"
+    ).orderBy("rank")
+
+
 def q_value_counts_pct_naive(spark, sf_dir):
     """Bisect variant of value_counts_pct: naive per-cell F.round instead of
     the order-dependent apportioned kernel. If the driver grades this green
@@ -1311,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_planted": q_contamination_planted,
         "trimmed_margin": q_trimmed_margin,
         "salted_agg": q_salted_agg,
+        "corpus_shuffle": q_corpus_shuffle,
         # -- core reference-parity margin family (stable green) --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -2192,6 +2214,11 @@ SELECT CAST(floor(epoch_ns(ts)/3600000000000)*3600 AS BIGINT) AS bucket_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "corpus_shuffle": """
+SELECT row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch0')) AS rank,
+       doc_id
+FROM documents ORDER BY rank
 """,
         "stream_dedup_replay": """
 SELECT DISTINCT md5(text) AS fingerprint FROM documents ORDER BY fingerprint
