@@ -244,3 +244,33 @@ def test_minhash_cap_is_conservative(spark, picks):
                                          max_band_bucket=2, **kw).collect()}
     assert set(capped) <= set(full)
     assert all(full[p] == j for p, j in capped.items())
+
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(-1000, 1000)),
+    min_size=1, max_size=30),
+    n_salts=st.sampled_from([1, 3, 16]))
+@settings(**SET)
+def test_salted_agg_equals_plain_groupby(spark, rows, n_salts):
+    """Two-stage salted aggregation is semantically identical to the plain
+    groupBy for any (count, sum) workload, any salt width — integer sums are
+    associative so the salt-induced partial split cannot change results."""
+    import pyspark.sql.functions as F
+
+    from flatbread_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: (r.n, r.tot)
+        for r in salted_agg(
+            df, ["k"],
+            {"n": (F.count(F.lit(1)), F.sum("n")),
+             "tot": (F.sum("v"), F.sum("tot"))},
+            n_salts=n_salts,
+        ).collect()
+    }
+    exp = {}
+    for k, v in rows:
+        n, t = exp.get(k, (0, 0))
+        exp[k] = (n + 1, t + v)
+    assert got == exp
