@@ -206,6 +206,21 @@ def q_salted_agg(spark, sf_dir):
     ).orderBy("type_tag")
 
 
+def q_binned_counts(spark, sf_dir):
+    """pd.cut parity: bin order totals into interval-labeled buckets
+    (JVM when-chain, labels render exactly like str(pd.Interval)) and run
+    the null-inclusive value_counts over the binned key — the reference's
+    canonical cut → pivot flow, with out-of-range rows surfacing as the
+    '<NA>' category."""
+    from flatbread_spark.functions.binning import cut
+    from flatbread_spark.operators.counts import value_counts
+
+    orders = _load(spark, sf_dir, "orders").withColumn(
+        "price_bin", cut(F.col("o_totalprice"), [0, 100_000, 200_000, 300_000])
+    )
+    return value_counts(orders, "price_bin").to_df()
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic global shuffle for training order: rank documents by
     md5(doc_id || salt) — reproducible across runs/partitionings, and
@@ -1333,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_margin": q_trimmed_margin,
         "salted_agg": q_salted_agg,
         "corpus_shuffle": q_corpus_shuffle,
+        "binned_counts": q_binned_counts,
         # -- core reference-parity margin family (stable green) --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -2214,6 +2230,19 @@ SELECT CAST(floor(epoch_ns(ts)/3600000000000)*3600 AS BIGINT) AS bucket_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "binned_counts": """
+WITH b AS (SELECT CASE
+    WHEN o_totalprice > 0      AND o_totalprice <= 100000 THEN '(0.0, 100000.0]'
+    WHEN o_totalprice > 100000 AND o_totalprice <= 200000 THEN '(100000.0, 200000.0]'
+    WHEN o_totalprice > 200000 AND o_totalprice <= 300000 THEN '(200000.0, 300000.0]'
+    END AS v
+  FROM orders),
+c AS (SELECT COALESCE(v, '<NA>') AS price_bin, COUNT(*) AS count FROM b GROUP BY 1),
+u AS (SELECT price_bin, count, 0 AS grp FROM c
+      UNION ALL SELECT 'Totals', SUM(count), 1 FROM c)
+SELECT price_bin, count FROM u
+ORDER BY grp, CASE WHEN grp = 0 THEN -count END, price_bin
 """,
         "corpus_shuffle": """
 SELECT row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch0')) AS rank,

@@ -776,3 +776,19 @@ def test_resize_images_contract(spark, documents):
     again = {r.asset_id: (r.payload, r.width, r.height)
              for r in resize_images(assets, max_w=128, max_h=96).collect()}
     assert all(again[r.asset_id] == (r.payload, r.width, r.height) for r in out)
+
+
+def test_cut_matches_pandas(spark):
+    """cut() label/assignment parity with pd.cut on float bins, incl. NaN
+    for out-of-range and null inputs."""
+    import pandas as pd
+
+    from flatbread_spark.functions.binning import cut
+
+    vals = [-5.0, 0.0, 0.5, 100.0, 100.5, 250.0, 300.0, None]
+    bins = [0.0, 100.0, 300.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r.b for r in df.select(cut(F.col("v"), bins).alias("b")).collect()]
+    exp = [None if pd.isna(x) else str(x)
+           for x in pd.cut(pd.Series(vals, dtype="float64"), bins)]
+    assert got == exp
