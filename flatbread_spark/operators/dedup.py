@@ -212,21 +212,6 @@ def contamination_pairs(
     )
 
 
-def _minhash_signature(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
-    """array<bigint> MinHash signature from deterministic universal hashes
-    h_i(x) = (a_i * xxhash64(x) + b_i) mod p over the shingle set."""
-    coeffs = minhash_coeffs(num_hashes, seed)
-    hashed = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _P)
-    sigs = []
-    for a, b in coeffs:
-        sigs.append(
-            F.array_min(
-                F.transform(hashed, lambda h: (h * a + b) % _P)
-            )
-        )
-    return F.array(*sigs)
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
