@@ -779,6 +779,27 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(docs, "doc_id", "text")
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Line/paragraph-level exact dedup (CCNet/RefinedWeb style): drop every
+    12-word chunk whose content recurs in another document; per-doc counts +
+    md5 of the cleaned text. Chunking is fixed word windows because the
+    synthetic corpus is single-line (see explode_word_chunks docstring)."""
+    from flatbread_spark.operators.dedup import chunk_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_dedup(docs, "doc_id", "text", words_per_chunk=12)
+
+
+def q_chunk_overlap(spark, sf_dir):
+    """Cross-source duplicate-chunk overlap matrix: for each unordered pair
+    of sources, how many distinct duplicated 12-word chunk contents they
+    share — the 'which crawls overlap?' pre-dedup diagnostic."""
+    from flatbread_spark.operators.dedup import chunk_overlap
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_overlap(docs, "doc_id", "text", "source", words_per_chunk=12)
+
+
 def q_text_stats(spark, sf_dir):
     from flatbread_spark.functions import text as T
 
@@ -1349,6 +1370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "corpus_shuffle": q_corpus_shuffle,
         "binned_counts": q_binned_counts,
+        "chunk_dedup": q_chunk_dedup,
+        "chunk_overlap": q_chunk_overlap,
         # -- core reference-parity margin family (stable green) --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -2251,6 +2274,35 @@ FROM documents ORDER BY rank
 """,
         "stream_dedup_replay": """
 SELECT DISTINCT md5(text) AS fingerprint FROM documents ORDER BY fingerprint
+""",
+        "chunk_dedup": """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+c AS (SELECT doc_id, CAST(i AS INT) AS cidx,
+             array_to_string(words[(i*12+1):(i*12+12)], ' ') AS chunk
+      FROM w, UNNEST(range(CAST(ceil(len(words)/12.0) AS BIGINT))) AS t(i)),
+h AS (SELECT doc_id, cidx, chunk, md5(chunk) AS chash FROM c),
+d AS (SELECT chash FROM h GROUP BY chash HAVING count(DISTINCT doc_id) > 1)
+SELECT h.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN d.chash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       md5(string_agg(CASE WHEN d.chash IS NULL THEN h.chunk END,
+                      ' ' ORDER BY h.cidx)) AS clean_md5
+FROM h LEFT JOIN d ON h.chash = d.chash
+GROUP BY h.doc_id ORDER BY h.doc_id
+""",
+        "chunk_overlap": """
+WITH w AS (SELECT doc_id, source, string_split(text,' ') AS words FROM documents),
+c AS (SELECT doc_id, source,
+             array_to_string(words[(i*12+1):(i*12+12)], ' ') AS chunk
+      FROM w, UNNEST(range(CAST(ceil(len(words)/12.0) AS BIGINT))) AS t(i)),
+h AS (SELECT doc_id, source, md5(chunk) AS chash FROM c),
+d AS (SELECT chash FROM h GROUP BY chash HAVING count(DISTINCT doc_id) > 1),
+s AS (SELECT DISTINCT h.chash, h.source FROM h JOIN d USING(chash))
+SELECT a.source AS grp_a, b.source AS grp_b,
+       CAST(count(*) AS BIGINT) AS shared_chunks
+FROM s a JOIN s b ON a.chash = b.chash AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "salted_agg": """
 SELECT upper(event_type) AS type_tag, COUNT(*) AS n,

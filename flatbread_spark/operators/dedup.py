@@ -584,3 +584,151 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ----------------------------------------------------------- chunk-level dedup
+def explode_word_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words_per_chunk: int = 12,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Split each document into fixed-width word windows and explode to one
+    row per (doc, chunk).
+
+    The chunk is the unit of line/paragraph-level dedup (CCNet/RefinedWeb
+    style). Real corpora would chunk on ``\\n``/``\\n\\n``; the synthetic
+    testdata is single-line, so fixed word windows are the deterministic
+    equivalent — swap the splitter, keep the pipeline. Everything is JVM-side
+    (split → sequence → transform+slice → posexplode): no shuffle, the
+    explode happens inside the scan stage.
+
+    Returns (id_col, *extra_cols, cidx int, chunk string).
+    """
+    w = int(words_per_chunk)
+    if w <= 0:
+        raise ValueError("words_per_chunk must be positive")
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * w + 1, w)),
+    )
+    # Alias the HOF result once before exploding: HOF expressions re-evaluate
+    # per referencing expression if repeated inline.
+    base = df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                     chunks.alias("__chunks"))
+    return base.select(
+        id_col, *extra_cols,
+        F.posexplode("__chunks").alias("cidx", "chunk"),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words_per_chunk: int = 12,
+    emit_clean_text: bool = True,
+) -> DataFrame:
+    """Line/paragraph-level exact dedup: drop every chunk whose content
+    appears in more than one distinct document (RefinedWeb removes all
+    copies of a cross-document duplicated line; same semantics here — no
+    "keep first", so the result is order-independent and exactly
+    SQL-replayable).
+
+    Returns one row per document: (id_col, n_chunks, n_dup_chunks, and when
+    ``emit_clean_text`` the md5 of the text reassembled from surviving
+    chunks in document order — NULL when nothing survives).
+
+    Scale shape (the standard CCNet sharded-hash plan, expressed
+    declaratively):
+      1. chunk + hash map-side (no shuffle);
+      2. groupBy chunk-hash with map-side partial aggregation — only
+         (hash, partial count) moves;
+      3. join chunks to the duplicated-hash set on the hash (AQE broadcasts
+         it when small; shuffle-join otherwise — at 100 TB the dup set is
+         genuinely large, so do NOT force broadcast);
+      4. reassemble per doc — one shuffle on id.
+    Chunk text crosses the wire once (step 3); with
+    ``emit_clean_text=False`` only (hash, id, cidx) ever moves.
+    """
+    chunks = explode_word_chunks(df, id_col, text_col, words_per_chunk)
+    sel = [F.col(id_col), "cidx", fingerprint_md5(F.col("chunk")).alias("__chash")]
+    if emit_clean_text:
+        sel.append(F.col("chunk"))
+    hashed = _pin(chunks.select(*sel))
+    dup = (
+        hashed.groupBy("__chash")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .filter(F.col("__ndocs") > 1)
+        .select("__chash")
+        .withColumn("__dup", F.lit(True))
+    )
+    marked = hashed.join(dup, "__chash", "left").withColumn(
+        "__dup", F.coalesce(F.col("__dup"), F.lit(False))
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.col("__dup").cast("int")).cast("bigint").alias("n_dup_chunks"),
+    ]
+    if emit_clean_text:
+        kept = F.array_sort(
+            F.collect_list(
+                F.when(~F.col("__dup"), F.struct(F.col("cidx"), F.col("chunk")))
+            )
+        )
+        aggs.append(kept.alias("__kept"))
+    out = marked.groupBy(id_col).agg(*aggs)
+    if emit_clean_text:
+        arr = F.col("__kept")
+        clean = F.when(
+            F.size(arr) > 0,
+            F.md5(F.concat_ws(" ", F.transform(arr, lambda s: s["chunk"]))),
+        )
+        out = out.withColumn("clean_md5", clean).drop("__kept")
+    return out
+
+
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    words_per_chunk: int = 12,
+) -> DataFrame:
+    """Cross-group duplicate-content overlap matrix: for every unordered
+    pair of groups (sources, dumps, shards), the number of distinct
+    duplicated chunk contents they share. The corpus-analytics view behind
+    "which crawls overlap?" before committing to a full dedup run.
+
+    Only (hash, group) pairs move — distinct'd BEFORE the self-join, so the
+    join input is bounded by (#dup hashes × #groups), not corpus size; the
+    pinned frame keeps the two self-join branches from recomputing the scan.
+    """
+    chunks = explode_word_chunks(df, id_col, text_col, words_per_chunk,
+                                 extra_cols=(group_col,))
+    hashed = _pin(
+        chunks.select(
+            F.col(id_col), F.col(group_col),
+            fingerprint_md5(F.col("chunk")).alias("__chash"),
+        )
+    )
+    dup = (
+        hashed.groupBy("__chash")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .filter(F.col("__ndocs") > 1)
+        .select("__chash")
+    )
+    gh = _pin(
+        hashed.join(dup, "__chash").select("__chash", group_col).distinct()
+    )
+    a = gh.select(F.col("__chash"), F.col(group_col).alias("grp_a"))
+    b = gh.select(F.col("__chash"), F.col(group_col).alias("grp_b"))
+    return (
+        a.join(b, "__chash")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_chunks"))
+    )

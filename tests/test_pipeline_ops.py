@@ -792,3 +792,50 @@ def test_cut_matches_pandas(spark):
     exp = [None if pd.isna(x) else str(x)
            for x in pd.cut(pd.Series(vals, dtype="float64"), bins)]
     assert got == exp
+
+
+def test_chunk_dedup_drops_all_copies_of_shared_chunks(spark):
+    from flatbread_spark.operators.dedup import chunk_dedup, explode_word_chunks
+
+    rows = [
+        (1, "a b c d e f g h"),   # chunk1 "a b c d", chunk2 "e f g h"
+        (2, "a b c d x y z w"),   # shares chunk1 with doc 1
+        (3, "p q r s"),           # unique single chunk
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ch = explode_word_chunks(df, "doc_id", "text", 4).collect()
+    assert len(ch) == 5 and {(r.doc_id, r.cidx) for r in ch} == {
+        (1, 0), (1, 1), (2, 0), (2, 1), (3, 0)}
+    out = {r.doc_id: r for r in chunk_dedup(df, "doc_id", "text", 4).collect()}
+    assert out[1].n_dup_chunks == 1 and out[2].n_dup_chunks == 1
+    assert out[3].n_dup_chunks == 0
+    # cleaned doc 1 == md5("e f g h"); doc 3 survives whole
+    import hashlib
+    assert out[1].clean_md5 == hashlib.md5(b"e f g h").hexdigest()
+    assert out[3].clean_md5 == hashlib.md5(b"p q r s").hexdigest()
+
+
+def test_chunk_dedup_all_duplicate_doc_yields_null_clean(spark):
+    from flatbread_spark.operators.dedup import chunk_dedup
+
+    rows = [(1, "a b c d"), (2, "a b c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in chunk_dedup(df, "doc_id", "text", 4).collect()}
+    assert out[1].clean_md5 is None and out[2].clean_md5 is None
+    assert out[1].n_chunks == 1 and out[1].n_dup_chunks == 1
+
+
+def test_chunk_overlap_counts_distinct_shared_contents(spark):
+    from flatbread_spark.operators.dedup import chunk_overlap
+
+    rows = [
+        (1, "a b c d", "s1"),
+        (2, "a b c d", "s2"),     # shares "a b c d" with s1
+        (3, "a b c d", "s2"),     # same content, same group — counted once
+        (4, "x y z w", "s3"),     # unique, no overlap rows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = chunk_overlap(df, "doc_id", "text", "source", 4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.grp_a, r.grp_b, r.shared_chunks) == ("s1", "s2", 1)
