@@ -631,6 +631,70 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    max — aggregate once, join the scalar max back (Spark plans the 1-row
+    side as a broadcast under AQE; no correlated subquery rewrite needed).
+    Decimal accumulation so the 'equals max' comparison is order-free."""
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1996-04-01")))
+    )
+    supplier = _load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        revenue.join(F.broadcast(mx), revenue.total_revenue == mx.__mx)
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 adapted to the slim schema (no partsupp → profit is revenue
+    without supply cost): per supplier-nation × order-year revenue on 'red'
+    parts. part/nation broadcast; lineitem⋈orders left to AQE."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    supplier = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    part = _load(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_profit"))
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 adapted (no container/shipmode columns): disjunction of
+    three brand × size × quantity brackets — the OR-of-ANDs predicate that
+    must still push the part filter below the join. part side broadcast."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    br = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(br).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
 def q_set_ops(spark, sf_dir):
     """Set-operation surface (SURVEY §2.6): INTERSECT/EXCEPT of the priority
     sets seen in two disjoint years, tagged by operation."""
@@ -1372,6 +1436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binned_counts": q_binned_counts,
         "chunk_dedup": q_chunk_dedup,
         "chunk_overlap": q_chunk_overlap,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q19": q_tpch_q19,
         # -- core reference-parity margin family (stable green) --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -2290,6 +2357,44 @@ SELECT h.doc_id,
                       ' ' ORDER BY h.cidx)) AS clean_md5
 FROM h LEFT JOIN d ON h.chash = d.chash
 GROUP BY h.doc_id ORDER BY h.doc_id
+""",
+        "tpch_q15": """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+        "tpch_q9": """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6)))
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+        "tpch_q19": """
+SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
 """,
         "chunk_overlap": """
 WITH w AS (SELECT doc_id, source, string_split(text,' ') AS words FROM documents),
