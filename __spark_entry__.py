@@ -1242,6 +1242,33 @@ def q_sessions(spark, sf_dir):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel view→click→purchase per user, strictly increasing
+    timestamps — single groupBy-user fold (F.aggregate), no iterative joins.
+    Timestamps compared at microseconds on both sides (ts is raw nanos via
+    nanosAsLong; DuckDB TIMESTAMP is micros)."""
+    from flatbread_spark.operators.events import funnel
+
+    ev = _load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts DIV 1000"))
+    return funnel(ev, "user_id", "ts_us", "event_type",
+                  ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over events: first-seen week per user joined
+    to distinct active weeks, both Monday-truncated."""
+    from flatbread_spark.operators.events import cohort_retention
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    out = cohort_retention(ev, "user_id", "ts_t")
+    return out.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset", "n_active",
+    )
+
+
 def q_stream_replay(spark, sf_dir):
     """Run the REAL Structured Streaming sessionizer (applyInPandasWithState,
     update mode, availableNow trigger) over the bounded events source and
@@ -1439,6 +1466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q9": q_tpch_q9,
         "tpch_q19": q_tpch_q19,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         # -- core reference-parity margin family (stable green) --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -2357,6 +2386,37 @@ SELECT h.doc_id,
                       ' ' ORDER BY h.cidx)) AS clean_md5
 FROM h LEFT JOIN d ON h.chash = d.chash
 GROUP BY h.doc_id ORDER BY h.doc_id
+""",
+        "funnel": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+           WHERE event_type IN ('view','click','purchase')),
+t1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type='view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t1 USING(user_id)
+       WHERE e.event_type='click' AND e.t > t1.t GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t2 USING(user_id)
+       WHERE e.event_type='purchase' AND e.t > t2.t GROUP BY 1),
+c AS (SELECT (SELECT count(*) FROM t1) AS s1,
+             (SELECT count(*) FROM t2) AS s2,
+             (SELECT count(*) FROM t3) AS s3)
+SELECT step, step_name, n_users,
+       round(n_users * 1.0 / s1, 6) AS pct_of_first
+FROM (SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+             CAST(s1 AS BIGINT) AS n_users, s1 FROM c
+      UNION ALL SELECT 2, 'click', CAST(s2 AS BIGINT), s1 FROM c
+      UNION ALL SELECT 3, 'purchase', CAST(s3 AS BIGINT), s1 FROM c)
+ORDER BY step
+""",
+        "cohort_retention": """
+WITH f AS (SELECT user_id,
+                  CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+           FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', cw, wk) // 7 AS INTEGER) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM f JOIN a USING(user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "tpch_q15": """
 WITH revenue AS (

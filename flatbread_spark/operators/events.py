@@ -1,0 +1,138 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The two classic product-analytics operators a large event store needs
+(reference surface has sessionize/rollup in ``streaming/windows.py``; these
+complete the batch family). Both are single-pass declarative plans:
+
+- ``funnel``: per-user ordered step matching folded JVM-side with
+  ``F.aggregate`` over the user's time-sorted events — one shuffle (groupBy
+  user), no UDF, no iterative self-joins. Equivalent to the sequential
+  "min timestamp of step k strictly after step k-1" definition.
+- ``cohort_retention``: first-seen week per user joined back to distinct
+  active weeks — two aggregations and one equi-join, all keyed on the user
+  id so co-partitioning holds at scale.
+
+Skew note (100 TB): both group on the user id; a bot-grade user with
+millions of events makes ``collect_list`` the hazard in ``funnel``. Cap the
+per-user event list upstream (e.g. ``sampling.topk_by_group`` on recency)
+for open-web corpora — the funnel semantics only need events of the step
+types, which the operator pre-filters before collecting.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel conversion over ``steps`` (strictly increasing
+    timestamps between consecutive steps).
+
+    A user reaches step k when there exist events e1..ek of the step types
+    with t(e1) < t(e2) < ... < t(ek); matching is greedy-earliest, which
+    reaches the maximal step (standard funnel semantics). Returns one row
+    per step: (step int, step_name, n_users, pct_of_first).
+
+    ``ts_col`` must be an orderable column (long epoch or timestamp); ties
+    across types at the same timestamp do NOT advance two steps (strict
+    inequality), so the result is insensitive to within-tie sort order.
+    """
+    if not steps:
+        raise ValueError("funnel requires at least one step")
+    k = len(steps)
+    ts_dtype = df.schema[ts_col].dataType
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("__u"),
+        F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")).alias("__e"),
+    )
+    per_user = ev.groupBy("__u").agg(F.array_sort(F.collect_list("__e")).alias("__es"))
+
+    folded = F.aggregate(
+        F.col("__es"),
+        F.struct(
+            F.lit(0).alias("step"), F.lit(None).cast(ts_dtype).alias("t")
+        ),
+        lambda acc, e: F.when(
+            (acc["step"] < k)
+            & (e["y"] == F.element_at(steps_lit, acc["step"] + 1))
+            & (acc["t"].isNull() | (e["t"] > acc["t"])),
+            F.struct((acc["step"] + 1).alias("step"), e["t"].alias("t")),
+        ).otherwise(acc),
+    )
+    # Alias the HOF fold once (HOF expressions re-evaluate per reference).
+    reached = per_user.select(folded["step"].alias("__reached"))
+
+    counts = reached.agg(
+        *[
+            F.sum((F.col("__reached") >= i + 1).cast("long")).alias(f"__s{i + 1}")
+            for i in range(k)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(steps[i]).alias("step_name"),
+                F.coalesce(F.col(f"__s{i + 1}"), F.lit(0)).alias("n_users"),
+            )
+            for i in range(k)
+        ]
+    )
+    return (
+        counts.select(F.explode(rows).alias("r"), F.col("__s1"))
+        .select(
+            "r.step",
+            "r.step_name",
+            "r.n_users",
+            F.round(F.col("r.n_users") / F.col("__s1"), 6).alias("pct_of_first"),
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    event; for each (cohort_week, week_offset) the count of cohort members
+    active that week.
+
+    ``ts_col`` must be a timestamp column. Weeks are Monday-truncated
+    (``date_trunc('week', ...)`` — same convention in ANSI SQL engines), so
+    offsets are exact day-difference/7 with no partial-week ambiguity.
+    Returns (cohort_week date, week_offset int, n_active long).
+    """
+    ts = F.col(ts_col)
+    firsts = (
+        df.groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(ts).alias("__first"))
+        .select(
+            "__u", F.date_trunc("week", F.col("__first")).cast("date").alias("cohort_week")
+        )
+    )
+    active = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc("week", ts).cast("date").alias("__week"),
+        )
+        .distinct()
+    )
+    return (
+        firsts.join(active, "__u")
+        .groupBy(
+            "cohort_week",
+            F.expr("CAST(datediff(__week, cohort_week) DIV 7 AS INT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
