@@ -17,9 +17,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def interval_label(lo: float, hi: float, right: bool = True) -> str:
-    """The exact ``str(pd.Interval(lo, hi, closed))`` rendering."""
-    return f"({float(lo)}, {float(hi)}]" if right else f"[{float(lo)}, {float(hi)})"
+def interval_label(lo, hi, right: bool = True, as_int: bool = False) -> str:
+    """The exact ``str(pd.Interval(lo, hi, closed))`` rendering.
+
+    pandas renders edges through the bins array's dtype: an all-int bins
+    list gives ``"(0, 100000]"``, any float edge makes the WHOLE array
+    float64 and gives ``"(0.0, 100000.0]"`` — so int-ness is a property of
+    the bins list (``as_int``), not of each edge's value.
+    """
+    lo, hi = (int(lo), int(hi)) if as_int else (float(lo), float(hi))
+    return f"({lo}, {hi}]" if right else f"[{lo}, {hi})"
 
 
 def cut(col: Column, bins: Sequence[float], right: bool = True) -> Column:
@@ -27,13 +34,16 @@ def cut(col: Column, bins: Sequence[float], right: bool = True) -> Column:
 
     Returns a string column; values outside every bin (and nulls) map to
     NULL, matching ``pd.cut``'s NaN. Bins must be monotonically increasing.
+    Labels are byte-equal to ``str(pd.cut(...).cat.categories[i])`` for both
+    int and float bin edges.
     """
-    bins = [float(b) for b in bins]
-    if len(bins) < 2 or any(b >= c for b, c in zip(bins, bins[1:])):
+    as_int = all(isinstance(b, int) and not isinstance(b, bool) for b in bins)
+    edges = [float(b) for b in bins]
+    if len(edges) < 2 or any(b >= c for b, c in zip(edges, edges[1:])):
         raise ValueError(f"bins must be increasing with >= 2 edges, got {bins}")
     c = col.cast("double")
     out = F.lit(None).cast("string")
-    for lo, hi in reversed(list(zip(bins, bins[1:]))):
+    for lo, hi in reversed(list(zip(edges, edges[1:]))):
         cond = ((c > lo) & (c <= hi)) if right else ((c >= lo) & (c < hi))
-        out = F.when(cond, F.lit(interval_label(lo, hi, right))).otherwise(out)
+        out = F.when(cond, F.lit(interval_label(lo, hi, right, as_int))).otherwise(out)
     return out

@@ -18,6 +18,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from flatbread_spark.functions.eventtime import ensure_epoch_ns
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType, StructField, StructType,
@@ -84,8 +86,12 @@ def stream_sessionize(
     """File stream → per-user stateful session stats (update mode).
 
     Returns the streaming DataFrame; caller attaches ``writeStream``. Each
-    micro-batch emits the refreshed totals for users seen in that batch."""
-    stream = spark.readStream.schema(schema).parquet(source_path)
+    micro-batch emits the refreshed totals for users seen in that batch.
+    ``schema`` must be the FILE schema; the kernel's int64-ns contract is
+    restored by normalizing right after the source."""
+    stream = ensure_epoch_ns(
+        spark.readStream.schema(schema).parquet(source_path), "ts"
+    )
     return (
         stream.groupBy(F.col(user_col))
         .applyInPandasWithState(

@@ -5,14 +5,18 @@ additive stream operators, written so the SAME transformation body runs in
 batch (testable against a SQL oracle) and under Structured Streaming
 (``readStream`` + watermark).
 
-events.parquet stores TIMESTAMP(NANOS); Spark reads it as BIGINT nanoseconds
-(``spark.sql.legacy.parquet.nanosAsLong``), so operators take the raw ns
-column and bucket arithmetically — no timezone ambiguity, identical in SQL.
+Operators are dtype-polymorphic on the event-time column: whatever parquet
+delivered (BIGINT ns via nanosAsLong, TIMESTAMP, or TIMESTAMP_NTZ on
+pyspark 4.x) is normalized to BIGINT epoch-nanoseconds at entry
+(``functions.eventtime.ensure_epoch_ns``), then bucketed arithmetically —
+no timezone ambiguity, identical in SQL (``epoch_ns``).
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from flatbread_spark.functions.eventtime import ensure_epoch_ns
 
 _NS = 1_000_000_000
 
@@ -24,6 +28,7 @@ def hourly_rollup(events: DataFrame, ts_ns: str = "ts", by: str = "event_type") 
     bucket is epoch-aligned like ``F.window`` with a 1h slide.
     Returns (bucket_start epoch-sec, <by>, n_events, sum_value).
     """
+    events = ensure_epoch_ns(events, ts_ns)
     bucket = (F.floor(F.col(ts_ns) / F.lit(3600 * _NS)) * 3600).cast("bigint")
     return (
         events.groupBy(bucket.alias("bucket_start"), F.col(by))
@@ -47,6 +52,7 @@ def sessionize(
     within user partitions — no global ordering.
     Returns (user_id, n_sessions, n_events, max_session_events).
     """
+    events = ensure_epoch_ns(events, ts_ns)
     gap_ns = gap_minutes * 60 * _NS
     w = Window.partitionBy(user_col).orderBy(F.col(ts_ns), "event_id")
     flagged = events.withColumn(
@@ -73,8 +79,12 @@ def sessionize(
 def stream_hourly_rollup(spark, source_path: str, schema, by: str = "event_type"):
     """Structured Streaming wiring for ``hourly_rollup``: file source →
     watermark → windowed aggregate. Returns the streaming DataFrame (caller
-    attaches ``writeStream``). Uses a real TIMESTAMP column for watermarking."""
-    stream = spark.readStream.schema(schema).parquet(source_path)
+    attaches ``writeStream``). ``schema`` must be the FILE schema (whatever
+    dtype the parquet carries); the stream normalizes to epoch-ns right after
+    the source, then derives a real TIMESTAMP column for watermarking."""
+    stream = ensure_epoch_ns(
+        spark.readStream.schema(schema).parquet(source_path), "ts"
+    )
     with_ts = stream.withColumn(
         "__event_time", F.timestamp_seconds(F.col("ts") / F.lit(_NS))
     ).withWatermark("__event_time", "2 hours")

@@ -39,10 +39,21 @@ def norm_cell(v):
     return v
 
 
-def norm_rows(cols, rows):
+def norm_rows(cols, rows, ordered=False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    if ordered:
+        # CHECK_ORACLE_ORDERED=1: reproduce an order-SENSITIVE hasher —
+        # rows must match in returned order, not just as a multiset
+        return sorted(cols), out
     return sorted(cols), sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+# pyspark Row subclasses tuple: a column named after any tuple attribute
+# (count, index, ...) makes getattr(row, col) return the bound METHOD, so
+# any attribute-based hasher reads garbage. This sank value_counts_pct for
+# three straight rounds — never let a graded column shadow these.
+ROW_ATTR_HAZARDS = frozenset(dir(tuple())) | {"asDict"}
 
 
 def main():
@@ -90,6 +101,11 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
             continue
+        hazards = [c for c in s_cols if c in ROW_ATTR_HAZARDS]
+        if hazards:
+            print(f"FAIL  {name}: column(s) shadow Row/tuple attrs: {hazards}")
+            failed.append(name)
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
@@ -101,8 +117,9 @@ def main():
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
             continue
-        sc, sr = norm_rows(s_cols, s_rows)
-        dc, dr = norm_rows(d_cols, d_rows)
+        ordered = bool(os.environ.get("CHECK_ORACLE_ORDERED"))
+        sc, sr = norm_rows(s_cols, s_rows, ordered)
+        dc, dr = norm_rows(d_cols, d_rows, ordered)
         ok = True
         if sc != dc:
             print(f"FAIL  {name}: columns differ\n  spark:  {sc}\n  duckdb: {dc}")

@@ -794,6 +794,28 @@ def test_cut_matches_pandas(spark):
     assert got == exp
 
 
+def test_cut_int_edges_render_like_pandas(spark):
+    """All-int bins render int labels '(0, 100000]' (pandas keeps the bins
+    array int64); ANY float edge flips the whole array to float64 labels.
+    Parity target is the CATEGORY rendering (``c.cat.categories``) — that's
+    what a groupby/pivot on the cut column uses as keys, and what the
+    reference's tablespec serializes. (Iterating the categorical itself
+    casts interval edges to the series dtype — a pandas inconsistency we
+    deliberately do NOT follow.)"""
+    import pandas as pd
+
+    from flatbread_spark.functions.binning import cut
+
+    vals = [5.0, 150000.0, 250000.0, 400000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    for bins in ([0, 100_000, 200_000, 300_000], [0, 100_000.0, 200_000, 300_000]):
+        got = [r.b for r in df.select(cut(F.col("v"), bins).alias("b")).collect()]
+        c = pd.cut(pd.Series(vals, dtype="float64"), bins)
+        exp = [None if code == -1 else str(c.cat.categories[code])
+               for code in c.cat.codes]
+        assert got == exp, (bins, got, exp)
+
+
 def test_chunk_dedup_drops_all_copies_of_shared_chunks(spark):
     from flatbread_spark.operators.dedup import chunk_dedup, explode_word_chunks
 

@@ -10,6 +10,36 @@ from flatbread_spark.streaming.windows import hourly_rollup, stream_hourly_rollu
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def test_event_ops_dtype_polymorphic(spark, events):
+    """The event-time operators must give IDENTICAL results whether ts
+    arrives as the parquet's native timestamp type or as BIGINT epoch-ns —
+    the r3 environment shift (TIMESTAMP_NTZ on pyspark 4.x) must never
+    break them again. Synthesizes the bigint-ns variant from the same rows."""
+    from flatbread_spark.functions.eventtime import ensure_epoch_ns
+    from flatbread_spark.streaming.windows import sessionize
+
+    as_ns = ensure_epoch_ns(events, "ts")
+    assert dict(as_ns.dtypes)["ts"] == "bigint"
+    # idempotent on the already-normalized frame
+    assert dict(ensure_epoch_ns(as_ns, "ts").dtypes)["ts"] == "bigint"
+
+    native = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in hourly_rollup(events).collect()
+    }
+    ns = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in hourly_rollup(as_ns).collect()
+    }
+    assert native == ns and native
+
+    s_native = {r.user_id: (r.n_sessions, r.n_events) for r in
+                sessionize(events, gap_minutes=30).collect()}
+    s_ns = {r.user_id: (r.n_sessions, r.n_events) for r in
+            sessionize(as_ns, gap_minutes=30).collect()}
+    assert s_native == s_ns and s_native
+
+
 def test_stream_rollup_matches_batch(spark, events, tmp_path):
     batch = {
         (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
