@@ -75,12 +75,30 @@ def main() -> None:
     warm.select(
         F.row_number().over(Window.orderBy("l_orderkey")).alias("r")
     ).collect()
+    # one full pass over every fact table: page-cache the parquet bytes and
+    # pay the first-scan column decode here, not in whichever query touches
+    # each table first (measured ~4 s billed to the first lineitem query,
+    # ~3 s to the first documents query otherwise). count() prunes to zero
+    # columns, so ALSO touch the wide payload columns where the decode is.
+    for t, cols in (
+        ("lineitem", None), ("orders", None), ("events", None),
+        ("documents", ["text"]), ("embeddings", ["embedding"]),
+    ):
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        if cols:
+            df.select(*[F.length(F.col(c).cast("string")).alias(c) for c in cols]) \
+              .agg(F.count(F.lit(1))).collect()
+        else:
+            df.agg(*[F.count(c) for c in df.columns[:4]]).collect()
 
     @pandas_udf("long")
     def _warm_udf(s):
         return s
 
-    spark.range(1024).select(_warm_udf("id")).collect()
+    # one partition per core: the reusable Python worker POOL is per-core,
+    # and each cold worker pays the pandas/numpy import (~1-2 s, worse when
+    # 32 of them hit the disk at once) — warm every slot, not just a few
+    spark.range(cpus * 1024, numPartitions=cpus).select(_warm_udf("id")).collect()
 
     # the text-pipeline machinery (NGram shingling, HOF transform + xxhash
     # codegen, grouped-pandas workers) costs ~3-4 s the first time any
@@ -95,12 +113,30 @@ def main() -> None:
     with_shingles(tiny, "text", 4).select(
         F.explode(F.transform("__sh", lambda s: F.xxhash64(s)))
     ).collect()
-    tiny.groupBy("id").applyInPandas(lambda p: p[["id"]], "id long").collect()
+    tiny.repartition(cpus).groupBy("id").applyInPandas(
+        lambda p: p[["id"]], "id long"
+    ).collect()
     # quality/token expression codegen (first use otherwise bills ~2 s to
     # whichever query touches them first, e.g. corpus_mix)
     from flatbread_spark.functions.text import quality_score, token_count
 
     tiny.select(quality_score(F.col("text")), token_count(F.col("text"))).collect()
+
+    # margin/percentage machinery: the apportioned-rounding path chains a
+    # window + Arrow kernel whose first run costs ~3.5 s (measured:
+    # value_counts_pct 4.8 s cold vs its rounding-free bisect twin 1.1 s
+    # in the same warmed session); exercise it on a 6-row frame
+    from flatbread_spark.operators.counts import value_counts
+
+    vtiny = spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(6)], ["id", "k"]
+    )
+    # both kernel variants (apportioned and naive round) — separate codegen
+    for app in (True, False):
+        value_counts(
+            vtiny, "k", add_pct=True, ndigits=2, base=100,
+            apportioned_rounding=app,
+        ).to_df().collect()
 
     probe_before = host_probe()
     qs = entry.queries()

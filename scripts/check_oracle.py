@@ -43,8 +43,11 @@ def norm_rows(cols, rows, ordered=False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     if ordered:
-        # CHECK_ORACLE_ORDERED=1: reproduce an order-SENSITIVE hasher —
-        # rows must match in returned order, not just as a multiset
+        # CHECK_ORACLE_ORDERED=1: rows must match in returned order, not
+        # just as a multiset. STRICTER than the driver (evidence the driver
+        # hasher row-sorts: tpch_q1 etc. hash-pass while order-divergent;
+        # r2 sessions hash-passed with no ORDER BY on either side). Use for
+        # debugging a specific query, not as the default gate.
         return sorted(cols), out
     return sorted(cols), sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 

@@ -1,0 +1,40 @@
+"""Driver-harness parity gate, runnable from pytest.
+
+Runs ``scripts/check_oracle.py`` in a SUBPROCESS with
+``CHECK_ORACLE_VANILLA=1`` — a default SparkSession with none of the
+engine's session conf — over the queries that have historically broken on
+environment shifts (the r1 nanosAsLong regression, the r3 TIMESTAMP_NTZ
+break, the r1–r3 Row-attr hash mismatch). A subprocess is required: in
+this pytest process ``getOrCreate`` would return the conftest session and
+the "vanilla" run wouldn't be vanilla.
+
+Scope is the fragile subset at sf0.001 so the gate stays fast; the full
+sweep at sf0.01 is the pre-commit loop documented in check_oracle.py.
+"""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# config-coupled queries: event-time family (ts dtype), value_counts family
+# (Row-attr columns + apportioned rounding), binned_counts (label rendering)
+FRAGILE = [
+    "events_hourly", "sessions", "asof_attribution", "range_join",
+    "funnel", "cohort_retention",
+    "value_counts_pct", "value_counts_pct_raw", "binned_counts",
+]
+
+
+def test_vanilla_oracle_gate_on_fragile_queries():
+    env = dict(os.environ, CHECK_ORACLE_VANILLA="1", CHECK_ORACLE_CPUS="4",
+               CHECK_ORACLE_PARTITIONS="4")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "check_oracle.py"),
+         "/root/testdata/sf0.001", *FRAGILE],
+        env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert proc.returncode == 0, (
+        f"vanilla oracle gate failed:\n{proc.stdout[-4000:]}\n{proc.stderr[-2000:]}"
+    )
+    assert "all queries match" in proc.stdout
