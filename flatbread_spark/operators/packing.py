@@ -1,0 +1,139 @@
+"""Sequence packing: assign documents to fixed-size training context windows.
+
+Pre-training dataloaders concatenate documents in a deterministic order and
+slice the token stream into fixed ``ctx_len`` windows ("packs"); a document's
+placement is therefore a pure function of the global running token sum in
+front of it. Computing that running sum with one unpartitioned window is a
+single-task serialization point at corpus scale, so :func:`scalable_cumsum`
+uses the classic two-phase plan (the running-sum sibling of
+``ranking.scalable_pos``):
+
+1. ``repartitionByRange(order)`` — partitions hold contiguous key ranges.
+2. local running sum per partition (window PARTITIONED by
+   ``spark_partition_id`` — no single-task stage) + per-partition totals;
+   partition offsets are a prefix sum over ``numPartitions`` rows (bounded
+   driver collect, one long per partition) broadcast back.
+
+The partitioned frame is eagerly ``localCheckpoint``-ed between the totals
+pass and the offset-add pass so both see identical partition contents —
+``persist`` blocks can be evicted and recomputed with a fresh range-boundary
+sample, silently moving rows between partitions while the collected offsets
+still describe the old layout (the same failure mode documented on
+``scalable_pos``); a checkpoint fails loudly instead.
+
+Reference parity: the flatbread reference has no packing operator — this is
+part of the LLM-pipeline family the engine adds on top of the reference
+surface (like dedup/ANN/sampling).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scalable_cumsum(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    value: str | Column,
+    out_col: str = "__cum__",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the global running sum of ``value`` over ``order`` (inclusive
+    of the current row) without an unpartitioned window. ``order`` must be a
+    total order for the result to be deterministic — same contract as
+    ``scalable_pos``. Returns ``df`` + ``out_col`` (bigint)."""
+    from pyspark.sql import Window
+
+    order = list(order)
+    val = F.col(value) if isinstance(value, str) else value
+    part = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
+    )
+    local = (
+        part.withColumn("__pid__", F.spark_partition_id())
+        .withColumn("__val__", val.cast("bigint"))
+        .withColumn(
+            "__lcs__",
+            F.sum("__val__").over(
+                Window.partitionBy("__pid__")
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        # eager lineage cut: the collected totals below are only valid for
+        # THIS materialization of the range partitioning; see module docstring
+        .localCheckpoint(eager=True)
+    )
+    totals = sorted(
+        local.groupBy("__pid__").agg(F.sum("__val__").alias("__t")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += int(t or 0)
+    off_map = F.create_map(
+        *[
+            F.lit(x).cast("bigint") if i % 2 else F.lit(x)
+            for pid, off in sorted(offsets.items())
+            for i, x in enumerate((pid, off))
+        ]
+    )
+    return local.withColumn(
+        out_col, (F.col("__lcs__") + off_map[F.col("__pid__")]).cast("bigint")
+    ).drop("__pid__", "__val__", "__lcs__")
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str | Column,
+    ctx_len: int,
+    salt: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid out in stable
+    hash order (``md5(key || salt)`` — reproducible across runs, engines and
+    partitionings, epoch-switchable via ``salt``) and the token stream is cut
+    into ``ctx_len`` windows. Appends:
+
+    - ``n_tokens`` — the document's token count;
+    - ``cum_tokens`` — global running token sum including this document;
+    - ``pack_id`` — 0-based window holding the document's FIRST token;
+    - ``pack_offset`` — position of that first token within its window;
+    - ``n_splits`` — how many window boundaries the document crosses
+      (0 = fits in one window; tail documents of each pack split).
+
+    One range-partition shuffle + a bounded (one long per partition) driver
+    collect — no unpartitioned window, so the layout step scales with the
+    cluster. Every output is replayable in ANSI SQL (md5 order + windowed
+    SUM), so the assignment doubles as its own oracle.
+    """
+    tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    staged = df.withColumn("n_tokens", tok.cast("bigint")).withColumn(
+        "__packkey", key
+    )
+    cum = scalable_cumsum(
+        staged,
+        [F.col("__packkey"), F.col(key_col)],
+        "n_tokens",
+        out_col="cum_tokens",
+        num_partitions=num_partitions,
+    )
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    ctx = F.lit(int(ctx_len)).cast("bigint")
+    return (
+        cum.withColumn("pack_id", F.floor(start / ctx).cast("bigint"))
+        .withColumn("pack_offset", (start % ctx).cast("bigint"))
+        .withColumn(
+            "n_splits",
+            (
+                F.floor((F.col("cum_tokens") - 1) / ctx) - F.floor(start / ctx)
+            ).cast("bigint"),
+        )
+        .drop("__packkey")
+    )

@@ -1,0 +1,75 @@
+"""Sequence packing: the two-phase global cumsum must equal the single-window
+reference, and pack geometry must be internally consistent."""
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def packed(spark, documents):
+    from flatbread_spark.functions.text import token_count
+    from flatbread_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        documents.select("doc_id", "text"),
+        key_col="doc_id",
+        tokens_col=token_count(F.col("text")),
+        ctx_len=256,
+        salt=":t",
+        num_partitions=7,
+    ).select("doc_id", "n_tokens", "cum_tokens", "pack_id", "pack_offset", "n_splits")
+
+
+def test_cumsum_matches_single_window(spark, documents):
+    from flatbread_spark.functions.text import token_count
+    from flatbread_spark.operators.packing import scalable_cumsum
+
+    staged = documents.select(
+        "doc_id",
+        token_count(F.col("text")).alias("tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    two_phase = scalable_cumsum(
+        staged, [F.col("k"), F.col("doc_id")], "tok", out_col="cum", num_partitions=5
+    ).select("doc_id", "cum")
+    w = Window.orderBy("k", "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    ref = staged.select("doc_id", F.sum("tok").over(w).cast("bigint").alias("cum"))
+    assert (
+        two_phase.join(ref, "doc_id")
+        .filter(two_phase["cum"] != ref["cum"])
+        .count()
+        == 0
+    )
+    assert two_phase.count() == documents.count()
+
+
+def test_pack_geometry(packed):
+    rows = sorted(packed.collect(), key=lambda r: (r.cum_tokens, r.doc_id))
+    prev_cum = 0
+    for r in rows:
+        start = r.cum_tokens - r.n_tokens
+        assert start == prev_cum, "token stream must be gapless"
+        assert r.pack_id == start // 256
+        assert r.pack_offset == start % 256
+        assert r.n_splits == (r.cum_tokens - 1) // 256 - start // 256
+        prev_cum = r.cum_tokens
+
+
+def test_packing_deterministic_under_repartition(spark, documents):
+    from flatbread_spark.functions.text import token_count
+    from flatbread_spark.operators.packing import pack_sequences
+
+    def run(df, parts):
+        return {
+            (r.doc_id, r.pack_id, r.pack_offset)
+            for r in pack_sequences(
+                df.select("doc_id", "text"),
+                key_col="doc_id",
+                tokens_col=token_count(F.col("text")),
+                ctx_len=512,
+                salt=":t",
+                num_partitions=parts,
+            ).collect()
+        }
+
+    assert run(documents, 3) == run(documents.repartition(11), 8)
