@@ -1,0 +1,131 @@
+"""Corpus-curation funnel: sequential filter stages with per-stage attrition.
+
+Every pre-training corpus goes through an ordered gauntlet — language filter,
+length/quality gates, dedup — and the first question anyone asks of the
+pipeline is "how many documents did each stage remove?". Answering it naively
+(materialize each stage, count, repeat) scans the corpus once per stage; at
+100 TB that is N full passes. :func:`curation_funnel` computes the whole
+funnel in ONE pass: each row is annotated with the index of the FIRST stage
+that drops it (a ``when``-chain — pure expression), the dedup stage is a
+single hash-partitioned window (``min(key) over (partition by fingerprint)``
+among rows surviving the earlier stages), and the report is a groupBy over
+the drop index — so the corpus is read once regardless of stage count.
+
+The per-stage in/out arithmetic runs on the aggregated counts (one row per
+stage — bounded by the stage list, never by the data), where an
+unpartitioned window is harmless.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def curation_funnel(
+    df: DataFrame,
+    key_col: str,
+    pre_stages: Sequence[tuple[str, Column]],
+    dedup_on: Column | None = None,
+    dedup_name: str = "dedup",
+    post_stages: Sequence[tuple[str, Column]] = (),
+) -> DataFrame:
+    """Run the ordered funnel and return one row per stage:
+    ``stage_idx, stage, n_in, n_removed, n_out, pct_removed``.
+
+    - ``pre_stages``: ordered ``(name, keep-predicate)`` pairs evaluated
+      before dedup; a document is charged to the FIRST stage it fails.
+    - ``dedup_on``: content fingerprint column; among documents surviving
+      all pre-stages, every fingerprint keeps its smallest ``key_col`` and
+      drops the rest (deterministic under any partitioning).
+    - ``post_stages``: ``(name, keep-predicate)`` pairs applied to dedup
+      survivors.
+    """
+    pre = list(pre_stages)
+    post = list(post_stages)
+    names = [n for n, _ in pre]
+    if dedup_on is not None:
+        names.append(dedup_name)
+    names += [n for n, _ in post]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names}")
+
+    # first failing pre-stage, evaluated as one expression chain
+    drop = F.lit(None).cast("int")
+    for i in reversed(range(len(pre))):
+        drop = F.when(~pre[i][1], F.lit(i)).otherwise(drop)
+    staged = df.withColumn("__pre_drop", drop)
+
+    n_pre = len(pre)
+    if dedup_on is not None:
+        from pyspark.sql import Window
+
+        keep = F.min(
+            F.when(F.col("__pre_drop").isNull(), F.col(key_col))
+        ).over(Window.partitionBy(dedup_on))
+        staged = staged.withColumn(
+            "__drop",
+            F.when(F.col("__pre_drop").isNotNull(), F.col("__pre_drop")).when(
+                F.col(key_col) != keep, F.lit(n_pre)
+            ),
+        )
+        post_base = n_pre + 1
+    else:
+        staged = staged.withColumn("__drop", F.col("__pre_drop"))
+        post_base = n_pre
+    for j, (_, pred) in enumerate(post):
+        staged = staged.withColumn(
+            "__drop",
+            F.when(F.col("__drop").isNotNull(), F.col("__drop")).when(
+                ~pred, F.lit(post_base + j)
+            ),
+        )
+
+    # eager lineage cut: counts is ≤ len(names)+1 rows, and both the total
+    # aggregate and the report join read it — without the checkpoint each
+    # branch re-derives it from the raw corpus (TWO full scans at 100 TB)
+    counts = (
+        staged.groupBy("__drop")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("__n").alias("__total"))
+    dim = df.sparkSession.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "stage_idx int, stage string"
+    )
+    from pyspark.sql import Window
+
+    # report-side window: one row per STAGE, not per document — bounded
+    w = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, -1)
+    report = (
+        dim.join(counts, dim["stage_idx"] == counts["__drop"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage_idx",
+            "stage",
+            F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_removed"),
+            F.col("__total"),
+        )
+        .withColumn(
+            "n_in",
+            (
+                F.col("__total")
+                - F.coalesce(F.sum("n_removed").over(w), F.lit(0))
+            ).cast("bigint"),
+        )
+        .withColumn("n_out", (F.col("n_in") - F.col("n_removed")).cast("bigint"))
+        .withColumn(
+            "pct_removed",
+            F.when(
+                F.col("n_in") > 0,
+                F.round(
+                    F.col("n_removed").cast("double")
+                    / F.col("n_in").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("stage_idx", "stage", "n_in", "n_removed", "n_out", "pct_removed")
+    )
+    return report
