@@ -55,6 +55,38 @@ def sample_stratified(
     return df.filter(bucket < threshold)
 
 
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test...) by stable key
+    hash: ``splits`` maps name → fraction (must sum to ≤ 1; any remainder
+    falls to the LAST split listed, so {'train': .98, 'val': .01,
+    'test': .01} is airtight against rounding). A document's split never
+    changes across runs, engines, or partitionings — the property that keeps
+    eval sets uncontaminated when the corpus is rebuilt. Pure expression:
+    no shuffle, filter-pushdown-friendly."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bucket = sample_hash_bucket(F.col(key_col), salt)
+    names = list(splits)
+    # cumulative thresholds; first matching bound wins, remainder → last name
+    bounds, acc = [], 0
+    for name, frac in list(splits.items())[:-1]:
+        acc += int(frac * _MOD)
+        bounds.append((name, acc))
+    expr = F.lit(names[-1])
+    for name, b in reversed(bounds):
+        expr = F.when(bucket < b, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 def sample_token_budget(
     df: DataFrame,
     key_col: str,

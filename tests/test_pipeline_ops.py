@@ -861,3 +861,33 @@ def test_chunk_overlap_counts_distinct_shared_contents(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.grp_a, r.grp_b, r.shared_chunks) == ("s1", "s2", 1)
+
+
+def test_assign_split_partitions_corpus(spark, documents):
+    from flatbread_spark.operators.sampling import assign_split
+    from pyspark.sql import functions as F
+
+    out = assign_split(
+        documents, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s"
+    )
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == documents.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    # stable under repartitioning: same doc -> same split
+    again = assign_split(
+        documents.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s"
+    )
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in again.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_assign_split_validation(documents):
+    import pytest
+    from flatbread_spark.operators.sampling import assign_split
+
+    with pytest.raises(ValueError):
+        assign_split(documents, "doc_id", {})
+    with pytest.raises(ValueError):
+        assign_split(documents, "doc_id", {"a": 0.9, "b": 0.2})
