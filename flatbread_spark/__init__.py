@@ -74,7 +74,10 @@ from flatbread_spark.operators.dedup import (  # noqa: E402
     simhash_pairs,
 )
 from flatbread_spark.operators.graph import connected_components, dedup_clusters  # noqa: E402
+from flatbread_spark.operators.curation import curation_funnel  # noqa: E402
+from flatbread_spark.operators.packing import pack_sequences, scalable_cumsum  # noqa: E402
 from flatbread_spark.operators.sampling import (  # noqa: E402
+    assign_split,
     sample_deterministic,
     sample_stratified,
     sample_token_budget,
@@ -92,5 +95,6 @@ __all__ = [
     "ngram_jaccard_pairs", "embedding_dup_pairs",
     "connected_components", "dedup_clusters",
     "sample_deterministic", "sample_stratified", "sample_token_budget",
+    "assign_split", "pack_sequences", "scalable_cumsum", "curation_funnel",
     "knn_bruteforce", "knn_lsh", "knn_ivf",
 ]
