@@ -1,0 +1,45 @@
+"""Trigram typicality: garbage scores low, model reuse, short-text edge."""
+from pyspark.sql import functions as F
+
+
+def test_garbage_scores_below_normal_text(spark, documents):
+    from flatbread_spark.operators.lm import trigram_typicality
+
+    garbage = spark.createDataFrame(
+        [(900001, "en", "qqxj zzvk wqqx jjzz kkvv xxqq zjzj vkvk qxqx zzjj")],
+        "doc_id long, lang string, text string",
+    )
+    en = documents.filter(F.col("lang") == "en").select("doc_id", "lang", "text")
+    out = trigram_typicality(en.unionByName(garbage), "doc_id", "text", "lang")
+    g = out.filter(F.col("doc_id") == 900001).first()
+    med = out.filter(F.col("doc_id") != 900001).agg(
+        F.expr("percentile(avg_freq, 0.5)")
+    ).first()[0]
+    assert g.avg_freq < med / 5, (g.avg_freq, med)
+
+
+def test_pretrained_model_reuse(spark, documents):
+    from flatbread_spark.operators.lm import trigram_counts, trigram_typicality
+
+    docs = documents.select("doc_id", "lang", "text")
+    model = trigram_counts(docs, "text", "lang")
+    # vocabulary-bounded: far fewer rows than trigram instances
+    n_instances = docs.select(
+        F.sum(F.greatest(F.length(F.lower("text")) - 2, F.lit(0)))
+    ).first()[0]
+    assert model.count() < n_instances / 5
+    scored_self = trigram_typicality(docs, "doc_id", "text", "lang")
+    scored_given = trigram_typicality(
+        docs, "doc_id", "text", "lang", model=model
+    )
+    a = {r.doc_id: r.sum_freq for r in scored_self.collect()}
+    b = {r.doc_id: r.sum_freq for r in scored_given.collect()}
+    assert a == b
+
+
+def test_short_text_yields_no_trigrams(spark):
+    from flatbread_spark.operators.lm import char_ngrams
+
+    df = spark.createDataFrame([("ab",), ("abc",), ("",)], "t string")
+    rows = df.select(char_ngrams(F.col("t")).alias("g")).collect()
+    assert [len(r.g) for r in rows] == [0, 1, 0]
