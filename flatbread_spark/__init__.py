@@ -75,6 +75,7 @@ from flatbread_spark.operators.dedup import (  # noqa: E402
 )
 from flatbread_spark.operators.graph import connected_components, dedup_clusters  # noqa: E402
 from flatbread_spark.operators.curation import curation_funnel  # noqa: E402
+from flatbread_spark.operators.kmeans import kmeans_lloyd  # noqa: E402
 from flatbread_spark.operators.lm import trigram_typicality  # noqa: E402
 from flatbread_spark.operators.packing import pack_sequences, scalable_cumsum  # noqa: E402
 from flatbread_spark.operators.sampling import (  # noqa: E402
@@ -97,6 +98,6 @@ __all__ = [
     "connected_components", "dedup_clusters",
     "sample_deterministic", "sample_stratified", "sample_token_budget",
     "assign_split", "pack_sequences", "scalable_cumsum", "curation_funnel",
-    "trigram_typicality",
+    "trigram_typicality", "kmeans_lloyd",
     "knn_bruteforce", "knn_lsh", "knn_ivf",
 ]

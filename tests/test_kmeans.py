@@ -1,0 +1,41 @@
+"""Lloyd k-means: objective decreases, deterministic, init validated."""
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_objective_decreases_and_deterministic(spark, embeddings):
+    from flatbread_spark.operators.kmeans import kmeans_lloyd
+
+    df = embeddings.select("vec_id", "embedding")
+    a1, c1 = kmeans_lloyd(df, "vec_id", "embedding", k=4, iters=1)
+    a2, c2 = kmeans_lloyd(df, "vec_id", "embedding", k=4, iters=3)
+    o1 = a1.agg(F.sum("d2")).first()[0]
+    o2 = a2.agg(F.sum("d2")).first()[0]
+    assert o2 <= o1 + 1e-9, (o1, o2)
+    # deterministic under input repartitioning
+    a2b, c2b = kmeans_lloyd(
+        df.repartition(13), "vec_id", "embedding", k=4, iters=3
+    )
+    assert c2 == c2b
+    assert {(r.vec_id, r.cluster) for r in a2.collect()} == {
+        (r.vec_id, r.cluster) for r in a2b.collect()
+    }
+
+
+def test_every_vector_assigned(spark, embeddings):
+    from flatbread_spark.operators.kmeans import kmeans_lloyd
+
+    df = embeddings.select("vec_id", "embedding")
+    a, cents = kmeans_lloyd(df, "vec_id", "embedding", k=3, iters=1)
+    assert a.count() == df.count()
+    assert a.filter((F.col("cluster") < 0) | (F.col("cluster") >= 3)).count() == 0
+    assert len(cents) == 3
+
+
+def test_bad_init_rejected(spark, embeddings):
+    from flatbread_spark.operators.kmeans import kmeans_lloyd
+
+    with pytest.raises(ValueError):
+        kmeans_lloyd(
+            embeddings, "vec_id", "embedding", k=4, iters=1, init=[[0.0] * 64]
+        )
