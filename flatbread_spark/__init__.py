@@ -77,7 +77,11 @@ from flatbread_spark.operators.graph import connected_components, dedup_clusters
 from flatbread_spark.operators.curation import curation_funnel  # noqa: E402
 from flatbread_spark.operators.kmeans import kmeans_lloyd  # noqa: E402
 from flatbread_spark.operators.lm import trigram_typicality  # noqa: E402
-from flatbread_spark.operators.packing import pack_sequences, scalable_cumsum  # noqa: E402
+from flatbread_spark.operators.packing import (  # noqa: E402
+    build_packs,
+    pack_sequences,
+    scalable_cumsum,
+)
 from flatbread_spark.operators.sampling import (  # noqa: E402
     assign_split,
     sample_deterministic,
@@ -97,7 +101,8 @@ __all__ = [
     "ngram_jaccard_pairs", "embedding_dup_pairs",
     "connected_components", "dedup_clusters",
     "sample_deterministic", "sample_stratified", "sample_token_budget",
-    "assign_split", "pack_sequences", "scalable_cumsum", "curation_funnel",
+    "assign_split", "pack_sequences", "build_packs", "scalable_cumsum",
+    "curation_funnel",
     "trigram_typicality", "kmeans_lloyd",
     "knn_bruteforce", "knn_lsh", "knn_ivf",
 ]

@@ -137,3 +137,70 @@ def pack_sequences(
         )
         .drop("__packkey")
     )
+
+
+def build_packs(
+    assigned: DataFrame,
+    text_col: str,
+    ctx_len: int,
+) -> DataFrame:
+    """Materialize the packs :func:`pack_sequences` assigned: each document's
+    whitespace-token stream is sliced into per-pack segments (a doc crossing
+    ``n_splits`` boundaries contributes to ``n_splits+1`` packs), and each
+    pack aggregates its segments in stream order. Output per pack:
+    ``pack_id, n_segments, n_tokens`` (= ``ctx_len`` everywhere but the
+    final pack) ``, content_md5`` (md5 of the space-joined token content —
+    the value a dataloader would tokenize).
+
+    One explode (bounded: Σ(n_splits+1) ≈ rows + total_tokens/ctx_len) and
+    one hash-partitioned groupBy on ``pack_id`` — no skew (every pack holds
+    exactly ``ctx_len`` tokens by construction), no driver state. The
+    whole assembly is ANSI-SQL-replayable: list slicing + ordered
+    ``string_agg``.
+    """
+    ctx = F.lit(int(ctx_len)).cast("bigint")
+    doc_start = F.col("cum_tokens") - F.col("n_tokens")
+    seg = assigned.select(
+        F.col("cum_tokens"),
+        doc_start.alias("__ds"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+        F.explode(
+            F.sequence(F.col("pack_id"), F.col("pack_id") + F.col("n_splits"))
+        ).alias("pack_id"),
+    )
+    seg_start = F.greatest(F.col("__ds"), F.col("pack_id") * ctx)
+    seg_end = F.least(F.col("cum_tokens"), (F.col("pack_id") + 1) * ctx)
+    seg = seg.select(
+        "pack_id",
+        seg_start.alias("__gs"),
+        F.slice(
+            F.col("__toks"),
+            (seg_start - F.col("__ds") + 1).cast("int"),
+            (seg_end - seg_start).cast("int"),
+        ).alias("__seg"),
+    )
+    return (
+        seg.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.size("__seg")).cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("__gs").alias("g"),
+                                        F.col("__seg").alias("s"),
+                                    )
+                                )
+                            ),
+                            lambda e: e["s"],
+                        )
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+    )

@@ -73,3 +73,49 @@ def test_packing_deterministic_under_repartition(spark, documents):
         }
 
     assert run(documents, 3) == run(documents.repartition(11), 8)
+
+
+def test_build_packs_exact_windows(spark, documents):
+    from flatbread_spark.functions.text import token_count
+    from flatbread_spark.operators.packing import build_packs, pack_sequences
+
+    assigned = pack_sequences(
+        documents.select("doc_id", "text"),
+        key_col="doc_id",
+        tokens_col=token_count(F.col("text")),
+        ctx_len=256,
+        salt=":t",
+    )
+    packs = sorted(build_packs(assigned, "text", 256).collect(),
+                   key=lambda r: r.pack_id)
+    total = assigned.agg(F.max("cum_tokens")).first()[0]
+    assert [r.pack_id for r in packs] == list(range(len(packs)))
+    # every pack holds exactly ctx_len tokens except the final remainder
+    for r in packs[:-1]:
+        assert r.n_tokens == 256, r
+    assert packs[-1].n_tokens == total - 256 * (len(packs) - 1)
+    assert sum(r.n_tokens for r in packs) == total
+
+
+def test_build_packs_content_roundtrip(spark, documents):
+    from flatbread_spark.functions.text import token_count
+    from flatbread_spark.operators.packing import build_packs, pack_sequences
+    import hashlib
+
+    docs = documents.select("doc_id", "text").limit(40)
+    assigned = pack_sequences(
+        docs, key_col="doc_id", tokens_col=token_count(F.col("text")),
+        ctx_len=64, salt=":t",
+    )
+    # reference: concatenate the token stream in assignment order, slice it
+    rows = sorted(assigned.collect(), key=lambda r: r.cum_tokens)
+    stream = []
+    for r in rows:
+        stream.extend(r.text.strip().split())
+    expected = {}
+    for p in range(0, (len(stream) + 63) // 64):
+        seg = stream[p * 64:(p + 1) * 64]
+        expected[p] = hashlib.md5(" ".join(seg).encode()).hexdigest()
+    got = {r.pack_id: r.content_md5
+           for r in build_packs(assigned, "text", 64).collect()}
+    assert got == expected
