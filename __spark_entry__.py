@@ -711,6 +711,186 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 adapted (no partsupp → 'supply cost' is the min observed
+    unit price in lineitem): for size-15 parts, the cheapest EUROPE
+    supplier per part (ties → smallest suppkey, via struct-min). region →
+    nation → supplier chain broadcast; top accounts first."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supplier = _load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    best = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .groupBy("p_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    unit.alias("u"),
+                    F.col("s_suppkey").alias("sk"),
+                    F.col("s_acctbal").alias("bal"),
+                    F.col("s_name").alias("nm"),
+                    F.col("n_name").alias("nn"),
+                )
+            ).alias("b")
+        )
+    )
+    return (
+        best.select(
+            F.col("b.bal").alias("s_acctbal"),
+            F.col("b.nm").alias("s_name"),
+            F.col("b.nn").alias("n_name"),
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            F.round("b.u", 6).alias("min_unit_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 adapted (no partsupp → part 'value' is NATION_7-supplied
+    revenue): parts whose revenue exceeds 0.1% of the national total. The
+    grouped frame is checkpointed so the scalar total doesn't re-scan the
+    fact table (same single-scan discipline as the curation funnel)."""
+    li = _load(spark, sf_dir, "lineitem")
+    supplier = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sup = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    grouped = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(_dsum(F.col("l_extendedprice"), "value"))
+        .localCheckpoint(eager=True)
+    )
+    total = grouped.agg(F.sum(F.col("value").cast(DEC)).alias("t"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("t").cast("double") * 0.001)
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 adapted (no shipmode/receiptdate → 'late' is shipping more
+    than 90 days after the order date, bucketed by linestatus): the
+    classic high/low-priority CASE-sum split over 1996 shipments."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            & (F.year("l_shipdate") == 1996)
+        )
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 adapted (no partsupp → the part↔supplier relation is
+    observed shipments): distinct supplier count per surviving
+    (brand, type, size) combination."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", F.col("p_size"))
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 adapted (no partsupp availqty → 'excess share' is shipped
+    volume): NATION_3 suppliers who moved more than 0.5% of all 1996
+    'blue'-part quantity. Quantity sums are integer-valued doubles —
+    exact in any order."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").filter(F.col("p_name").contains("blue"))
+    supplier = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    green = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .localCheckpoint(eager=True)
+    )
+    total = green.agg(F.sum("qty").alias("t"))
+    keep = green.crossJoin(F.broadcast(total)).filter(
+        F.col("qty") > F.col("t") * 0.005
+    )
+    return (
+        keep.join(supplier, keep.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_name",
+            F.col("s_acctbal").alias("s_acctbal"),
+            F.col("qty").cast("bigint").alias("blue_qty"),
+        )
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 adapted (no commit/receipt dates → the 'waiting' supplier
+    is the LAST shipper of a finished multi-supplier order, via struct-max
+    with suppkey tie-break): per-supplier blame counts for NATION_5."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.max(
+                F.struct(
+                    F.col("l_shipdate").alias("d"),
+                    F.col("l_suppkey").alias("sk"),
+                )
+            ).alias("blame"),
+        )
+        .filter(F.col("n_supp") >= 2)
+    )
+    return (
+        per_order.groupBy(F.col("blame.sk").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(supplier, "s_suppkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def q_set_ops(spark, sf_dir):
     """Set-operation surface (SURVEY §2.6): INTERSECT/EXCEPT of the priority
     sets seen in two disjoint years, tagged by operation."""
@@ -1689,6 +1869,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- locally oracle-proven and next in the rotation); sacrificed
         # ---- first if the driver's grading window is shorter
         "build_packs": q_build_packs,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
         "pct_interleaf": q_pct_interleaf,
@@ -2862,6 +3048,83 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE p_name LIKE '%red%'
 GROUP BY 1, 2
+""",
+        "tpch_q2": """
+WITH sup AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+j AS (
+  SELECT p_partkey, l_extendedprice/l_quantity AS u,
+         s.s_suppkey, s.s_acctbal, s.s_name, s.n_name
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN sup s ON l_suppkey = s.s_suppkey
+  WHERE p_size = 15),
+b AS (SELECT p_partkey,
+        min({'u': u, 'sk': s_suppkey, 'bal': s_acctbal,
+             'nm': s_name, 'nn': n_name}) AS b
+      FROM j GROUP BY 1)
+SELECT b.b.bal AS s_acctbal, b.b.nm AS s_name, b.b.nn AS n_name,
+  CAST(p_partkey AS BIGINT) AS p_partkey, round(b.b.u, 6) AS min_unit_price
+FROM b ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+""",
+        "tpch_q11": """
+WITH g AS (
+  SELECT l_partkey AS p_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7' GROUP BY 1)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, round(value, 6) AS value
+FROM g
+WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+               FROM g) * 0.001
+ORDER BY value DESC, p_partkey
+""",
+        "tpch_q12": """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND year(l_shipdate) = 1996
+GROUP BY 1 ORDER BY 1
+""",
+        "tpch_q16": """
+SELECT p_brand, p_type, p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1,4,9,14,19,23,36,45)
+GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+        "tpch_q20": """
+WITH g AS (
+  SELECT l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%blue%' AND year(l_shipdate) = 1996
+  GROUP BY 1)
+SELECT s_name, s_acctbal, CAST(qty AS BIGINT) AS blue_qty
+FROM g JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3' AND qty > (SELECT SUM(qty) FROM g) * 0.005
+ORDER BY s_name
+""",
+        "tpch_q21": """
+WITH po AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+    max({'d': l_shipdate, 'sk': l_suppkey}) AS blame
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM po JOIN supplier ON po.blame.sk = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_supp >= 2 AND n_name = 'NATION_5'
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
 """,
         "tpch_q19": """
 SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6)))
