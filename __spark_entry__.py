@@ -2771,8 +2771,8 @@ c AS (
 SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
   CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_id,
   CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS pack_offset,
-  CAST((cum_tokens - 1) // 2048 - (cum_tokens - n_tokens) // 2048 AS BIGINT)
-    AS n_splits
+  CAST(greatest((cum_tokens - 1) // 2048 - (cum_tokens - n_tokens) // 2048, 0)
+    AS BIGINT) AS n_splits
 FROM c ORDER BY cum_tokens, doc_id
 """,
         "kmeans_embeddings": r"""

@@ -51,10 +51,13 @@ def curation_funnel(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names: {names}")
 
-    # first failing pre-stage, evaluated as one expression chain
+    # first failing pre-stage, evaluated as one expression chain; a NULL
+    # predicate (e.g. length of a NULL text) counts as a FAILURE — that is
+    # what df.filter(pred) does, and the report must describe the same
+    # pipeline the filters would build
     drop = F.lit(None).cast("int")
     for i in reversed(range(len(pre))):
-        drop = F.when(~pre[i][1], F.lit(i)).otherwise(drop)
+        drop = F.when(~F.coalesce(pre[i][1], F.lit(False)), F.lit(i)).otherwise(drop)
     staged = df.withColumn("__pre_drop", drop)
 
     n_pre = len(pre)
@@ -78,7 +81,7 @@ def curation_funnel(
         staged = staged.withColumn(
             "__drop",
             F.when(F.col("__drop").isNotNull(), F.col("__drop")).when(
-                ~pred, F.lit(post_base + j)
+                ~F.coalesce(pred, F.lit(False)), F.lit(post_base + j)
             ),
         )
 

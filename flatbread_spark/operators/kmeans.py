@@ -33,7 +33,10 @@ _SCALE = 1e12
 
 def _d2_exact(vec: Column, cvec: Column) -> Column:
     """Order-independent squared distance between two array columns:
-    ``round((x-c)^2 * 1e12)`` per dim as BIGINT, summed, rescaled."""
+    ``round((x-c)^2 * 1e12)`` per dim as BIGINT, summed, rescaled.
+    Assumes unit-scale features (|x-c| up to ~3e3 per dim before a single
+    scaled term overflows a long) — normalize embeddings first, as every
+    embedding producer does."""
     terms = F.zip_with(
         vec,
         cvec,
@@ -104,13 +107,19 @@ def kmeans_lloyd(
     centroids = [list(c) for c in init]
     # per-dim scaled-integer sums as 64 agg columns: map-side partial
     # aggregation shuffles k rows × (dim+1) columns instead of exploding
-    # N×dim rows — the update step's shuffle is bounded by the MODEL
+    # N×dim rows — the update step's shuffle is bounded by the MODEL.
+    # Terms are BIGINT but the SUM accumulates in DECIMAL(38,0): a long
+    # accumulator would wrap silently at ~9e6 unit-scale members per
+    # cluster, far below corpus scale (one decimal add per row per dim in
+    # an agg is cheap — the costly DECIMAL was the per-ELEMENT HOF path)
     sums = [
         F.sum(
             F.round(
                 F.element_at(F.col(vec_col), d + 1).cast("double")
                 * F.lit(_SCALE)
-            ).cast("bigint")
+            )
+            .cast("bigint")
+            .cast("decimal(38,0)")
         ).alias(f"s{d}")
         for d in range(dim)
     ]

@@ -91,8 +91,13 @@ def trigram_typicality(
         # cut lineage so the corpus scan happens once, not per branch
         per_doc = per_doc.localCheckpoint(eager=True)
         model = per_doc.groupBy("lang", "tri").agg(F.sum("k").alias("c"))
+    # LEFT join + freq 0 for unseen trigrams: with a pretrained model an
+    # inner join would silently exclude out-of-vocabulary trigrams from the
+    # average — scoring garbage HIGH (only its few typical trigrams remain)
+    # and dropping fully-OOV docs from the output entirely
     return (
-        per_doc.join(F.broadcast(model), ["lang", "tri"])
+        per_doc.join(F.broadcast(model), ["lang", "tri"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
         .groupBy("__id", "lang")
         .agg(
             F.sum("k").cast("bigint").alias("n_tris"),

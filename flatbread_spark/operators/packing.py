@@ -131,9 +131,16 @@ def pack_sequences(
         .withColumn("pack_offset", (start % ctx).cast("bigint"))
         .withColumn(
             "n_splits",
-            (
-                F.floor((F.col("cum_tokens") - 1) / ctx) - F.floor(start / ctx)
-            ).cast("bigint"),
+            # a zero-token doc sitting exactly on a pack boundary would
+            # otherwise compute -1 (floor((cum-1)/ctx) looks at the PREVIOUS
+            # window); clamp — such a doc occupies 0 tokens of its pack
+            F.greatest(
+                (
+                    F.floor((F.col("cum_tokens") - 1) / ctx)
+                    - F.floor(start / ctx)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
         )
         .drop("__packkey")
     )
@@ -160,6 +167,10 @@ def build_packs(
     """
     ctx = F.lit(int(ctx_len)).cast("bigint")
     doc_start = F.col("cum_tokens") - F.col("n_tokens")
+    # zero-token docs contribute nothing to any pack; without the filter
+    # they'd emit empty phantom segments (and Spark's sequence() counts
+    # DOWNWARD for the boundary case, fabricating a second one)
+    assigned = assigned.filter(F.col("n_tokens") > 0)
     seg = assigned.select(
         F.col("cum_tokens"),
         doc_start.alias("__ds"),

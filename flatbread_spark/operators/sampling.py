@@ -76,10 +76,12 @@ def assign_split(
         raise ValueError(f"split fractions sum to {total} > 1")
     bucket = sample_hash_bucket(F.col(key_col), salt)
     names = list(splits)
-    # cumulative thresholds; first matching bound wins, remainder → last name
+    # cumulative thresholds; first matching bound wins, remainder → last
+    # name. round(), not int(): 0.29 * 1e6 is 289999.99999... in binary and
+    # truncation would shift the boundary one bucket below the spec
     bounds, acc = [], 0
     for name, frac in list(splits.items())[:-1]:
-        acc += int(frac * _MOD)
+        acc += int(round(frac * _MOD))
         bounds.append((name, acc))
     expr = F.lit(names[-1])
     for name, b in reversed(bounds):

@@ -54,3 +54,18 @@ def test_duplicate_stage_names_rejected(documents):
             key_col="doc_id",
             pre_stages=[("a", F.lit(True)), ("a", F.lit(True))],
         )
+
+
+def test_null_predicate_counts_as_failure(spark):
+    from flatbread_spark.operators.curation import curation_funnel
+
+    df = spark.createDataFrame(
+        [(1, "ok text here"), (2, None)], "doc_id long, text string"
+    )
+    nw = F.size(F.split(F.trim("text"), r"\s+"))
+    rows = {r.stage: r for r in curation_funnel(
+        df, key_col="doc_id", pre_stages=[("len", nw >= 2)]
+    ).collect()}
+    # the NULL-text doc must be charged to the stage, matching df.filter()
+    assert rows["len"].n_removed == 1
+    assert rows["len"].n_out == df.filter(nw >= 2).count()

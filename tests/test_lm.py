@@ -43,3 +43,23 @@ def test_short_text_yields_no_trigrams(spark):
     df = spark.createDataFrame([("ab",), ("abc",), ("",)], "t string")
     rows = df.select(char_ngrams(F.col("t")).alias("g")).collect()
     assert [len(r.g) for r in rows] == [0, 1, 0]
+
+
+def test_oov_trigrams_score_zero_not_excluded(spark):
+    from flatbread_spark.operators.lm import trigram_counts, trigram_typicality
+
+    clean = spark.createDataFrame(
+        [(i, "en", "the cat sat on the mat again and again") for i in range(5)],
+        "doc_id long, lang string, text string",
+    )
+    model = trigram_counts(clean, "text", "lang")
+    # doc made of trigrams the model has never seen must still be scored,
+    # with OOV frequency 0 dragging the average DOWN
+    garbage = spark.createDataFrame(
+        [(99, "en", "zzqqxxjjvvkkww zzqqxxjjvvkkww")],
+        "doc_id long, lang string, text string",
+    )
+    out = trigram_typicality(garbage, "doc_id", "text", "lang", model=model)
+    row = out.first()
+    assert row is not None and row.doc_id == 99
+    assert row.sum_freq == 0 and row.avg_freq == 0.0

@@ -119,3 +119,20 @@ def test_build_packs_content_roundtrip(spark, documents):
     got = {r.pack_id: r.content_md5
            for r in build_packs(assigned, "text", 64).collect()}
     assert got == expected
+
+
+def test_zero_token_docs_do_not_corrupt_packs(spark):
+    from flatbread_spark.operators.packing import build_packs, pack_sequences
+
+    # doc 2 has 0 tokens and lands exactly on the 4-token pack boundary
+    df = spark.createDataFrame(
+        [(1, "a b c d", 4), (2, "", 0), (3, "e f g h", 4)],
+        "doc_id long, text string, tok long",
+    )
+    assigned = pack_sequences(df, key_col="doc_id", tokens_col=F.col("tok"),
+                              ctx_len=4, salt=":z")
+    assert assigned.filter(F.col("n_splits") < 0).count() == 0
+    packs = build_packs(assigned, "text", 4).collect()
+    assert sorted((r.pack_id, r.n_tokens, r.n_segments) for r in packs) == [
+        (0, 4, 1), (1, 4, 1)
+    ]
