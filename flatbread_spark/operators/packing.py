@@ -43,48 +43,27 @@ def scalable_cumsum(
     """Append the global running sum of ``value`` over ``order`` (inclusive
     of the current row) without an unpartitioned window. ``order`` must be a
     total order for the result to be deterministic — same contract as
-    ``scalable_pos``. Returns ``df`` + ``out_col`` (bigint)."""
+    ``scalable_pos``. Returns ``df`` + ``out_col`` (bigint). Built on the
+    shared two-phase scaffold (``ranking.two_phase_offset``), which owns the
+    checkpoint-between-passes discipline."""
     from pyspark.sql import Window
 
-    order = list(order)
+    from flatbread_spark.operators.ranking import two_phase_offset
+
     val = F.col(value) if isinstance(value, str) else value
-    part = (
-        df.repartitionByRange(num_partitions, *order)
-        if num_partitions
-        else df.repartitionByRange(*order)
+    staged = df.withColumn("__val__", val.cast("bigint"))
+    out = two_phase_offset(
+        staged,
+        order,
+        local_value=lambda w: F.sum("__val__").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+        partition_stat=F.sum("__val__"),
+        out_col=out_col,
+        out_type="bigint",
+        num_partitions=num_partitions,
     )
-    local = (
-        part.withColumn("__pid__", F.spark_partition_id())
-        .withColumn("__val__", val.cast("bigint"))
-        .withColumn(
-            "__lcs__",
-            F.sum("__val__").over(
-                Window.partitionBy("__pid__")
-                .orderBy(*order)
-                .rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        # eager lineage cut: the collected totals below are only valid for
-        # THIS materialization of the range partitioning; see module docstring
-        .localCheckpoint(eager=True)
-    )
-    totals = sorted(
-        local.groupBy("__pid__").agg(F.sum("__val__").alias("__t")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, t in totals:
-        offsets[pid] = acc
-        acc += int(t or 0)
-    off_map = F.create_map(
-        *[
-            F.lit(x).cast("bigint") if i % 2 else F.lit(x)
-            for pid, off in sorted(offsets.items())
-            for i, x in enumerate((pid, off))
-        ]
-    )
-    return local.withColumn(
-        out_col, (F.col("__lcs__") + off_map[F.col("__pid__")]).cast("bigint")
-    ).drop("__pid__", "__val__", "__lcs__")
+    return out.drop("__val__")
 
 
 def pack_sequences(

@@ -6,15 +6,17 @@ sizes the engine's margin operators work on), but a single-task serialization
 point if a caller ever lifts a high-cardinality frame (VERDICT r1 watch item).
 
 :func:`scalable_pos` is the scale path: the classic two-phase global rank.
+:func:`two_phase_offset` is the shared scaffold (also backing
+``packing.scalable_cumsum`` — the running-SUM sibling):
 
 1. ``repartitionByRange(order)`` — partitions hold contiguous key ranges.
-2. local ``row_number`` per partition (window PARTITIONED by
-   ``spark_partition_id`` — no single-task stage), plus per-partition row
-   counts; partition offsets are a cumulative sum over ``numPartitions``
-   rows (bounded driver collect, one int per partition) broadcast back.
+2. a local per-partition running value (window PARTITIONED by
+   ``spark_partition_id`` — no single-task stage), plus one per-partition
+   statistic; partition offsets are a prefix sum over ``numPartitions``
+   rows (bounded driver collect, one number per partition) broadcast back.
 
-The partitioned frame is eagerly ``localCheckpoint``-ed between the counts
-pass and the rank pass so both see identical partition contents: unlike
+The partitioned frame is eagerly ``localCheckpoint``-ed between the stats
+pass and the offset pass so both see identical partition contents: unlike
 ``persist`` (whose blocks can be evicted and then *recomputed* with a fresh
 range-boundary sample, silently moving rows between partitions while the
 collected offsets still describe the old layout — ADVICE r2), a checkpoint
@@ -25,10 +27,57 @@ same determinism contract the window path has).
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def two_phase_offset(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    local_value: "Callable[..., Column]",
+    partition_stat: Column,
+    out_col: str,
+    out_type: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Shared two-phase scaffold: range-partition on ``order``, compute
+    ``local_value(window)`` per partition, collect ``partition_stat`` per
+    partition, prefix-sum the stats into offsets, add them back. The
+    checkpoint-between-passes discipline lives HERE, once — see the module
+    docstring for why it must be a checkpoint and not a persist."""
+    order = list(order)
+    part = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__pid__").orderBy(*order)
+    local = (
+        part.withColumn("__pid__", F.spark_partition_id())
+        .withColumn("__lv__", local_value(w))
+        # eager lineage cut: the collected stats below are only valid for
+        # THIS materialization of the range partitioning
+        .localCheckpoint(eager=True)
+    )
+    stats = sorted(
+        local.groupBy("__pid__").agg(partition_stat.alias("__s")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, s in stats:
+        offsets[pid] = acc
+        acc += int(s or 0)
+    entries: list[Column] = []
+    for pid, off in sorted(offsets.items()):
+        entries.append(F.lit(pid))
+        entries.append(F.lit(off).cast("bigint"))
+    off_map = F.create_map(*entries)
+    return local.withColumn(
+        out_col, (F.col("__lv__") + off_map[F.col("__pid__")]).cast(out_type)
+    ).drop("__pid__", "__lv__")
 
 
 def scalable_pos(
@@ -39,37 +88,12 @@ def scalable_pos(
 ) -> DataFrame:
     """Append a dense global 1..n position over ``order`` without an
     unpartitioned window. Returns ``df`` + ``out_col`` (double)."""
-    from pyspark.sql import Window
-
-    order = list(order)
-    part = (
-        df.repartitionByRange(num_partitions, *order)
-        if num_partitions
-        else df.repartitionByRange(*order)
+    return two_phase_offset(
+        df,
+        order,
+        local_value=lambda w: F.row_number().over(w),
+        partition_stat=F.count(F.lit(1)),
+        out_col=out_col,
+        out_type="double",
+        num_partitions=num_partitions,
     )
-    local = (
-        part.withColumn("__pid__", F.spark_partition_id())
-        .withColumn(
-            "__lrn__",
-            F.row_number().over(
-                Window.partitionBy("__pid__").orderBy(*order)
-            ),
-        )
-        # eager lineage cut: the collected offsets below are only valid for
-        # THIS materialization of the range partitioning; see module docstring
-        .localCheckpoint(eager=True)
-    )
-    counts = sorted(
-        local.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__n")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, n in counts:
-        offsets[pid] = acc
-        acc += n
-    off_map = F.create_map(
-        *[F.lit(x) for pid, off in sorted(offsets.items()) for x in (pid, off)]
-    )
-    return local.withColumn(
-        out_col,
-        (F.col("__lrn__") + off_map[F.col("__pid__")]).cast("double"),
-    ).drop("__pid__", "__lrn__")
