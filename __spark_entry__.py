@@ -1039,6 +1039,26 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(docs, "doc_id", "text")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup (the daily-crawl shape): odd doc_ids are
+    the new batch, even doc_ids' prefix fingerprints are the persisted
+    corpus state; every batch doc is classified new / dup_corpus /
+    dup_batch. One fingerprint join + one keyed window — content never
+    re-scans."""
+    from flatbread_spark.operators.dedup import dedup_incremental
+
+    docs = _load(spark, sf_dir, "documents")
+    pfx = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8))
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(
+        pfx.alias("fingerprint")
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    out = dedup_incremental(batch, "doc_id", pfx, corpus)
+    return out.select("doc_id", "fingerprint", "status").orderBy("doc_id")
+
+
 def q_chunk_dedup(spark, sf_dir):
     """Line/paragraph-level exact dedup (CCNet/RefinedWeb style): drop every
     12-word chunk whose content recurs in another document; per-doc counts +
@@ -1875,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
+        "dedup_incremental": q_dedup_incremental,
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
         "pct_interleaf": q_pct_interleaf,
@@ -2880,6 +2901,24 @@ SELECT vec_id,
       (e[i] - codes[i]*scale) * (e[i] - codes[i]*scale), 12) AS DECIMAL(28,12)))
     FROM generate_series(1, 64) t(i)) AS DOUBLE) / 64.0), 6) AS rmse
 FROM c ORDER BY vec_id
+""",
+        "dedup_incremental": r"""
+WITH f AS (
+  SELECT doc_id,
+    md5(array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:8], ' '))
+      AS fp
+  FROM documents),
+seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+b AS (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 1),
+m AS (
+  SELECT b.doc_id, b.fp, seen.fp IS NOT NULL AS in_corpus,
+    MIN(b.doc_id) OVER (PARTITION BY b.fp) AS mn
+  FROM b LEFT JOIN seen ON b.fp = seen.fp)
+SELECT doc_id, fp AS fingerprint,
+  CASE WHEN in_corpus THEN 'dup_corpus'
+       WHEN doc_id <> mn THEN 'dup_batch'
+       ELSE 'new' END AS status
+FROM m ORDER BY doc_id
 """,
         "build_packs": r"""
 WITH t AS (

@@ -68,6 +68,7 @@ from flatbread_spark.operators.counts import value_counts  # noqa: E402
 from flatbread_spark.operators.asof import asof_join, range_join_bucketed  # noqa: E402
 from flatbread_spark.operators.dedup import (  # noqa: E402
     dedup_exact,
+    dedup_incremental,
     embedding_dup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -97,7 +98,7 @@ __all__ = [
     "pivot_table", "crosstab", "load_table", "load_tables", "value_counts",
     "read_table", "write_table",
     "asof_join", "range_join_bucketed",
-    "dedup_exact", "minhash_lsh_pairs", "simhash_pairs",
+    "dedup_exact", "dedup_incremental", "minhash_lsh_pairs", "simhash_pairs",
     "ngram_jaccard_pairs", "embedding_dup_pairs",
     "connected_components", "dedup_clusters",
     "sample_deterministic", "sample_stratified", "sample_token_budget",

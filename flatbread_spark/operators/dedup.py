@@ -76,6 +76,48 @@ def dedup_exact(
     )
 
 
+def dedup_incremental(
+    new_df: DataFrame,
+    id_col: str,
+    fingerprint: Column,
+    seen_df: DataFrame,
+    seen_fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental ingestion dedup: classify every row of a NEW batch
+    against the fingerprints of the already-ingested corpus —
+    ``dup_corpus`` (fingerprint exists in ``seen_df``), ``dup_batch``
+    (another batch row with the same fingerprint has a smaller id), or
+    ``new``. This is the daily-crawl shape: the corpus is represented only
+    by its fingerprint table (what a pipeline actually persists between
+    runs), never re-scanned as content.
+
+    Scale: the seen set is corpus-sized, so it is NOT broadcast — the
+    classification is one hash-partitioned left join on the fingerprint
+    plus one keyed window over the batch; batch content never moves,
+    only (fingerprint, id) pairs shuffle.
+    """
+    from pyspark.sql import Window
+
+    staged = new_df.withColumn("__fp", fingerprint)
+    seen = (
+        seen_df.select(F.col(seen_fp_col).alias("__fp"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    w_min = F.min(F.col(id_col)).over(Window.partitionBy("__fp"))
+    return (
+        staged.join(seen, "__fp", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("__seen").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col(id_col) != w_min, F.lit("dup_batch"))
+            .otherwise(F.lit("new")),
+        )
+        .withColumnRenamed("__fp", "fingerprint")
+        .drop("__seen")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -891,3 +891,31 @@ def test_assign_split_validation(documents):
         assign_split(documents, "doc_id", {})
     with pytest.raises(ValueError):
         assign_split(documents, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_dedup_incremental_statuses(spark, documents):
+    from flatbread_spark.operators.dedup import dedup_incremental
+    from pyspark.sql import functions as F
+
+    fp = F.md5(F.substring("text", 1, 30))
+    corpus = documents.filter(F.col("doc_id") < 100).select(
+        F.md5(F.substring("text", 1, 30)).alias("fingerprint")
+    )
+    batch = documents.filter(F.col("doc_id") >= 100).select("doc_id", "text")
+    out = dedup_incremental(batch, "doc_id", fp, corpus)
+    assert out.count() == batch.count()
+    # statuses partition the batch; a doc marked new must be the min id of
+    # its fingerprint group and absent from the corpus set
+    seen = {r.fingerprint for r in corpus.distinct().collect()}
+    rows = out.collect()
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.fingerprint].append(r)
+    for fprint, rs in groups.items():
+        if fprint in seen:
+            assert all(r.status == "dup_corpus" for r in rs)
+        else:
+            mn = min(r.doc_id for r in rs)
+            for r in rs:
+                assert r.status == ("new" if r.doc_id == mn else "dup_batch")
