@@ -274,3 +274,40 @@ def test_salted_agg_equals_plain_groupby(spark, rows, n_salts):
         n, t = exp.get(k, (0, 0))
         exp[k] = (n + 1, t + v)
     assert got == exp
+
+
+# ----------------------------------------------------------- sequence packing
+token_lists = st.lists(st.integers(0, 40), min_size=1, max_size=30)
+
+
+@given(toks=token_lists, ctx=st.integers(2, 16))
+@settings(**SET)
+def test_pack_sequences_geometry_property(spark, toks, ctx):
+    """For ANY token-count distribution (zeros included) and ANY ctx size:
+    the stream is gapless, geometry fields agree with the cumsum, and
+    n_splits is never negative."""
+    from flatbread_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, int(t)) for i, t in enumerate(toks)], "doc_id long, tok long"
+    )
+    from pyspark.sql import functions as F
+
+    # sort by stream START: zero-token docs share cum_tokens with their
+    # predecessor, so cum is not a total stream order but start is gapless
+    rows = sorted(
+        pack_sequences(df, key_col="doc_id", tokens_col=F.col("tok"),
+                       ctx_len=ctx, salt=":h").collect(),
+        key=lambda r: (r.cum_tokens - r.n_tokens, r.cum_tokens, r.doc_id),
+    )
+    prev = 0
+    for r in rows:
+        start = r.cum_tokens - r.n_tokens
+        assert start == prev
+        assert r.pack_id == start // ctx
+        assert r.pack_offset == start % ctx
+        assert r.n_splits >= 0
+        if r.n_tokens > 0:
+            assert r.n_splits == (r.cum_tokens - 1) // ctx - start // ctx
+        prev = r.cum_tokens
+    assert prev == sum(toks)
