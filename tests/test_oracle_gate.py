@@ -23,6 +23,12 @@ FRAGILE = [
     "events_hourly", "sessions", "asof_attribution", "range_join",
     "funnel", "cohort_retention",
     "value_counts_pct", "value_counts_pct_raw", "binned_counts",
+    # round-4 cross-engine arithmetic contracts: scaled-integer k-means,
+    # decimal-RMSE quantization, md5-ordered packing/assembly — the places
+    # a Spark default change (ANSI mode, round semantics, session TZ)
+    # would diverge from DuckDB first
+    "kmeans_embeddings", "quantize_embeddings", "pack_sequences",
+    "build_packs", "trigram_typicality", "curation_funnel",
 ]
 
 
