@@ -1783,6 +1783,34 @@ def q_kmeans_embeddings(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_knn_ivf_sweep(spark, sf_dir):
+    """IVF tuning sweep: mean recall@5 vs nprobe ∈ {1,2,4,8} against the
+    memoized exact baseline — the recall/cost capacity-planning table every
+    ANN deployment publishes. Recall must be non-decreasing in nprobe by
+    construction (probing more cells only adds candidates); the oracle pins
+    the deterministic values (seeded centroids = first 16 ids)."""
+    from functools import reduce
+
+    from flatbread_spark.operators.similarity import knn_ivf
+
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = [
+        (i, list(r.embedding))
+        for i, r in enumerate(emb.orderBy("vec_id").limit(16).collect())
+    ]
+    qdf = emb.filter(F.col("vec_id") < 5)
+    bf = _bf_shared(spark, sf_dir)
+    outs = []
+    for nprobe in (1, 2, 4, 8):
+        rec = _knn_recall(knn_ivf(emb, qdf, cents, k=5, nprobe=nprobe), bf, k=5)
+        outs.append(
+            rec.agg(F.round(F.avg("recall"), 4).alias("mean_recall")).select(
+                F.lit(nprobe).cast("int").alias("nprobe"), "mean_recall"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("nprobe")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: synthesize binary payloads from document text
     (the container has no codecs — decode is a deterministic fake; the Spark
@@ -1927,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # heavy similarity/dedup family dead last: fully-warmed harness
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_sweep": q_knn_ivf_sweep,
         "knn_lsh": q_knn_lsh,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -2728,6 +2757,11 @@ SELECT CAST(query_id AS INTEGER) AS query_id, CAST(n_hits AS INTEGER) AS n_hits,
        CAST(recall AS DOUBLE) AS recall
 FROM (VALUES (0, 5, 1.0), (1, 5, 1.0), (2, 3, 0.6), (3, 5, 1.0), (4, 5, 1.0))
   t(query_id, n_hits, recall)
+""",
+        "knn_ivf_sweep": """
+SELECT CAST(nprobe AS INTEGER) AS nprobe, CAST(mean_recall AS DOUBLE) AS mean_recall
+FROM (VALUES (1, 0.92), (2, 0.92), (4, 0.92), (8, 0.96)) t(nprobe, mean_recall)
+ORDER BY nprobe
 """,
         # the fake-decode contract is sha256-derived, so every output column
         # is ANSI-SQL-expressible
