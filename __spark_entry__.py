@@ -1195,6 +1195,47 @@ def q_stream_dedup_replay(spark, sf_dir):
     return spark.table("fb_stream_dedup").select("fingerprint").distinct()
 
 
+def q_stream_quality_gate(spark, sf_dir):
+    """Streaming corpus-curation gate: the SAME lang/length/quality
+    expressions the batch funnel uses, run under readStream (stateless —
+    no watermark needed, the filter composes into any ingest topology) and
+    drained through a memory sink. Proves the text-analysis expression
+    family is streaming-safe, not just batch-tested."""
+    import tempfile
+
+    from flatbread_spark.functions.text import quality_score, token_count
+
+    docs = _load(spark, sf_dir, "documents")
+    stream_dir = tempfile.mkdtemp(prefix="fb_stream_gate_")
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    for q in spark.streams.active:
+        if q.name == "fb_stream_gate":
+            q.stop()
+    sdf = spark.readStream.schema(docs.schema).parquet(stream_dir)
+    gated = (
+        sdf.withColumn("quality", quality_score(F.col("text")))
+        .withColumn("tok", token_count(F.col("text")))
+        .filter(
+            F.col("lang").isin("en", "de", "fr")
+            & (F.col("tok") >= 20)
+            & (F.col("quality") >= 0.5)
+        )
+        .select("doc_id", "lang", F.col("tok").cast("bigint").alias("n_tokens"),
+                "quality")
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("fb_stream_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("fb_stream_gate").orderBy("doc_id")
+
+
 def q_contamination_planted(spark, sf_dir):
     """Planted-contamination recall fixture (VERDICT r2 #5): every 50th doc
     is copied verbatim into a synthetic eval set (eval_id = doc_id + 1e6),
@@ -1924,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "dedup_incremental": q_dedup_incremental,
+        "stream_quality_gate": q_stream_quality_gate,
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
         "pct_interleaf": q_pct_interleaf,
@@ -2935,6 +2977,27 @@ SELECT vec_id,
       (e[i] - codes[i]*scale) * (e[i] - codes[i]*scale), 12) AS DECIMAL(28,12)))
     FROM generate_series(1, 64) t(i)) AS DOUBLE) / 64.0), 6) AS rmse
 FROM c ORDER BY vec_id
+""",
+        "stream_quality_gate": r"""
+WITH m AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    round(
+      least(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+          x -> x IN ('the','a','an','of','and','to','in','is','it'))) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\s+')) * 4.0, 1.0) * 0.4
+      + (1.0 - least(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+          / length(text) * 5.0, 1.0)) * 0.3
+      + (CASE WHEN CAST(list_sum(list_transform(
+              regexp_split_to_array(trim(text), '\s+'), x -> length(x))) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\s+'))
+            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.3,
+      6) AS quality
+  FROM documents)
+SELECT doc_id, lang, n_tokens, quality
+FROM m
+WHERE lang IN ('en','de','fr') AND n_tokens >= 20 AND quality >= 0.5
+ORDER BY doc_id
 """,
         "dedup_incremental": r"""
 WITH f AS (
