@@ -1195,6 +1195,37 @@ def q_stream_dedup_replay(spark, sf_dir):
     return spark.table("fb_stream_dedup").select("fingerprint").distinct()
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key over orders (custkey × order-day):
+    the write-time layout that makes min/max file pruning work on EITHER
+    column. Reported as per-1000-key-range bucket stats — tight custkey and
+    day spans per bucket are exactly what data skipping consumes. Pure
+    integer bit math, engine-portable."""
+    from flatbread_spark.operators.layout import zorder_key
+
+    orders = _load(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        zorder_key(
+            F.col("o_custkey"), F.dayofyear("o_orderdate"), bits=10
+        ).alias("zkey"),
+        "o_custkey",
+        F.dayofyear("o_orderdate").alias("oday"),
+    )
+    bucket = F.floor(F.col("zkey") / 1000).cast("bigint")
+    return (
+        keyed.groupBy(bucket.alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_custkey").alias("cust_min"),
+            F.max("o_custkey").alias("cust_max"),
+            F.min("oday").cast("int").alias("day_min"),
+            F.max("oday").cast("int").alias("day_max"),
+        )
+        .orderBy("zbucket")
+    )
+
+
 def q_stream_quality_gate(spark, sf_dir):
     """Streaming corpus-curation gate: the SAME lang/length/quality
     expressions the batch funnel uses, run under readStream (stateless —
@@ -1966,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "dedup_incremental": q_dedup_incremental,
         "stream_quality_gate": q_stream_quality_gate,
+        "zorder_layout": q_zorder_layout,
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
         "pct_interleaf": q_pct_interleaf,
@@ -2977,6 +3009,22 @@ SELECT vec_id,
       (e[i] - codes[i]*scale) * (e[i] - codes[i]*scale), 12) AS DECIMAL(28,12)))
     FROM generate_series(1, 64) t(i)) AS DOUBLE) / 64.0), 6) AS rmse
 FROM c ORDER BY vec_id
+""",
+        "zorder_layout": r"""
+WITH k AS (
+  SELECT o_orderkey, o_custkey,
+    dayofyear(o_orderdate) AS oday,
+    (SELECT CAST(SUM(
+        (((o_custkey >> CAST(i AS INTEGER)) & 1) << (2*CAST(i AS INTEGER)))
+      + (((dayofyear(o_orderdate) >> CAST(i AS INTEGER)) & 1)
+          << (2*CAST(i AS INTEGER) + 1))) AS BIGINT)
+     FROM generate_series(0, 9) t(i)) AS zkey
+  FROM orders)
+SELECT CAST(zkey // 1000 AS BIGINT) AS zbucket,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  MIN(o_custkey) AS cust_min, MAX(o_custkey) AS cust_max,
+  CAST(MIN(oday) AS INTEGER) AS day_min, CAST(MAX(oday) AS INTEGER) AS day_max
+FROM k GROUP BY 1 ORDER BY zbucket
 """,
         "stream_quality_gate": r"""
 WITH m AS (

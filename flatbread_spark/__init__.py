@@ -77,6 +77,7 @@ from flatbread_spark.operators.dedup import (  # noqa: E402
 from flatbread_spark.operators.graph import connected_components, dedup_clusters  # noqa: E402
 from flatbread_spark.operators.curation import curation_funnel  # noqa: E402
 from flatbread_spark.operators.kmeans import kmeans_lloyd  # noqa: E402
+from flatbread_spark.operators.layout import cluster_by_zorder, zorder_key  # noqa: E402
 from flatbread_spark.operators.lm import trigram_typicality  # noqa: E402
 from flatbread_spark.operators.packing import (  # noqa: E402
     build_packs,
@@ -104,6 +105,6 @@ __all__ = [
     "sample_deterministic", "sample_stratified", "sample_token_budget",
     "assign_split", "pack_sequences", "build_packs", "scalable_cumsum",
     "curation_funnel",
-    "trigram_typicality", "kmeans_lloyd",
+    "trigram_typicality", "kmeans_lloyd", "zorder_key", "cluster_by_zorder",
     "knn_bruteforce", "knn_lsh", "knn_ivf",
 ]
