@@ -1195,6 +1195,36 @@ def q_stream_dedup_replay(spark, sf_dir):
     return spark.table("fb_stream_dedup").select("fingerprint").distinct()
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction plan per source partition: row counts, exact
+    payload bytes (UTF-8 octet length — engine-portable), and the target
+    file count at a 1 MiB goal (sized to the test corpus; the operator's
+    constant is the knob). The table-maintenance pass every long-lived
+    lake runs — at 100 TB the small-file problem IS a query-latency
+    problem, and the plan is one partial-agg shuffle over metadata-sized
+    groups."""
+    docs = _load(spark, sf_dir, "documents")
+    target = 1 * 1024 * 1024
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.octet_length("text")).cast("bigint").alias("payload_bytes"),
+        )
+        .withColumn(
+            "target_files",
+            F.greatest(
+                F.ceil(F.col("payload_bytes") / F.lit(target)), F.lit(1)
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "rows_per_file",
+            F.ceil(F.col("n_rows") / F.col("target_files")).cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) clustering key over orders (custkey × order-day):
     the write-time layout that makes min/max file pruning work on EITHER
@@ -1998,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "stream_quality_gate": q_stream_quality_gate,
         "zorder_layout": q_zorder_layout,
+        "compaction_plan": q_compaction_plan,
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
         "pct_interleaf": q_pct_interleaf,
@@ -3009,6 +3040,20 @@ SELECT vec_id,
       (e[i] - codes[i]*scale) * (e[i] - codes[i]*scale), 12) AS DECIMAL(28,12)))
     FROM generate_series(1, 64) t(i)) AS DOUBLE) / 64.0), 6) AS rmse
 FROM c ORDER BY vec_id
+""",
+        "compaction_plan": r"""
+WITH g AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(SUM(octet_length(encode(text))) AS BIGINT) AS payload_bytes
+  FROM documents GROUP BY source)
+SELECT source, n_rows, payload_bytes,
+  CAST(greatest(CAST(ceil(payload_bytes / 1048576.0) AS BIGINT), 1) AS BIGINT)
+    AS target_files,
+  CAST(ceil(CAST(n_rows AS DOUBLE)
+    / greatest(CAST(ceil(payload_bytes / 1048576.0) AS BIGINT), 1)) AS BIGINT)
+    AS rows_per_file
+FROM g ORDER BY source
 """,
         "zorder_layout": r"""
 WITH k AS (
