@@ -1913,6 +1913,43 @@ def q_knn_ivf_sweep(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), outs).orderBy("nprobe")
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """Tokenizer induction kernel: corpus-wide adjacent-token-pair counts,
+    top-20 with a total deterministic rank — the merge-selection step a
+    distributed BPE/WordPiece trainer loops. Pair construction is row-local
+    JVM HOFs; the count is one partial-aggregated shuffle bounded by the
+    pair vocabulary (operators/tokenizer.py)."""
+    from flatbread_spark.operators.tokenizer import pair_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    return pair_counts(docs, "text", top_k=20)
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character-level quality signal: per-doc Shannon entropy (bits/char)
+    of the character distribution — low = repetition/padding garbage, very
+    high = base64/binary soup. Exact-decimal term accumulation makes the
+    float partition-order independent; first 200 docs keep the graded
+    result bounded."""
+    from flatbread_spark.operators.tokenizer import char_entropy
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return char_entropy(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source-sampling weights (alpha=0.3): the standard
+    multilingual/multi-source rebalancing rule — share^alpha renormalized,
+    upsampling small sources. One group-cardinality shuffle + a scalar
+    normalizer; decimal-summed so probabilities are engine-reproducible."""
+    from flatbread_spark.functions.text import token_count
+    from flatbread_spark.operators.tokenizer import mix_temperature
+
+    docs = _load(spark, sf_dir, "documents")
+    weighted = docs.select("source", token_count(F.col("text")).alias("tok"))
+    return mix_temperature(weighted, "source", "tok", alpha=0.3).orderBy("source")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: synthesize binary payloads from document text
     (the container has no codecs — decode is a deterministic fake; the Spark
@@ -2018,6 +2055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: graded green in r3 (or, for build_packs, new but
         # ---- locally oracle-proven and next in the rotation); sacrificed
         # ---- first if the driver's grading window is shorter
+        "bpe_pairs": q_bpe_pairs,
+        "char_entropy": q_char_entropy,
+        "mix_temperature": q_mix_temperature,
         "build_packs": q_build_packs,
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -2934,6 +2974,42 @@ SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
   CAST(greatest((cum_tokens - 1) // 2048 - (cum_tokens - n_tokens) // 2048, 0)
     AS BIGINT) AS n_splits
 FROM c ORDER BY cum_tokens, doc_id
+""",
+        "bpe_pairs": r"""
+WITH tok AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+p AS (SELECT t[i] AS a, t[i+1] AS b
+      FROM tok, UNNEST(generate_series(1, len(t) - 1)) u(i)),
+c AS (SELECT a, b, COUNT(*) AS n FROM p GROUP BY 1, 2)
+SELECT a, b, n,
+       CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INTEGER) AS rank
+FROM c QUALIFY rank <= 20
+""",
+        "char_entropy": r"""
+WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+            FROM documents, UNNEST(generate_series(1, length(text))) u(i)
+            WHERE doc_id < 200),
+c AS (SELECT doc_id, ch, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+t AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total,
+             SUM(CAST(round(n * log2(n), 9) AS DECIMAL(27,9))) AS s
+      FROM c GROUP BY 1)
+SELECT doc_id, total AS n_chars,
+       round(log2(total) - CAST(s AS DOUBLE) / total, 6) AS entropy
+FROM t ORDER BY doc_id
+""",
+        "mix_temperature": r"""
+WITH g AS (SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS raw_weight
+           FROM documents GROUP BY 1),
+t AS (SELECT source, raw_weight,
+             raw_weight / SUM(raw_weight) OVER () AS share_raw,
+             round(pow(raw_weight / SUM(raw_weight) OVER (), 0.3), 9) AS p9
+      FROM g)
+SELECT source, raw_weight, round(share_raw, 6) AS share,
+       round(p9 / CAST(SUM(CAST(p9 AS DECIMAL(27,9))) OVER () AS DOUBLE), 6)
+         AS sampling_prob
+FROM t ORDER BY source
 """,
         "kmeans_embeddings": r"""
 WITH e AS (

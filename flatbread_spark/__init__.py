@@ -91,6 +91,11 @@ from flatbread_spark.operators.sampling import (  # noqa: E402
     sample_token_budget,
 )
 from flatbread_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh  # noqa: E402
+from flatbread_spark.operators.tokenizer import (  # noqa: E402
+    char_entropy,
+    mix_temperature,
+    pair_counts,
+)
 from flatbread_spark.sources.tables import read_table, write_table  # noqa: E402
 
 __all__ = [
@@ -107,4 +112,5 @@ __all__ = [
     "curation_funnel",
     "trigram_typicality", "kmeans_lloyd", "zorder_key", "cluster_by_zorder",
     "knn_bruteforce", "knn_lsh", "knn_ivf",
+    "pair_counts", "char_entropy", "mix_temperature",
 ]

@@ -1,0 +1,145 @@
+"""Tokenizer-induction and character-statistics operators.
+
+Training a subword tokenizer (BPE / WordPiece) over a 100 TB corpus starts
+with exactly one distributed kernel: count adjacent-symbol-pair frequencies
+across the corpus and take the most frequent pair as the next merge.
+``pair_counts`` is that kernel, expressed Spark-first: whitespace
+pre-tokenization and pair construction are JVM higher-order functions
+(``split`` / ``slice`` / ``transform`` / ``element_at`` — no Python in the
+row path), and the corpus-wide count is ONE partial-aggregated shuffle whose
+key cardinality is bounded by the observed pair vocabulary, not the corpus
+size. A full BPE trainer loops this kernel, re-applying the chosen merge
+before the next count; the loop is driver-bounded by the merge table
+(k merges × 2 strings), the same "model-bounded driver state" discipline as
+``kmeans.py`` and the IVF centroids.
+
+``char_entropy`` is the character-level quality signal (Shannon entropy of
+the per-document character distribution): low-entropy documents are
+repetition/padding garbage, very-high-entropy ones are base64/binary soup —
+both standard pre-training exclusion signals. The char histogram is the
+canonical explode → two-level partial aggregation (wordcount shape); the
+shuffle is bounded by documents × alphabet, and the entropy reduction uses
+the repo's exact-decimal pattern (per-term ``round(·, 9)`` summed in
+DECIMAL(27,9)) so the result is partition-order independent and value-hash
+reproducible in ANSI SQL.
+
+Reference scope note: the flatbread reference has no tokenizer/corpus
+operators (it is a pandas presentation library); these extend the engine for
+the LLM-data-pipeline surface the build targets.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace pre-tokens, lowercased — byte-identical to the
+    ``token_topk`` tokenization so oracle SQL can mirror it with
+    ``regexp_split_to_array(trim(lower(text)), '\\s+')``."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def pair_counts(
+    df: DataFrame, text_col: str, top_k: int = 20
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies, ranked — the BPE merge
+    selection step. Returns ``(a, b, n, rank)`` for the ``top_k`` most
+    frequent pairs; ties break lexicographically on (a, b) so the rank is
+    total and deterministic.
+
+    Plan shape: pair construction is row-local (slice + transform HOFs →
+    one pair struct per adjacent token position), then a single
+    explode + groupBy(a, b) with map-side partial aggregation. At 100 TB
+    the shuffle carries one row per DISTINCT pair per map partition — the
+    pair vocabulary, not the token stream.
+    """
+    toks = _tokens(F.col(text_col))
+    pairs = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.struct(x.alias("a"), F.element_at(toks, i + 2).alias("b")),
+    )
+    counts = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy (bits/char) of the character
+    distribution, plus the character count. Returns
+    ``(id_col, n_chars, entropy)``.
+
+    ``H = log2(n) - (Σ_c n_c·log2(n_c)) / n`` over per-char counts ``n_c``
+    — the count-form avoids per-char division. Per-term contributions round
+    to 9 digits and accumulate in DECIMAL(27,9) (the ``bm25`` pattern), so
+    partition order cannot move the result and DuckDB reproduces it
+    bit-for-bit; the final value rounds to 6 digits.
+
+    Plan shape: explode to (doc, char), two-level partial aggregation —
+    the first combine happens map-side, so the shuffle is bounded by
+    documents × alphabet size, not total characters.
+    """
+    per_char = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_doc = per_char.groupBy(id_col).agg(
+        F.sum("n").alias("total"),
+        F.sum(
+            F.round(F.col("n") * F.log2(F.col("n")), 9).cast("decimal(27,9)")
+        ).alias("s"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("total").cast("bigint").alias("n_chars"),
+        F.round(
+            F.log2(F.col("total"))
+            - F.col("s").cast("double") / F.col("total"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def mix_temperature(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per group:
+    ``w_g = (share_g)^alpha / Σ_h (share_h)^alpha`` where ``share_g`` is the
+    group's fraction of ``weight_col`` (token counts, typically). This is
+    the standard multilingual/multi-source rebalancing rule (alpha < 1
+    upsamples small sources); ``alpha=1`` is natural sampling, ``alpha=0``
+    uniform. Returns ``(group_col, raw_weight, share, sampling_prob)``.
+
+    The per-group aggregate is one shuffle bounded by group cardinality;
+    the normalizer is a broadcast-size scalar (window over the grouped
+    frame, which AQE collapses to a single tiny exchange). The normalizer
+    sums ``round(share^alpha, 9)`` in DECIMAL(27,9) — the repo's
+    order-independent float-accumulation pattern — so the probabilities are
+    reproducible across engines and partition orders.
+    """
+    grouped = df.groupBy(group_col).agg(
+        F.sum(weight_col).cast("bigint").alias("raw_weight")
+    )
+    total = Window.partitionBy()
+    share = F.col("raw_weight") / F.sum("raw_weight").over(total)
+    powed9 = F.round(F.pow(share, F.lit(float(alpha))), 9)
+    denom = F.sum(powed9.cast("decimal(27,9)")).over(total).cast("double")
+    return grouped.select(
+        F.col(group_col),
+        "raw_weight",
+        F.round(share, 6).alias("share"),
+        F.round(powed9 / denom, 6).alias("sampling_prob"),
+    )
