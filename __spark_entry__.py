@@ -1869,9 +1869,10 @@ def q_kmeans_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means (k=8, 2 iterations) over the embedding
     corpus — the 'train the IVF centroids' step knn_ivf assumes, and the
     iterative-algorithm representative: each iteration is one DataFrame
-    pass (k literal exact-decimal distance expressions + per-dim decimal
-    means), driver state bounded by k×dim. Deterministic enough to be
-    value-hash graded: the oracle unrolls both iterations in SQL."""
+    pass (Arrow-batched exact-scaled-integer assignment kernel + per-dim
+    decimal means via posexplode partial agg), driver state bounded by
+    k×dim. Deterministic enough to be value-hash graded: the oracle
+    unrolls both iterations in SQL."""
     from flatbread_spark.operators.kmeans import kmeans_lloyd
 
     emb = _load(spark, sf_dir, "embeddings")

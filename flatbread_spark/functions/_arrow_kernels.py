@@ -186,3 +186,39 @@ def make_ivf_probe_udf(cent_mat, cent_ids, nprobe: int):
         return pd.Series([row.astype("int32") for row in out])
 
     return probe
+
+
+def make_kmeans_assign_udf(centroids):
+    """Nearest-centroid assignment under the exact scaled-integer distance
+    contract of ``operators/kmeans`` (oracle-matched in SQL): per-dim terms
+    ``(x-c)*(x-c)*1e12`` HALF_UP-rounded to int64 and summed; ties break to
+    the smallest centroid id (``argmin`` = first minimum).
+
+    HALF_UP on a nonnegative double ``t < 2^52`` — what the JVM's
+    ``round()`` computes via BigDecimal — is exactly
+    ``floor(t) + (t - floor(t) >= 0.5)``: floor and the subtraction are
+    exact in IEEE double at that magnitude, and the 0.5 comparison agrees
+    between the double's exact value and its shortest decimal repr (0.5 is
+    itself representable). So the kernel is bit-identical to the SQL path.
+
+    Returns a pandas UDF: array<float> -> struct<cluster:int, d2:double>.
+    Per-batch intermediate is (batch, k, dim) doubles — chunk upstream
+    before raising k×dim by orders of magnitude.
+    """
+    C = np.asarray(centroids, dtype=np.float64)            # (k, dim)
+
+    @pandas_udf("struct<cluster:int,d2:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)   # (batch, dim)
+        diff = V[:, None, :] - C[None, :, :]               # (batch, k, dim)
+        t = diff * diff * 1e12
+        fl = np.floor(t)
+        terms = fl.astype(np.int64) + (t - fl >= 0.5)      # exact HALF_UP
+        d2i = terms.sum(axis=2)                            # (batch, k) int64
+        cluster = d2i.argmin(axis=1)
+        d2 = d2i[np.arange(len(V)), cluster].astype(np.float64) / 1e12
+        return pd.DataFrame(
+            {"cluster": cluster.astype(np.int32), "d2": d2}
+        )
+
+    return assign

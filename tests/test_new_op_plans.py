@@ -27,11 +27,11 @@ def test_kmeans_assignment_is_map_side(spark, embeddings):
     ]
     plan = _plan(_assign(embeddings.select("vec_id", "embedding"),
                          "embedding", init))
-    # centroids ride a one-row broadcast; the argmin itself adds no SHUFFLE
-    # (the only Exchange is the BroadcastExchange of the centroid row)
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange") == plan.count("BroadcastExchange")
+    # centroids ride the Arrow kernel's closure; assignment is a pure
+    # map-side projection — no join, no Exchange of any kind
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_quantization_is_shuffle_free(spark, embeddings):
