@@ -1951,6 +1951,33 @@ def q_mix_temperature(spark, sf_dir):
     return mix_temperature(weighted, "source", "tok", alpha=0.3).orderBy("source")
 
 
+def q_approx_profile(spark, sf_dir):
+    """Sketch aggregates — the 100 TB profiling path: per-source document
+    cardinality via HyperLogLog++ (`approx_count_distinct`) AND the
+    mergeable Apache DataSketches HLL (`hll_sketch_agg` →
+    `hll_sketch_estimate`, partial sketches union across shards/days), plus
+    approx_percentile beside the exact percentile. Estimates are
+    deterministic for a dataset but engine-specific, so there is
+    deliberately NO cross-engine oracle (driver records the rows-only
+    check); pytest asserts the estimates sit within documented error bounds
+    of the exact values."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("exact_distinct"),
+            F.approx_count_distinct("doc_id", rsd=0.05).alias("hllpp_distinct"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("doc_id")).alias(
+                "sketch_distinct"
+            ),
+            F.percentile_approx("n_chars", 0.5, 1000).alias("approx_p50"),
+            F.expr("CAST(percentile(n_chars, 0.5) AS DOUBLE)").alias("exact_p50"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: synthesize binary payloads from document text
     (the container has no codecs — decode is a deterministic fake; the Spark
@@ -2059,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "char_entropy": q_char_entropy,
         "mix_temperature": q_mix_temperature,
+        "approx_profile": q_approx_profile,
         "build_packs": q_build_packs,
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,

@@ -222,3 +222,66 @@ def make_kmeans_assign_udf(centroids):
         )
 
     return assign
+
+
+def make_trigram_extract_udf(n=3):
+    """Per-document char n-gram counts, row-local: one Counter pass over the
+    (pre-lowered) text per row. Python dict ops beat the JVM HOF
+    shift-and-zip extraction ~8× here because HOF lambdas pay per-element
+    interpreted dispatch; the kernel is one Arrow batch in, two parallel
+    arrays out. Counts by Python code points — supplementary-plane chars
+    count 1 (JVM strings count 2); identical for BMP text, pre-lower in
+    the JVM so case mapping stays engine-consistent.
+
+    Returns a pandas UDF: string -> struct<tris:array<string>,ks:array<int>>.
+    """
+    from collections import Counter
+
+    @pandas_udf("struct<tris:array<string>,ks:array<int>>")
+    def extract(texts: pd.Series) -> pd.DataFrame:
+        tris_out, ks_out = [], []
+        for t in texts:
+            if t is None or len(t) < n:
+                tris_out.append([])
+                ks_out.append([])
+                continue
+            c = Counter(t[i : i + n] for i in range(len(t) - n + 1))
+            tris_out.append(list(c.keys()))
+            ks_out.append(list(c.values()))
+        return pd.DataFrame({"tris": tris_out, "ks": ks_out})
+
+    return extract
+
+
+def make_trigram_score_udf(model, n=3):
+    """Row-local typicality scoring against a collected ``{(lang, tri):
+    corpus_count}`` model — the score pass touches no shuffle at all.
+    Out-of-vocabulary n-grams contribute frequency 0 but still count in
+    ``n_tris`` (the LEFT-join semantics: garbage must score LOW, not have
+    its OOV mass dropped from the average). Integer outputs only — the
+    final division/round happens JVM-side so the float path matches the
+    SQL oracle exactly.
+
+    Returns a pandas UDF: (string, string) ->
+    struct<n_tris:long,distinct_tris:long,sum_freq:long>.
+    """
+    from collections import Counter
+
+    g = model.get
+
+    @pandas_udf("struct<n_tris:long,distinct_tris:long,sum_freq:long>")
+    def score(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+        nt, dt, sf = [], [], []
+        for t, lang in zip(texts, langs):
+            if t is None or len(t) < n:
+                nt.append(0)
+                dt.append(0)
+                sf.append(0)
+                continue
+            c = Counter(t[i : i + n] for i in range(len(t) - n + 1))
+            nt.append(len(t) - n + 1)
+            dt.append(len(c))
+            sf.append(sum(k * g((lang, tri), 0) for tri, k in c.items()))
+        return pd.DataFrame({"n_tris": nt, "distinct_tris": dt, "sum_freq": sf})
+
+    return score

@@ -9,12 +9,15 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_trigram_model_join_is_broadcast(spark, documents):
+def test_trigram_score_pass_is_map_side(spark, documents):
+    """The model rides the scoring kernel's closure — the score pass is a
+    pure map-side projection: no join, no Exchange of any kind."""
     from flatbread_spark.operators.lm import trigram_typicality
 
     plan = _plan(trigram_typicality(documents, "doc_id", "text", "lang"))
-    assert plan.count("BroadcastHashJoin") == 1
-    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_kmeans_assignment_is_map_side(spark, embeddings):
