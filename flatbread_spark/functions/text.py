@@ -371,11 +371,29 @@ def seq_ngrams(text: Column, n: int = 2) -> Column:
     input to within-document repetition measures. Texts shorter than ``n``
     tokens yield one whole-text gram."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    grams = _seq_ngram_array(toks, n)
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
+
+
+def _seq_ngram_array(toks: Column, n: int) -> Column:
+    """Sequential word n-grams of a token ARRAY via shift-and-zip: zip_with
+    and slice evaluate their array children once per row, so extraction is
+    O(len·n). The indexed ``transform(idx, i -> concat_ws(slice(toks,
+    i+1, n)))`` form re-inlines the tokenization into the lambda (Catalyst
+    substitutes non-attribute children) and goes O(len²) — the same trap
+    documented at ``lm.char_ngrams`` and ``tokenizer.pair_counts``.
+    Caller must guard ``size(toks) >= n``."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.slice(toks, 1, m)
+    for shift in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, shift + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return grams
 
 
 def repetition_ratio(text: Column, n: int = 2) -> Column:
@@ -413,8 +431,7 @@ def word_shingles(text: Column, n: int = 4) -> Column:
     JVM-native ``pyspark.ml.feature.NGram`` (~5× faster than this
     higher-order-function formulation, which runs interpreted)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    sh = _seq_ngram_array(toks, n)
     return F.array_distinct(
         F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
     )

@@ -651,7 +651,13 @@ def explode_word_chunks(
     w = int(words_per_chunk)
     if w <= 0:
         raise ValueError("words_per_chunk must be positive")
-    words = F.split(F.col(text_col), " ")
+    # stage the split as a COLUMN first: slicing an attribute ref inside the
+    # lambda is O(w) per chunk; slicing the inline split() expression would
+    # re-tokenize the text per chunk (Catalyst re-inlines lambda references
+    # to non-attribute children) and go O(len²/w)
+    base = df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                     F.split(F.col(text_col), " ").alias("__words"))
+    words = F.col("__words")
     n_chunks = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -659,9 +665,9 @@ def explode_word_chunks(
     )
     # Alias the HOF result once before exploding: HOF expressions re-evaluate
     # per referencing expression if repeated inline.
-    base = df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
-                     chunks.alias("__chunks"))
-    return base.select(
+    staged = base.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                         chunks.alias("__chunks"))
+    return staged.select(
         id_col, *extra_cols,
         F.posexplode("__chunks").alias("cidx", "chunk"),
     )

@@ -48,16 +48,22 @@ def pair_counts(
     frequent pairs; ties break lexicographically on (a, b) so the rank is
     total and deterministic.
 
-    Plan shape: pair construction is row-local (slice + transform HOFs →
-    one pair struct per adjacent token position), then a single
-    explode + groupBy(a, b) with map-side partial aggregation. At 100 TB
-    the shuffle carries one row per DISTINCT pair per map partition — the
-    pair vocabulary, not the token stream.
+    Plan shape: pair construction is row-local — ``zip_with`` over the
+    token array and its own 1-shifted slice (zip_with evaluates its array
+    children ONCE per row; an indexed ``transform`` + ``element_at(toks,
+    i+1)`` re-inlines the whole tokenization into the lambda and goes
+    O(len²) — measured 6× slower at sf0.1, the same Catalyst trap
+    documented at ``lm.char_ngrams``). Then a single explode +
+    groupBy(a, b) with map-side partial aggregation: at 100 TB the shuffle
+    carries one row per DISTINCT pair per map partition — the pair
+    vocabulary, not the token stream.
     """
     toks = _tokens(F.col(text_col))
-    pairs = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x, i: F.struct(x.alias("a"), F.element_at(toks, i + 2).alias("b")),
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
     counts = (
         df.select(F.explode(pairs).alias("p"))
