@@ -1891,10 +1891,21 @@ def q_knn_ivf_sweep(spark, sf_dir):
     memoized exact baseline — the recall/cost capacity-planning table every
     ANN deployment publishes. Recall must be non-decreasing in nprobe by
     construction (probing more cells only adds candidates); the oracle pins
-    the deterministic values (seeded centroids = first 16 ids)."""
+    the deterministic values (seeded centroids = first 16 ids).
+
+    The four sweep points share ONE probe pass: a query's nprobe=n cells
+    are exactly the first n entries of its nprobe=8 cell ranking (the probe
+    kernel ranks all cells once), so cell assignment, the candidate join,
+    and the exact-cosine scoring run once with the probe POSITION carried
+    through; each sweep point is a filter (pos < n) + rank window over the
+    pinned scored frame — one corpus scan instead of four."""
     from functools import reduce
 
-    from flatbread_spark.operators.similarity import knn_ivf
+    from pyspark.sql import Window
+
+    from flatbread_spark.cache import pin
+    from flatbread_spark.functions.vectors import cosine_exact
+    from flatbread_spark.operators.similarity import _probe_udf, ivf_assign
 
     emb = _load(spark, sf_dir, "embeddings")
     cents = [
@@ -1903,9 +1914,39 @@ def q_knn_ivf_sweep(spark, sf_dir):
     ]
     qdf = emb.filter(F.col("vec_id") < 5)
     bf = _bf_shared(spark, sf_dir)
+    cells = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"),
+        "cell",
+    )
+    probes = qdf.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"),
+        F.posexplode(_probe_udf(cents, 8)(F.col("embedding"))).alias(
+            "pos", "cell"
+        ),
+    )
+    cands = cells.join(
+        F.broadcast(probes),
+        (cells["cell"] == probes["cell"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = pin(
+        cands.select(
+            "query_id", "neighbor_id", "pos",
+            F.round(cosine_exact(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+        ),
+        tag="ivf_sweep",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
     outs = []
     for nprobe in (1, 2, 4, 8):
-        rec = _knn_recall(knn_ivf(emb, qdf, cents, k=5, nprobe=nprobe), bf, k=5)
+        approx = (
+            scored.filter(F.col("pos") < nprobe)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+        )
+        rec = _knn_recall(approx, bf, k=5)
         outs.append(
             rec.agg(F.round(F.avg("recall"), 4).alias("mean_recall")).select(
                 F.lit(nprobe).cast("int").alias("nprobe"), "mean_recall"
