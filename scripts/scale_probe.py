@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Reproducible 10× scaling probe behind the SCALE.md table.
+
+Replicates the sf0.1 corpus 10× (each source doc becomes a 10-way
+near-dup cluster via per-copy token prefixes — deliberately adversarial
+near-dup density) and the embedding corpus 10× (distinct ids), then times
+each headline operator at 1× and 10×. Near-linear time in input despite
+output growing quadratically in cluster size is the pass criterion — the
+banding/bucketing joins, not the pair emission, must set the cost.
+
+Usage: python scripts/scale_probe.py [op ...]   (default: all)
+Writes one JSON line per op: {"op": ..., "t1": ..., "t10": ..., "ratio": ...}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+import flatbread_spark as fb  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def corpus_10x(docs):
+    """10 near-dup copies per doc: copy i prefixes the text with i tokens
+    so copies are near- (not exact-) duplicates; doc_ids stay distinct."""
+    parts = [docs]
+    for i in range(1, 10):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                F.concat(F.lit(("pad%d " % i) * i), F.col("text")).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def emb_10x(emb):
+    parts = [emb]
+    for i in range(1, 10):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 100_000)).alias("vec_id"),
+                "embedding", "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _funnel(d):
+    from flatbread_spark.functions.text import mean_token_len, quality_score, tokens
+
+    toks = tokens(F.col("text"))
+    nw = F.size(toks)
+    mwl = mean_token_len(F.col("text"))
+    pfx = F.md5(F.concat_ws(" ", F.slice(toks, 1, 8)))
+    return fb.curation_funnel(
+        d.select("doc_id", "lang", "text"),
+        key_col="doc_id",
+        pre_stages=[
+            ("lang", F.col("lang").isin("en", "de", "fr")),
+            ("word_count", (nw >= 20) & (nw <= 100_000)),
+            ("mean_word_len", (mwl >= 3.0) & (mwl <= 10.0)),
+        ],
+        dedup_on=pfx,
+        dedup_name="dup_prefix",
+        post_stages=[("quality", quality_score(F.col("text")) >= 0.5)],
+    )
+
+
+def main():
+    spark = fb.get_spark(app="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding", "label"
+    )
+    docs1 = docs.localCheckpoint(eager=True)
+    docs10 = corpus_10x(docs).repartition(32).localCheckpoint(eager=True)
+    emb1 = emb.localCheckpoint(eager=True)
+    emb10 = emb_10x(emb).repartition(32).localCheckpoint(eager=True)
+
+    def run_count(df_out):
+        return df_out.count()
+
+    OPS = {
+        "dedup_exact": lambda d, e: run_count(
+            fb.dedup_exact(d, "doc_id", "text")
+        ),
+        "minhash_lsh_pairs": lambda d, e: run_count(
+            fb.minhash_lsh_pairs(d, "doc_id", "text")
+        ),
+        "simhash_pairs": lambda d, e: run_count(
+            fb.simhash_pairs(d, "doc_id", "text")
+        ),
+        "pack_sequences": lambda d, e: run_count(
+            fb.pack_sequences(
+                d,
+                key_col="doc_id",
+                tokens_col=F.size(F.split(F.trim(F.col("text")), r"\s+")),
+                ctx_len=2048,
+            )
+        ),
+        "curation_funnel": lambda d, e: run_count(_funnel(d)),
+        "trigram_typicality": lambda d, e: run_count(
+            fb.trigram_typicality(d, "doc_id", "text", "lang")
+        ),
+        "kmeans_lloyd": lambda d, e: run_count(
+            fb.kmeans_lloyd(e, "vec_id", "embedding", k=8, iters=2)[0]
+        ),
+        "pair_counts": lambda d, e: run_count(fb.pair_counts(d, "text")),
+        "char_entropy": lambda d, e: run_count(
+            fb.char_entropy(d, "doc_id", "text")
+        ),
+    }
+    only = sys.argv[1:]
+    for name, op in OPS.items():
+        if only and name not in only:
+            continue
+        op(docs1, emb1)  # warm this op's codegen/kernel paths
+        t0 = time.perf_counter()
+        op(docs1, emb1)
+        t1 = time.perf_counter() - t0
+        fb.release_caches()
+        t0 = time.perf_counter()
+        op(docs10, emb10)
+        t10 = time.perf_counter() - t0
+        fb.release_caches()
+        print(
+            json.dumps(
+                {
+                    "op": name,
+                    "t1": round(t1, 2),
+                    "t10": round(t10, 2),
+                    "ratio": round(t10 / t1, 2) if t1 > 0 else None,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
