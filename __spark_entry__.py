@@ -2019,6 +2019,34 @@ def q_approx_profile(spark, sf_dir):
     )
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal, per source: repetitive/
+    templated text compresses far below 1, high-entropy soup stays near 1 —
+    the cheap corpus-hygiene gate used alongside Gopher-style rules.
+    Per-doc deflate is a row-local Arrow kernel (no shuffle); the report
+    aggregates min/avg/max ratio per source. zlib output is deterministic
+    but engine-specific — rows-only by design (no SQL replay); pytest pins
+    the repetitive-vs-random ordering property."""
+    from flatbread_spark.functions._arrow_kernels import (
+        make_compression_ratio_udf,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    kern = make_compression_ratio_udf()
+    c = F.col("__c")
+    return (
+        docs.withColumn("__c", kern(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min(c["ratio"]), 6).alias("min_ratio"),
+            F.round(F.avg(c["ratio"]), 6).alias("avg_ratio"),
+            F.round(F.max(c["ratio"]), 6).alias("max_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: synthesize binary payloads from document text
     (the container has no codecs — decode is a deterministic fake; the Spark
@@ -2128,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "mix_temperature": q_mix_temperature,
         "approx_profile": q_approx_profile,
+        "compression_ratio": q_compression_ratio,
         "build_packs": q_build_packs,
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,

@@ -40,3 +40,30 @@ def test_hll_sketch_partials_merge(spark, documents):
         .first()["n"]
     )
     assert abs(merged - one_pass) <= max(0.02 * one_pass, 2), (merged, one_pass)
+
+
+def test_compression_ratio_orders_repetition(spark):
+    """Repetitive text compresses much better than high-entropy text —
+    the property the quality gate relies on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flatbread_spark.functions._arrow_kernels import (
+        make_compression_ratio_udf,
+    )
+
+    rng = random.Random(7)
+    noisy = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                    for _ in range(2000))
+    df = spark.createDataFrame(
+        [(0, "spam " * 400), (1, noisy), (2, None)],
+        "doc_id bigint, text string",
+    )
+    kern = make_compression_ratio_udf()
+    rows = {r.doc_id: r.c for r in
+            df.select("doc_id", kern("text").alias("c")).collect()}
+    assert rows[0].ratio < 0.1                      # pure repetition
+    assert rows[1].ratio > 0.5                      # near-incompressible
+    assert rows[2].ratio is None and rows[2].raw_bytes == 0
+    assert rows[1].raw_bytes == 2000
