@@ -1901,11 +1901,8 @@ def q_knn_ivf_sweep(spark, sf_dir):
     pinned scored frame — one corpus scan instead of four."""
     from functools import reduce
 
-    from pyspark.sql import Window
-
     from flatbread_spark.cache import pin
-    from flatbread_spark.functions.vectors import cosine_exact
-    from flatbread_spark.operators.similarity import _probe_udf, ivf_assign
+    from flatbread_spark.operators.similarity import ivf_candidates, rank_topk
 
     emb = _load(spark, sf_dir, "embeddings")
     cents = [
@@ -1914,38 +1911,10 @@ def q_knn_ivf_sweep(spark, sf_dir):
     ]
     qdf = emb.filter(F.col("vec_id") < 5)
     bf = _bf_shared(spark, sf_dir)
-    cells = ivf_assign(emb, cents).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"),
-        "cell",
-    )
-    probes = qdf.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"),
-        F.posexplode(_probe_udf(cents, 8)(F.col("embedding"))).alias(
-            "pos", "cell"
-        ),
-    )
-    cands = cells.join(
-        F.broadcast(probes),
-        (cells["cell"] == probes["cell"])
-        & (F.col("query_id") != F.col("neighbor_id")),
-    )
-    scored = pin(
-        cands.select(
-            "query_id", "neighbor_id", "pos",
-            F.round(cosine_exact(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
-        ),
-        tag="ivf_sweep",
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
+    scored = pin(ivf_candidates(emb, qdf, cents, nprobe=8), tag="ivf_sweep")
     outs = []
     for nprobe in (1, 2, 4, 8):
-        approx = (
-            scored.filter(F.col("pos") < nprobe)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 5)
-        )
+        approx = rank_topk(scored.filter(F.col("pos") < nprobe), k=5)
         rec = _knn_recall(approx, bf, k=5)
         outs.append(
             rec.agg(F.round(F.avg("recall"), 4).alias("mean_recall")).select(

@@ -207,19 +207,30 @@ def make_kmeans_assign_udf(centroids):
     """
     C = np.asarray(centroids, dtype=np.float64)            # (k, dim)
 
+    dim = C.shape[1]
+
     @pandas_udf("struct<cluster:int,d2:double>")
     def assign(vecs: pd.Series) -> pd.DataFrame:
-        V = np.stack(vecs.to_numpy()).astype(np.float64)   # (batch, dim)
-        diff = V[:, None, :] - C[None, :, :]               # (batch, k, dim)
-        t = diff * diff * 1e12
-        fl = np.floor(t)
-        terms = fl.astype(np.int64) + (t - fl >= 0.5)      # exact HALF_UP
-        d2i = terms.sum(axis=2)                            # (batch, k) int64
-        cluster = d2i.argmin(axis=1)
-        d2 = d2i[np.arange(len(V)), cluster].astype(np.float64) / 1e12
-        return pd.DataFrame(
-            {"cluster": cluster.astype(np.int32), "d2": d2}
+        vals = vecs.to_numpy()
+        # null / ragged vectors -> null cluster+d2 (the expression path this
+        # kernel replaced null-propagated instead of aborting the job)
+        ok = np.array(
+            [v is not None and len(v) == dim for v in vals], dtype=bool
         )
+        out_c = np.full(len(vals), None, dtype=object)
+        out_d = np.full(len(vals), None, dtype=object)
+        if ok.any():
+            V = np.stack(vals[ok]).astype(np.float64)      # (batch, dim)
+            diff = V[:, None, :] - C[None, :, :]           # (batch, k, dim)
+            t = diff * diff * 1e12
+            fl = np.floor(t)
+            terms = fl.astype(np.int64) + (t - fl >= 0.5)  # exact HALF_UP
+            d2i = terms.sum(axis=2)                        # (batch, k) int64
+            cluster = d2i.argmin(axis=1)
+            d2 = d2i[np.arange(len(V)), cluster].astype(np.float64) / 1e12
+            out_c[ok] = cluster.astype(np.int32)
+            out_d[ok] = d2
+        return pd.DataFrame({"cluster": out_c, "d2": out_d})
 
     return assign
 
@@ -281,7 +292,12 @@ def make_trigram_score_udf(model, n=3):
             c = Counter(t[i : i + n] for i in range(len(t) - n + 1))
             nt.append(len(t) - n + 1)
             dt.append(len(c))
-            sf.append(sum(k * g((lang, tri), 0) for tri, k in c.items()))
+            # NULL lang matches nothing — SQL join-on-lang semantics
+            # (NULL != NULL), not Python dict (None, tri) key equality
+            if lang is None:
+                sf.append(0)
+            else:
+                sf.append(sum(k * g((lang, tri), 0) for tri, k in c.items()))
         return pd.DataFrame({"n_tris": nt, "distinct_tris": dt, "sum_freq": sf})
 
     return score
@@ -305,7 +321,7 @@ def make_compression_ratio_udf(level=6):
     def comp(texts: pd.Series) -> pd.DataFrame:
         raw, comp_, ratio = [], [], []
         for t in texts:
-            if t is None:
+            if not t:  # None and "" alike: no content, no header bytes
                 raw.append(0)
                 comp_.append(0)
                 ratio.append(None)
@@ -314,7 +330,7 @@ def make_compression_ratio_udf(level=6):
             c = len(zlib.compress(b, level))
             raw.append(len(b))
             comp_.append(c)
-            ratio.append(round(c / len(b), 6) if b else None)
+            ratio.append(round(c / len(b), 6))
         return pd.DataFrame(
             {"raw_bytes": raw, "compressed_bytes": comp_, "ratio": ratio}
         )

@@ -102,6 +102,12 @@ def trigram_typicality(
     aggregation. The corpus is scanned twice when self-training (train +
     score), each scan map-only — at scale two cheap columnar scans beat
     materializing a corpus-sized intermediate.
+
+    NOTE: the model is collected EAGERLY at construction time (a Spark job
+    runs inside this call, including for a caller-supplied ``model``
+    frame) and the returned plan embeds that frozen snapshot — deliberate:
+    the model is a bounded training ARTIFACT, not live state, matching how
+    k-means centroids and IVF cells are passed by value.
     """
     from flatbread_spark.functions._arrow_kernels import make_trigram_score_udf
 

@@ -184,6 +184,53 @@ def _probe_udf(centroids, nprobe: int):
     )
 
 
+def ivf_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 3,
+) -> DataFrame:
+    """Scored IVF candidates with the probe POSITION carried through:
+    ``(query_id, neighbor_id, pos, cos)`` where ``pos`` is the rank of the
+    matched cell in the query's nearest-cell ordering. Because the probe
+    kernel ranks cells once, the ``nprobe=n`` candidate set for any
+    ``n <= nprobe`` is exactly ``pos < n`` — which is what lets a tuning
+    sweep share one candidate join across all its sweep points.
+    At scale the cell equi-join replaces the full cross product —
+    candidate count ≈ corpus × nprobe / n_cells."""
+    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        F.posexplode(_probe_udf(centroids, nprobe)(F.col(vec_col))).alias(
+            "pos", "cell"
+        ),
+    )
+    cands = cells.join(
+        F.broadcast(probes),
+        (cells["cell"] == probes["cell"]) & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    cos = cosine_exact(F.col("__qv"), F.col("__cv"))
+    return cands.select(
+        "query_id", "neighbor_id", "pos", F.round(cos, 6).alias("cos")
+    )
+
+
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k over a scored candidate frame:
+    rank by (cos desc, neighbor_id asc) — the tie-break every knn_* result
+    and oracle in this repo shares."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cos")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -196,24 +243,9 @@ def knn_ivf(
     """IVF approximate top-k: corpus vectors assigned to their nearest
     centroid cell (one scan), each query probes its ``nprobe`` nearest cells,
     candidates re-ranked with exact-decimal cosine. Same output shape as
-    ``knn_bruteforce`` so recall is directly measurable. At scale the cell
-    equi-join replaces the full cross product — candidate count ≈
-    corpus × nprobe / n_cells."""
-    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
-    )
-    probes = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
-        F.explode(_probe_udf(centroids, nprobe)(F.col(vec_col))).alias("cell"),
-    )
-    cands = cells.join(
-        F.broadcast(probes),
-        (cells["cell"] == probes["cell"]) & (F.col("query_id") != F.col("neighbor_id")),
-    )
-    cos = cosine_exact(F.col("__qv"), F.col("__cv"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        cands.select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    ``knn_bruteforce`` so recall is directly measurable. Composition of
+    :func:`ivf_candidates` + :func:`rank_topk` — the tuning sweep reuses the
+    same pieces, so scoring/tie-break semantics cannot desync."""
+    return rank_topk(
+        ivf_candidates(corpus, queries, centroids, id_col, vec_col, nprobe), k
     )

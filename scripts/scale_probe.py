@@ -29,15 +29,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def corpus_10x(docs):
     """10 near-dup copies per doc: copy i prefixes the text with i tokens
-    so copies are near- (not exact-) duplicates; doc_ids stay distinct."""
+    so copies are near- (not exact-) duplicates; doc_ids stay distinct.
+    n_chars is recomputed for the lengthened replicas."""
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    assert max_id < 1_000_000, (
+        f"doc_id replication offset collides (max doc_id {max_id}); "
+        "raise the offset for this corpus"
+    )
     parts = [docs]
     for i in range(1, 10):
+        text = F.concat(F.lit(("pad%d " % i) * i), F.col("text"))
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
-                F.concat(F.lit(("pad%d " % i) * i), F.col("text")).alias("text"),
-                "lang", "source", "n_chars",
-            )
+                text.alias("text"),
+                "lang", "source",
+            ).withColumn("n_chars", F.length("text").cast("long"))
         )
     out = parts[0]
     for p in parts[1:]:
@@ -46,6 +53,11 @@ def corpus_10x(docs):
 
 
 def emb_10x(emb):
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    assert max_id < 100_000, (
+        f"vec_id replication offset collides (max vec_id {max_id}); "
+        "raise the offset for this corpus"
+    )
     parts = [emb]
     for i in range(1, 10):
         parts.append(

@@ -39,3 +39,21 @@ def test_bad_init_rejected(spark, embeddings):
         kmeans_lloyd(
             embeddings, "vec_id", "embedding", k=4, iters=1, init=[[0.0] * 64]
         )
+
+
+def test_null_and_ragged_vectors_null_propagate(spark):
+    """The Arrow assignment kernel must null-propagate (like the expression
+    path it replaced), not abort the job, on null or wrong-length vectors."""
+    from flatbread_spark.operators.kmeans import _assign
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, None), (2, [1.0] * 3)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.cluster, r.d2)
+        for r in _assign(df, "embedding", [[0.0] * 4, [1.0] * 4]).collect()
+    }
+    assert out[0] == (0, 0.0)
+    assert out[1] == (None, None)
+    assert out[2] == (None, None)

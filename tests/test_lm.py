@@ -63,3 +63,21 @@ def test_oov_trigrams_score_zero_not_excluded(spark):
     row = out.first()
     assert row is not None and row.doc_id == 99
     assert row.sum_freq == 0 and row.avg_freq == 0.0
+
+
+def test_null_lang_scores_zero(spark):
+    """NULL lang matches nothing in the model — SQL join-on-lang semantics,
+    not Python (None, tri) dict-key equality."""
+    from flatbread_spark.operators.lm import trigram_typicality
+
+    df = spark.createDataFrame(
+        [(0, "en", "hello hello"), (1, None, "hello hello")],
+        "doc_id bigint, lang string, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in trigram_typicality(df, "doc_id", "text", "lang").collect()
+    }
+    assert rows[0].sum_freq > 0
+    assert rows[1].sum_freq == 0 and rows[1].avg_freq == 0.0
+    assert rows[1].n_tris == rows[0].n_tris  # OOV mass still counted
