@@ -90,7 +90,13 @@ from flatbread_spark.operators.sampling import (  # noqa: E402
     sample_stratified,
     sample_token_budget,
 )
-from flatbread_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh  # noqa: E402
+from flatbread_spark.operators.similarity import (  # noqa: E402
+    ivf_candidates,
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+    rank_topk,
+)
 from flatbread_spark.operators.tokenizer import (  # noqa: E402
     char_entropy,
     mix_temperature,
@@ -111,6 +117,6 @@ __all__ = [
     "assign_split", "pack_sequences", "build_packs", "scalable_cumsum",
     "curation_funnel",
     "trigram_typicality", "kmeans_lloyd", "zorder_key", "cluster_by_zorder",
-    "knn_bruteforce", "knn_lsh", "knn_ivf",
+    "knn_bruteforce", "knn_lsh", "knn_ivf", "ivf_candidates", "rank_topk",
     "pair_counts", "char_entropy", "mix_temperature",
 ]
