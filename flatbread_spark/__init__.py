@@ -98,6 +98,8 @@ from flatbread_spark.operators.similarity import (  # noqa: E402
     rank_topk,
 )
 from flatbread_spark.operators.tokenizer import (  # noqa: E402
+    apply_merges,
+    bpe_train,
     char_entropy,
     mix_temperature,
     pair_counts,
@@ -119,4 +121,5 @@ __all__ = [
     "trigram_typicality", "kmeans_lloyd", "zorder_key", "cluster_by_zorder",
     "knn_bruteforce", "knn_lsh", "knn_ivf", "ivf_candidates", "rank_topk",
     "pair_counts", "char_entropy", "mix_temperature",
+    "bpe_train", "apply_merges",
 ]

@@ -336,3 +336,40 @@ def make_compression_ratio_udf(level=6):
         )
 
     return comp
+
+
+def make_bpe_apply_udf(merges):
+    """Apply an ordered BPE merge table to a whitespace-token array,
+    row-local. Each merge (a, b) rewrites every adjacent occurrence of
+    symbols a, b into the joined symbol "a b" (left-to-right, the standard
+    greedy BPE application order) before the next merge applies — exactly
+    the reference algorithm tokenizer trainers implement per word, here per
+    document sequence. The merge table is model-bounded closure state.
+
+    Returns a pandas UDF: array<string> -> array<string>.
+    """
+
+    ms = [(a, b, a + " " + b) for a, b in merges]
+
+    @pandas_udf("array<string>")
+    def apply_bpe(tok_arrays: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_arrays:
+            if toks is None:
+                out.append(None)
+                continue
+            syms = list(toks)
+            for a, b, joined in ms:
+                i, n, res = 0, len(syms), []
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        res.append(joined)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.append(syms)
+        return pd.Series(out)
+
+    return apply_bpe

@@ -78,6 +78,60 @@ def pair_counts(
     )
 
 
+def apply_merges(df: DataFrame, text_col: str, merges: list[tuple[str, str]],
+                 out_col: str = "__symbols") -> DataFrame:
+    """Append ``out_col``: the document's symbol sequence after applying the
+    ordered BPE ``merges`` — row-local (an Arrow kernel applying the merge
+    table per document), no shuffle. Merged symbols join with a space, so a
+    merge of ("a", "b") yields symbol "a b" — the convention BPE trainers
+    print."""
+    from flatbread_spark.functions._arrow_kernels import make_bpe_apply_udf
+
+    kern = make_bpe_apply_udf(merges)
+    return df.withColumn(out_col, kern(_tokens(F.col(text_col))))
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Train ``n_merges`` BPE merges over the corpus: loop (count adjacent
+    pairs → take the most frequent → re-apply) — the real tokenizer-training
+    loop, distributed. Returns ``[(a, b, count), ...]`` in merge order.
+
+    Each iteration is ONE pair-count pass (explode + partial-agg shuffle
+    bounded by the pair vocabulary) over symbol sequences produced
+    map-side by the Arrow merge-application kernel; the only driver state
+    is the merge table itself (n_merges × 2 strings — model-bounded, the
+    ``kmeans.py`` discipline). Ties break lexicographically, so training
+    is deterministic under any partitioning.
+    """
+    merges: list[tuple[str, str]] = []
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        symbols = apply_merges(df, text_col, merges)
+        pairs = F.zip_with(
+            F.slice(F.col("__symbols"), 1,
+                    F.greatest(F.size("__symbols") - 1, F.lit(0))),
+            F.slice(F.col("__symbols"), 2,
+                    F.greatest(F.size("__symbols") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        top = (
+            symbols.select(F.explode(pairs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        merges.append((r["a"], r["b"]))
+        out.append((r["a"], r["b"], int(r["n"])))
+    return out
+
+
 def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document Shannon entropy (bits/char) of the character
     distribution, plus the character count. Returns

@@ -98,3 +98,50 @@ def test_pair_counts_plan_is_one_shuffle(corpus):
     pre_window = plan.split("Window")[-1]  # stages below the rank window
     assert pre_window.count("Exchange") <= 2  # partial-agg pair + final agg
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def ref_bpe_train(texts, n_merges):
+    """Pure-Python reference BPE trainer (greedy left-to-right apply,
+    lexicographic tie-break)."""
+    seqs = [t.strip().lower().split() for t in texts]
+    merges = []
+    for _ in range(n_merges):
+        c = Counter()
+        for s in seqs:
+            c.update(zip(s, s[1:]))
+        if not c:
+            break
+        (a, b), n = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b, n))
+        joined = a + " " + b
+        for si, s in enumerate(seqs):
+            i, out = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[si] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(corpus):
+    from flatbread_spark.operators.tokenizer import bpe_train
+
+    got = bpe_train(corpus, "text", n_merges=4)
+    assert got == ref_bpe_train([t for _, t in CORPUS], 4)
+    # first merge must be the most frequent pair of the raw corpus
+    assert got[0][:2] == ("a", "b")
+    # later merges can consume earlier merged symbols ("a b" as one symbol)
+    assert all(n >= 1 for _, _, n in got)
+
+
+def test_apply_merges_greedy_nonoverlapping(spark):
+    from flatbread_spark.operators.tokenizer import apply_merges
+
+    df = spark.createDataFrame([(0, "x x x x x")], "doc_id bigint, text string")
+    out = apply_merges(df, "text", [("x", "x")]).select("__symbols").first()[0]
+    # greedy left-to-right: pairs consume non-overlapping occurrences
+    assert out == ["x x", "x x", "x"]
