@@ -1932,7 +1932,9 @@ def q_knn_ivf_sweep(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     grid = bf.select("query_id").distinct().crossJoin(
-        spark.createDataFrame([(n,) for n in (1, 2, 4, 8)], "nprobe int")
+        F.broadcast(
+            spark.createDataFrame([(n,) for n in (1, 2, 4, 8)], "nprobe int")
+        )
     )
     per_q = grid.join(hits, ["nprobe", "query_id"], "left").select(
         "nprobe",

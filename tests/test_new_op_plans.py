@@ -60,3 +60,24 @@ def test_curation_funnel_is_single_scan(spark, documents):
     # after the counts checkpoint the report plan reads NO parquet at all —
     # the corpus scan happened exactly once, inside the checkpoint
     assert _plan(report).count("Scan parquet") == 0
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Repo-wide invariant: no declared query's physical plan contains a
+    CartesianProduct. BroadcastNestedLoopJoin is allowed — every occurrence
+    in this repo has a scalar/presentation-sized build side (margin
+    denominators, k query vectors, a 4-row sweep grid) — but an
+    un-broadcast cross product is always a bug at corpus scale.
+    Streaming queries are skipped (plan building would execute them)."""
+    import __spark_entry__ as e
+
+    skip = {"stream_replay", "stream_dedup_replay", "stream_quality_gate"}
+    offenders = {}
+    for name, fn in e.queries().items():
+        if name in skip:
+            continue
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        n = plan.count("CartesianProduct")
+        if n:
+            offenders[name] = n
+    assert not offenders, offenders
