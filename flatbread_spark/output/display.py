@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import uuid
 from dataclasses import dataclass, field, fields
+from pathlib import Path
 from typing import Any
 
 from flatbread_spark.config import get_defaults
@@ -23,22 +24,13 @@ FLATBREAD_TABLE_URL = (
     f"flatbread-wc-table-display@{FLATBREAD_TABLE_VERSION}/src/viewer.js"
 )
 
-_TEMPLATE = """\
-<div id="{id}"></div>
-<script type="module">
-  import {{ FlatbreadTable }} from "{viewer_url}"
-
-  customElements.whenDefined("flatbread-table").then(() => {{
-    const data = {data}
-    const viewer = new FlatbreadTable()
-    viewer.data = data
-    viewer.setAttribute("hide-settings-menu", "")
-{attrs}
-    const placeholder = document.getElementById("{id}")
-    placeholder.parentNode.replaceChild(viewer, placeholder)
-  }})
-</script>
-"""
+# Shipped as a template FILE like the reference
+# (flatbread/output/html/templates/template.jinja.html:13-50) — same
+# structure and attributes, rendered with str.format instead of Jinja so
+# the engine has no jinja2 dependency.
+_TEMPLATE = (
+    Path(__file__).parent / "templates" / "template.html"
+).read_text()
 
 
 @dataclass
