@@ -136,9 +136,23 @@ def _apportioned_round(col: Column, nd: int) -> Column:
     # engine-independent (double cumsum is ulp-sensitive to order), and
     # decimal arithmetic cannot produce -0.0, which hashes differently from
     # 0.0 even though == treats them as equal.
+    #
+    # The previous cumulative MUST be its own window sum (frame ending at
+    # -1 row), NOT ``cum - v``: subtracting decimal(38,12) - decimal(28,12)
+    # trips Spark's allowPrecisionLoss rescale to scale 11, which rounds
+    # ...499999999999 up to ...5 BEFORE the outer round and breaks the
+    # telescoping sum-preservation guarantee (found by Hypothesis on
+    # [5,32,47,12]/96; DuckDB keeps full scale, so the oracle was already
+    # exact).
     v = F.coalesce(col, F.lit(0.0)).cast("decimal(28,12)")
     cum = F.sum(v).over(w)
-    rounded = (F.round(cum, nd) - F.round(cum - v, nd)).cast("double")
+    w_prev = Window.orderBy(POS).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    prev = F.coalesce(
+        F.sum(v).over(w_prev), F.lit(0).cast("decimal(38,12)")
+    )
+    rounded = (F.round(cum, nd) - F.round(prev, nd)).cast("double")
     return F.when(col.isNull(), F.lit(None)).otherwise(rounded)
 
 

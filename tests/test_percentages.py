@@ -142,3 +142,27 @@ def test_percentages_ignore_existing_pct_block(spark):
     # mask excludes ('n','Totals') (tuple contains a totals label) and all pct cols
     expected = pdf.iloc[0].sum()
     assert np.isclose(out[("RowSum2", "")].iloc[0], expected)
+
+
+def test_apportioned_rounding_precision_loss_boundary(spark):
+    """Regression (Hypothesis find): [5,32,47,12]/96 puts the running sum at
+    exactly ...499999999999, which the old ``cum - v`` formulation rescaled
+    to ...5 via Spark's decimal allowPrecisionLoss and rounded UP — breaking
+    the column-sums-to-base telescoping guarantee (sum was 99). The previous
+    cumulative must be its own window sum."""
+    from pyspark.sql import functions as F
+
+    from flatbread_spark import pivot_table
+
+    rows = [("r0", 5), ("r1", 32), ("r2", 47), ("r3", 12)]
+    df = spark.createDataFrame(rows, ["r", "v"])
+    ff = pivot_table(df.withColumn("c", F.lit("c0")), index="r", columns="c",
+                     values="v", aggfunc="sum", column_values=["c0"])
+    out = (
+        ff.add_totals(axis=0)
+        .as_percentages(axis=0, base=100, ndigits=0, apportioned_rounding=True)
+        .to_pandas()
+    )
+    data = out.loc[["r0", "r1", "r2", "r3"], "c0"]
+    assert data.tolist() == [5.0, 34.0, 48.0, 13.0]
+    assert data.sum() == 100.0
