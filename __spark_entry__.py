@@ -2062,6 +2062,57 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("asset_id", "n_bytes", "sha", "width", "height")
 
 
+def q_tablespec_json(spark, sf_dir):
+    """Display-contract pin (SURVEY §2.2 HTML/JSON sink; reference
+    flatbread/output/table_spec.py): build the data-viewer spec for an
+    SF-invariant pivot (nation count/sum by region × nationkey-parity —
+    region/nation are the fixed 5/25-row TPC-H dims at every SF, verified
+    byte-identical across sf0.001/0.01/0.1) and return its canonical-JSON
+    md5 + shape facts. The oracle pins the serialization byte-for-byte, so
+    any drift in value/column/index/dtype/formatOptions encoding flips the
+    driver row red."""
+    import hashlib
+
+    from flatbread_spark import pivot_table
+    from flatbread_spark.output.tablespec import TableSpecBuilder
+
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    df = (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select(
+            "r_name",
+            F.when(F.col("n_nationkey") % 2 == 0, "even")
+            .otherwise("odd")
+            .alias("parity"),
+            "n_nationkey",
+        )
+    )
+    ff = pivot_table(
+        df, index="r_name", columns="parity", values="n_nationkey",
+        aggfunc="sum", column_values=["even", "odd"],
+    ).add_totals(axis=2)
+    builder = TableSpecBuilder(ff)
+    # exercise both format paths: a preset name and an explicit options dict
+    builder.set_formats({"even": "currency_eur", "odd": {"signDisplay": "always"}})
+    js = builder.get_spec_as_json()
+    spec = builder.build_spec()
+    return spark.createDataFrame(
+        [(
+            hashlib.md5(js.encode("utf-8")).hexdigest(),
+            len(js),
+            len(spec["values"]),
+            len(spec["columns"]["values"]),
+            bool(builder.truncated),
+        )],
+        schema="spec_md5 string, spec_len bigint, n_rows bigint, "
+        "n_cols bigint, truncated boolean",
+    )
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2071,36 +2122,88 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (round 4): the driver grades a bounded prefix of this
-    # dict (50 entries in r2/r3) and benches in THIS order with no warm-up,
-    # so the first queries absorb JVM JIT + Arrow-worker cold start (the r3
-    # similarity-family "regression" was exactly that). Therefore:
+    # ORDERING CONTRACT (round 5): the driver grades a bounded prefix of
+    # this dict (50 entries in r2-r4) and benches in THIS order with no
+    # warm-up, so the first queries absorb JVM JIT + Arrow-worker cold
+    # start. Round-5 window:
     #   1. two CHEAP warm-up leads — a scan-agg (JVM codegen) and a small
     #      Arrow-kernel query (spawns the reusable Python worker pool);
-    #   2. the r3 failures (event-time family + value_counts/hash family) —
-    #      these MUST land in the graded window with their fixes;
-    #   3. everything last graded in r2 ("pass (r2)" stale rows — TPC-H,
-    #      text family, set ops) so nothing is >1 round stale;
-    #   4. tail: r3-green queries, with the expensive similarity/dedup
-    #      family LAST where the harness is fully warm.
+    #   2. the r4 hash-reds (value_counts/binned family) — driver-red for
+    #      four rounds solely because the oracle's SUM(n) was HUGEINT;
+    #      fixed with CAST(... AS BIGINT), must be regraded;
+    #   3. the 17 queries NEVER driver-graded (r4 verdict item 2) +
+    #      the new tablespec_json display pin — anything never graded by
+    #      the hard signal is unproven;
+    #   4. fill: everything last graded in r3 so nothing is >1 round stale
+    #      (the heavy similarity family and r4-greens go to the tail).
     return {
-        # -- warm-up leads (both also need regrading: last green in r2) --
+        # -- warm-up leads --
         "tpch_q6": q_tpch_q6,
         "trimmed_margin": q_trimmed_margin,
-        # -- r3 red: event-time family (ts dtype fix) --
+        # -- r4 hash-red: oracle HUGEINT fix must be proven --
+        "value_counts_pct": q_value_counts_pct,
+        "value_counts_pct_naive": q_value_counts_pct_naive,
+        "value_counts_pct_raw": q_value_counts_pct_raw,
+        "binned_counts": q_binned_counts,
+        # -- never driver-graded: rotate into the hard-signal window --
+        "bpe_pairs": q_bpe_pairs,
+        "char_entropy": q_char_entropy,
+        "mix_temperature": q_mix_temperature,
+        "approx_profile": q_approx_profile,
+        "compression_ratio": q_compression_ratio,
+        "build_packs": q_build_packs,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "dedup_incremental": q_dedup_incremental,
+        "zorder_layout": q_zorder_layout,
+        "compaction_plan": q_compaction_plan,
+        "stream_quality_gate": q_stream_quality_gate,
+        "knn_ivf_sweep": q_knn_ivf_sweep,
+        # -- new this round: display-contract pin --
+        "tablespec_json": q_tablespec_json,
+        # -- stale since r3: reference-parity §2 surface --
+        "pivot_sum": q_pivot_sum,
+        "totals_row": q_totals_row,
+        "totals_grid": q_totals_grid,
+        "agg_margins": q_agg_margins,
+        "subtotals_chained": q_subtotals_chained,
+        "subtotals_rollup": q_subtotals_rollup,
+        "subtotals_cols": q_subtotals_cols,
+        "drop_totals_roundtrip": q_drop_totals_roundtrip,
+        "add_level": q_add_level,
+        "pct_axis0": q_pct_axis0,
+        "pct_axis1": q_pct_axis1,
+        "pct_axis2": q_pct_axis2,
+        "add_percentages": q_add_percentages,
+        "pct_interleaf": q_pct_interleaf,
+        "sort_totals_rank": q_sort_totals_rank,
+        "median_margin": q_median_margin,
+        "sort_index_list": q_sort_index_list,
+        "sample_stratified": q_sample_stratified,
+        "salted_agg": q_salted_agg,
+        "corpus_shuffle": q_corpus_shuffle,
+        "contamination_planted": q_contamination_planted,
+        "chunk_dedup": q_chunk_dedup,
+        "chunk_overlap": q_chunk_overlap,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q19": q_tpch_q19,
+        # ---- tail (positions 51+): sacrificed first if the driver's
+        # ---- grading window is shorter. r3-stale leftovers lead, then
+        # ---- everything graded green in r4, heavy similarity last.
+        "corpus_mix": q_corpus_mix,
+        "stream_dedup_replay": q_stream_dedup_replay,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "asof_attribution": q_asof_attribution,
         "range_join": q_range_join,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
-        # -- r3 hash-fail: Row-attr column rename + ORDER BY pins --
-        "value_counts_pct": q_value_counts_pct,
-        "value_counts_pct_naive": q_value_counts_pct_naive,
-        "value_counts_pct_raw": q_value_counts_pct_raw,
-        "binned_counts": q_binned_counts,
         "stream_replay": q_stream_replay,
-        # -- stale since r2: pipeline + text families --
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "contamination": q_contamination,
@@ -2120,7 +2223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "differences": q_differences,
         "differences_rows": q_differences_rows,
         "offset_dates": q_offset_dates,
-        # -- stale since r2: TPC-H --
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2133,66 +2235,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
-        # -- r3-green fillers to round out the 50-query window --
-        # new this round (never graded): must land in the window
         "pack_sequences": q_pack_sequences,
         "curation_funnel": q_curation_funnel,
         "quantize_embeddings": q_quantize_embeddings,
         "split_assign": q_split_assign,
         "trigram_typicality": q_trigram_typicality,
         "kmeans_embeddings": q_kmeans_embeddings,
-        # ---- tail (positions 51+): sacrificed first if the driver's
-        # ---- grading window is shorter. Leads with the continued-session
-        # ---- additions (locally oracle-proven / rows-only by design),
-        # ---- then everything graded green in r3.
-        "bpe_pairs": q_bpe_pairs,
-        "char_entropy": q_char_entropy,
-        "mix_temperature": q_mix_temperature,
-        "approx_profile": q_approx_profile,
-        "compression_ratio": q_compression_ratio,
-        "build_packs": q_build_packs,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "dedup_incremental": q_dedup_incremental,
-        "stream_quality_gate": q_stream_quality_gate,
-        "zorder_layout": q_zorder_layout,
-        "compaction_plan": q_compaction_plan,
-        "pivot_sum": q_pivot_sum,
-        "totals_row": q_totals_row,
-        "pct_interleaf": q_pct_interleaf,
-        "salted_agg": q_salted_agg,
-        "corpus_shuffle": q_corpus_shuffle,
-        "stream_dedup_replay": q_stream_dedup_replay,
-        "contamination_planted": q_contamination_planted,
-        "chunk_dedup": q_chunk_dedup,
-        "chunk_overlap": q_chunk_overlap,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q19": q_tpch_q19,
-        "totals_grid": q_totals_grid,
-        "agg_margins": q_agg_margins,
-        "subtotals_chained": q_subtotals_chained,
-        "subtotals_rollup": q_subtotals_rollup,
-        "subtotals_cols": q_subtotals_cols,
-        "drop_totals_roundtrip": q_drop_totals_roundtrip,
-        "add_level": q_add_level,
-        "pct_axis0": q_pct_axis0,
-        "pct_axis1": q_pct_axis1,
-        "pct_axis2": q_pct_axis2,
-        "add_percentages": q_add_percentages,
-        "sort_totals_rank": q_sort_totals_rank,
-        "median_margin": q_median_margin,
-        "sort_index_list": q_sort_index_list,
-        "sample_stratified": q_sample_stratified,
-        "corpus_mix": q_corpus_mix,
-        # heavy similarity/dedup family dead last: fully-warmed harness
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
-        "knn_ivf_sweep": q_knn_ivf_sweep,
         "knn_lsh": q_knn_lsh,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -2212,7 +2262,7 @@ _DOT = """(SELECT CAST(SUM(CAST(round(CAST({a}[i] AS DOUBLE)*CAST({b}[i] AS DOUB
 _VC_CTE = """
 WITH c AS (SELECT COALESCE(o_orderpriority, '<NA>') AS v, COUNT(*) AS n
            FROM orders GROUP BY 1),
-tot AS (SELECT SUM(n) AS total FROM c),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
 u AS (SELECT v, n, 0 AS grp FROM c
       UNION ALL SELECT 'Totals', total, 1 FROM tot),
 o AS (SELECT v, n, grp,
@@ -2273,6 +2323,17 @@ sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
     pred += "END"
 
     return {
+        # Display-contract pin: the spec is built over the SF-invariant
+        # region/nation dims (verified byte-identical at sf0.001/0.01/0.1),
+        # so the canonical-JSON md5 is a constant the oracle can assert.
+        # Any drift in TableSpecBuilder serialization flips this red.
+        "tablespec_json": """
+SELECT '756ef9b32d4db54ad23f7b746550daba' AS spec_md5,
+       CAST(412 AS BIGINT) AS spec_len,
+       CAST(6 AS BIGINT) AS n_rows,
+       CAST(3 AS BIGINT) AS n_cols,
+       FALSE AS truncated
+""",
         "pivot_sum": _PIVOT_SQL,
         "totals_row": """
 WITH g AS (SELECT l_returnflag,
@@ -3045,7 +3106,7 @@ WITH b AS (SELECT CASE
   FROM orders),
 c AS (SELECT COALESCE(v, '<NA>') AS price_bin, COUNT(*) AS n FROM b GROUP BY 1),
 u AS (SELECT price_bin, n, 0 AS grp FROM c
-      UNION ALL SELECT 'Totals', SUM(n), 1 FROM c)
+      UNION ALL SELECT 'Totals', CAST(SUM(n) AS BIGINT), 1 FROM c)
 SELECT price_bin, n FROM u
 ORDER BY grp, CASE WHEN grp = 0 THEN -n END, price_bin
 """,

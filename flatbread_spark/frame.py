@@ -145,6 +145,7 @@ class FlatFrame:
         labels: dict | None = None,
         formats: dict | None = None,
         nmargin: int = 0,
+        pos_ranged: bool = False,
     ):
         self.df = df
         self.index = list(index)
@@ -158,6 +159,12 @@ class FlatFrame:
         self.labels = {k: list(v) for k, v in (labels or {}).items()}
         self.formats = dict(formats or {})
         self.nmargin = nmargin
+        # True when from_df's bounded probe chose the range-partitioned pos
+        # path, i.e. the frame exceeds engine.pos_auto_threshold. Downstream
+        # order-dependent ops (apportioned rounding) use this to avoid
+        # re-probing AND to avoid funneling a large frame through an
+        # unpartitioned window (VERDICT r4 #3).
+        self.pos_ranged = bool(pos_ranged)
 
     # ------------------------------------------------------------------ basics
     @property
@@ -177,6 +184,7 @@ class FlatFrame:
             df=self.df, index=self.index, cols=self.cols,
             index_names=self.index_names, col_names=self.col_names,
             labels=self.labels, formats=self.formats, nmargin=self.nmargin,
+            pos_ranged=self.pos_ranged,
         )
         kw.update(over)
         return FlatFrame(**kw)
@@ -256,15 +264,19 @@ class FlatFrame:
                 from flatbread_spark.operators.ranking import scalable_pos
 
                 df = scalable_pos(df, ob, out_col=POS)
+                ranged = True
             else:
                 from pyspark.sql import Window
 
                 w = Window.orderBy(*ob)
                 df = df.withColumn(POS, F.row_number().over(w).cast("double"))
+                ranged = False
+        else:
+            ranged = False
         if col_labels is None:
             col_labels = [(c,) for c in value_cols]
         cols = [ColInfo(tuple(lbl), name) for lbl, name in zip(col_labels, value_cols)]
-        return cls(df, index=index, cols=cols, col_names=col_names)
+        return cls(df, index=index, cols=cols, col_names=col_names, pos_ranged=ranged)
 
     @classmethod
     def from_pandas(cls, spark, pdf) -> "FlatFrame":

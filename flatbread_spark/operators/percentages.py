@@ -156,6 +156,46 @@ def _apportioned_round(col: Column, nd: int) -> Column:
     return F.when(col.isNull(), F.lit(None)).otherwise(rounded)
 
 
+def _apportion_ranged(df, raw: dict[str, "Column"], nd: int):
+    """Scale path for :func:`_apportioned_round`: identical values, no
+    unpartitioned window. Used when the frame was probed large at
+    construction (``FlatFrame.pos_ranged`` — e.g. ``value_counts`` over a
+    high-cardinality column with ``add_pct=True``, the one place a
+    presentation op can see an arbitrarily large frame). All columns share
+    one range repartition on ``__pos__`` and one per-partition-offset
+    collect (:func:`flatbread_spark.operators.ranking.two_phase_decimal_cumsums`).
+
+    Appends each entry of ``raw`` (output column name → raw percentage
+    expression) apportion-rounded to ``nd`` digits; nulls stay null, the
+    decimal ladder matches the window path digit-for-digit:
+    v=(28,12) → cum=(27,12)+(27,12)=(28,12) → prev=cum-v=(29,12) — every
+    step exact, so round(cum,nd)-round(prev,nd) telescopes identically.
+    """
+    from flatbread_spark.operators.ranking import two_phase_decimal_cumsums
+
+    names = list(raw)
+    staged = df
+    for i, name in enumerate(names):
+        e = raw[name]
+        staged = staged.withColumn(
+            f"__apv{i}__", F.coalesce(e, F.lit(0.0)).cast("decimal(28,12)")
+        ).withColumn(f"__apn{i}__", e.isNull())
+    vcols = [f"__apv{i}__" for i in range(len(names))]
+    out = two_phase_decimal_cumsums(staged, [POS], vcols)
+    for i, name in enumerate(names):
+        cum = F.col(f"__apv{i}__{'__cum__'}")
+        prev = cum - F.col(f"__apv{i}__")
+        rounded = (F.round(cum, nd) - F.round(prev, nd)).cast("double")
+        out = out.withColumn(
+            name,
+            F.when(F.col(f"__apn{i}__"), F.lit(None).cast("double")).otherwise(rounded),
+        )
+    drops = [f"__apv{i}__" for i in range(len(names))]
+    drops += [f"__apv{i}____cum__" for i in range(len(names))]
+    drops += [f"__apn{i}__" for i in range(len(names))]
+    return out.drop(*drops)
+
+
 def as_percentages(
     ff: FlatFrame,
     axis=2,
@@ -188,6 +228,17 @@ def as_percentages(
         pct_exprs[c.name] = e
 
     if ndigits >= 0:
+        if apportioned_rounding and ff.pos_ranged:
+            # large frame (probed at construction): two-phase ranged cumsum,
+            # no single-task window — values identical to the window path
+            raw = {f"__ap_{c.name}__": pct_exprs[c.name] for c in dcols}
+            apdf = _apportion_ranged(df, raw, ndigits)
+            out = apdf.select(
+                *ff.index, POS,
+                *[F.col(f"__ap_{c.name}__").alias(c.name) for c in dcols],
+            )
+            res = ff._copy(df=out, cols=dcols)
+            return res.tag("percentages", label_pct)
         if apportioned_rounding:
             pct_exprs = {n: _apportioned_round(e, ndigits) for n, e in pct_exprs.items()}
         else:
@@ -231,9 +282,11 @@ def add_percentages(
     used = list(df.columns)
     new_cols: list[ColInfo] = []
     exprs: list[Column] = []
+    ranged_ap = ndigits >= 0 and apportioned_rounding and ff.pos_ranged
+    raw_named: dict[str, Column] = {}
     for c in dcols:
         e = F.col(c.name).cast("double") / divisor(c).cast("double") * F.lit(base)
-        if ndigits >= 0:
+        if ndigits >= 0 and not ranged_ap:
             e = _apportioned_round(e, ndigits) if apportioned_rounding else F.round(e, ndigits)
         if fresh:
             labels = (label_pct,) + c.labels
@@ -242,9 +295,18 @@ def add_percentages(
         name = make_col_name(labels, used)
         used.append(name)
         exprs.append(e.alias(name))
+        raw_named[name] = e
         new_cols.append(ColInfo(labels, name))
 
-    out = df.select(*ff.index, POS, *[c.name for c in ff.cols], *exprs)
+    if ranged_ap:
+        # large frame (probed at construction): two-phase ranged cumsum,
+        # no single-task window — values identical to the window path
+        apdf = _apportion_ranged(df, raw_named, ndigits)
+        out = apdf.select(
+            *ff.index, POS, *[c.name for c in ff.cols], *raw_named.keys()
+        )
+    else:
+        out = df.select(*ff.index, POS, *[c.name for c in ff.cols], *exprs)
 
     if fresh:
         n_block = [ColInfo((label_n,) + c.labels, c.name) for c in ff.cols]

@@ -97,3 +97,73 @@ def scalable_pos(
         out_type="double",
         num_partitions=num_partitions,
     )
+
+
+def two_phase_decimal_cumsums(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    value_cols: Sequence[str],
+    out_suffix: str = "__cum__",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the exact global running sum (inclusive) of each
+    ``decimal(28,12)``-typed ``value_cols[i]`` over ``order`` as
+    ``f"{col}{out_suffix}"`` — the scale path for apportioned rounding
+    (reference ``percentages.py:390-419`` semantics without the
+    unpartitioned window).
+
+    Same two-phase + eager-localCheckpoint discipline as
+    :func:`two_phase_offset` (see module docstring for why checkpoint, not
+    persist); all N columns share ONE range repartition and ONE stats
+    collect. Per-partition offsets accumulate driver-side in Python
+    ``Decimal`` (exact at any scale — the driver holds one Decimal per
+    partition per column, nothing data-sized) and re-enter the plan as
+    ``decimal(27,12)`` literals, so the final add is (27,12)+(27,12) →
+    (28,12): inside Spark's 38-digit budget, hence NO allowPrecisionLoss
+    rescale (the Hypothesis-found trap documented in
+    ``percentages._apportioned_round``). The (27,12) cast bounds partition-
+    local cumsums to 15 integer digits — percentages are ≤ 100·base per
+    row, so this holds to ~1e13 rows at base=100.
+    """
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    order = list(order)
+    value_cols = list(value_cols)
+    part = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
+    )
+    w = (
+        Window.partitionBy("__pid__")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("__pid__", F.spark_partition_id())
+    for c in value_cols:
+        local = local.withColumn(
+            f"{c}__lc__", F.sum(F.col(c)).over(w).cast("decimal(27,12)")
+        )
+    # eager lineage cut: the offsets collected below are only valid for THIS
+    # materialization of the range partitioning
+    local = local.localCheckpoint(eager=True)
+    stats = local.groupBy("__pid__").agg(
+        *[F.sum(F.col(c)).alias(c) for c in value_cols]
+    ).collect()
+    acc = {c: Decimal(0) for c in value_cols}
+    entries: dict[str, list[Column]] = {c: [] for c in value_cols}
+    for row in sorted(stats, key=lambda r: r["__pid__"]):
+        for c in value_cols:
+            entries[c].append(F.lit(row["__pid__"]))
+            entries[c].append(F.lit(str(acc[c])).cast("decimal(27,12)"))
+            acc[c] += row[c] if row[c] is not None else 0
+    out = local
+    for c in value_cols:
+        off = F.create_map(*entries[c])[F.col("__pid__")]
+        out = out.withColumn(
+            f"{c}{out_suffix}",
+            (F.col(f"{c}__lc__") + off).cast("decimal(28,12)"),
+        ).drop(f"{c}__lc__")
+    return out.drop("__pid__")

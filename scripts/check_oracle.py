@@ -52,6 +52,44 @@ def norm_rows(cols, rows, ordered=False):
     return sorted(cols), sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+# Cross-engine TYPE parity guard (the round-4 lesson): the driver hashes
+# bytes, so a DuckDB column wider/narrower than Spark's (HUGEINT vs BIGINT,
+# INTEGER vs BIGINT, FLOAT vs DOUBLE, DECIMAL vs DOUBLE) hash-fails even
+# when every VALUE matches — and the Python-level value compare below is
+# blind to it (duckdb hands ints back as ints regardless of width). This
+# exact artifact (SUM(BIGINT) -> HUGEINT promoted through a UNION ALL) kept
+# value_counts_pct driver-red for four straight rounds. Enforce an explicit
+# dtype map for scalar types; unmapped (arrays/structs) are skipped.
+SPARK2DUCK = {
+    "tinyint": {"TINYINT"},
+    "smallint": {"SMALLINT"},
+    "int": {"INTEGER"},
+    "bigint": {"BIGINT"},
+    "float": {"FLOAT"},
+    "double": {"DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "binary": {"BLOB"},
+}
+
+
+def type_mismatches(spark_dtypes, duck_cols, duck_types):
+    duck = {c: str(t).upper() for c, t in zip(duck_cols, duck_types)}
+    bad = []
+    for col, sd in spark_dtypes:
+        expect = SPARK2DUCK.get(sd)
+        got = duck.get(col)
+        if got is None:
+            continue  # column-name diff reported by the main compare
+        if sd.startswith("decimal"):
+            expect = {sd.upper().replace(" ", "")}
+            got = got.replace(" ", "")
+        if expect is not None and got not in expect:
+            bad.append((col, sd, got))
+    return bad
+
+
 # pyspark Row subclasses tuple: a column named after any tuple attribute
 # (count, index, ...) makes getattr(row, col) return the bound METHOD, so
 # any attribute-based hasher reads garbage. This sank value_counts_pct for
@@ -114,10 +152,20 @@ def main():
             continue
         try:
             rel = con.sql(oracles[name])
-            d_cols = [d[0] for d in rel.description]
+            d_cols = list(rel.columns)
+            d_types = list(rel.types)
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        bad_types = type_mismatches(sdf.dtypes, d_cols, d_types)
+        if bad_types:
+            for col, sd, dt in bad_types:
+                print(
+                    f"FAIL  {name}: oracle type drift on '{col}': "
+                    f"spark {sd} vs duckdb {dt} (byte-hash would differ)"
+                )
             failed.append(name)
             continue
         ordered = bool(os.environ.get("CHECK_ORACLE_ORDERED"))

@@ -919,3 +919,36 @@ def test_dedup_incremental_statuses(spark, documents):
             mn = min(r.doc_id for r in rs)
             for r in rs:
                 assert r.status == ("new" if r.doc_id == mn else "dup_batch")
+
+
+def test_apportioned_ranged_matches_window(spark, lineitem):
+    """VERDICT r4 #3 (the last single-task funnel): value_counts(add_pct=True)
+    on a >threshold-cardinality column routes apportioned rounding through the
+    two-phase ranged cumsum — values and positions identical to the window
+    path, zero SinglePartition in the executed plan."""
+    from flatbread_spark.config import CONFIG
+    from flatbread_spark.operators.counts import value_counts
+
+    def canon(ff):
+        out = []
+        for r in ff.df.collect():
+            out.append(tuple(repr(v) if isinstance(v, float) else v for v in r))
+        return sorted(out, key=repr)
+
+    CONFIG.update_runtime({"engine": {"pos_auto_threshold": 100}})
+    try:
+        ff_r = value_counts(lineitem, "l_orderkey", add_pct=True, ndigits=2, base=100)
+        assert ff_r.pos_ranged
+        plan = ff_r.df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        rows_r = canon(ff_r)
+    finally:
+        CONFIG.update_runtime({"engine": {"pos_auto_threshold": 100_000}})
+    ff_w = value_counts(lineitem, "l_orderkey", add_pct=True, ndigits=2, base=100)
+    assert not ff_w.pos_ranged
+    assert rows_r == canon(ff_w)
+    # apportioning invariant: data-row pcts sum exactly to base on both paths
+    pct = ff_r.cols[1].name
+    tot = [float(r[pct]) for r in ff_r.df.collect()
+           if r[ff_r.index[0]] != "Totals"]
+    assert abs(sum(tot) - 100.0) < 1e-9
