@@ -93,7 +93,11 @@ def kmeans_lloyd(
     for _ in range(iters):
         assigned = _assign(df, vec_col, centroids)
         rows = (
-            assigned.select(
+            # a ragged (wrong-length, non-null) vector gets cluster=NULL from
+            # the Arrow kernel; drop it here so the update null-propagates
+            # like _assign instead of raising in the driver loop (ADVICE r4)
+            assigned.filter(F.col("cluster").isNotNull())
+            .select(
                 "cluster", F.posexplode(F.col(vec_col)).alias("__d", "__x")
             )
             .groupBy("cluster", "__d")

@@ -87,7 +87,7 @@ def trigram_typicality(
     text_col: str,
     lang_col: str,
     n: int = 3,
-    model: DataFrame | None = None,
+    model: "DataFrame | dict[tuple[str, str], int] | None" = None,
 ) -> DataFrame:
     """SCORE pass (trains on ``df`` itself unless ``model`` is given):
     per document — total/distinct trigram counts plus ``sum_freq`` (sum over
@@ -105,15 +105,21 @@ def trigram_typicality(
 
     NOTE: the model is collected EAGERLY at construction time (a Spark job
     runs inside this call, including for a caller-supplied ``model``
-    frame) and the returned plan embeds that frozen snapshot — deliberate:
-    the model is a bounded training ARTIFACT, not live state, matching how
-    k-means centroids and IVF cells are passed by value.
+    DataFrame) and the returned plan embeds that frozen snapshot —
+    deliberate: the model is a bounded training ARTIFACT, not live state,
+    matching how k-means centroids and IVF cells are passed by value.
+    Callers composing lazy pipelines who want the collection explicit at
+    the call site can pass a plain ``{(lang, tri): count}`` dict instead
+    (ADVICE r4) — no Spark job runs inside the builder then.
     """
     from flatbread_spark.functions._arrow_kernels import make_trigram_score_udf
 
     if model is None:
         model = trigram_counts(df, text_col, lang_col, n)
-    mdict = {(r["lang"], r["tri"]): int(r["c"]) for r in model.collect()}
+    if isinstance(model, dict):
+        mdict = {(str(l), str(t)): int(c) for (l, t), c in model.items()}
+    else:
+        mdict = {(r["lang"], r["tri"]): int(r["c"]) for r in model.collect()}
     kern = make_trigram_score_udf(mdict, n)
     s = F.col("__s")
     return (

@@ -143,6 +143,14 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     partition order cannot move the result and DuckDB reproduces it
     bit-for-bit; the final value rounds to 6 digits.
 
+    Residual cross-engine risk (ADVICE r4): JVM and DuckDB ``log2`` can
+    differ by 1 ulp, which flips round-9 only when ``n·log2(n)`` sits
+    within ~1 ulp of a x.5e-9 boundary (~1e-4 of random integer inputs; a
+    synthetic sweep of the 200 most adversarial of 200k found 17 real
+    flips). ``tests/test_ulp_audit.py`` audits every distinct count in the
+    graded data at sf0.001/sf0.01, so a data drift onto a straddling input
+    fails locally before the driver's byte-hash does.
+
     Plan shape: explode to (doc, char), two-level partial aggregation —
     the first combine happens map-side, so the shuffle is bounded by
     documents × alphabet size, not total characters.
@@ -188,7 +196,9 @@ def mix_temperature(
     frame, which AQE collapses to a single tiny exchange). The normalizer
     sums ``round(share^alpha, 9)`` in DECIMAL(27,9) — the repo's
     order-independent float-accumulation pattern — so the probabilities are
-    reproducible across engines and partition orders.
+    reproducible across engines and partition orders. ``pow`` carries the
+    same 1-ulp libm caveat as ``char_entropy``'s log2 (see its docstring);
+    ``tests/test_ulp_audit.py`` audits the actual graded shares.
     """
     grouped = df.groupBy(group_col).agg(
         F.sum(weight_col).cast("bigint").alias("raw_weight")

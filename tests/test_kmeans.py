@@ -57,3 +57,21 @@ def test_null_and_ragged_vectors_null_propagate(spark):
     assert out[0] == (0, 0.0)
     assert out[1] == (None, None)
     assert out[2] == (None, None)
+
+
+def test_ragged_vectors_survive_update_step(spark):
+    """ADVICE r4: a ragged vector gets cluster=NULL from the kernel but its
+    dims still posexplode — the update step must drop it, not raise
+    TypeError in the driver loop."""
+    from flatbread_spark.operators.kmeans import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [10.0] * 4), (2, [1.0] * 3), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    a, cents = kmeans_lloyd(df, "vec_id", "embedding", k=2, iters=2,
+                            init=[[0.0] * 4, [10.0] * 4])
+    out = {r.vec_id: r.cluster for r in a.collect()}
+    assert out[0] == 0 and out[1] == 1
+    assert out[2] is None and out[3] is None
+    assert cents == [[0.0] * 4, [10.0] * 4]

@@ -35,6 +35,14 @@ def test_pretrained_model_reuse(spark, documents):
     a = {r.doc_id: r.sum_freq for r in scored_self.collect()}
     b = {r.doc_id: r.sum_freq for r in scored_given.collect()}
     assert a == b
+    # plain-dict model (ADVICE r4): no Spark job inside the builder,
+    # identical scores
+    mdict = {(r["lang"], r["tri"]): int(r["c"]) for r in model.collect()}
+    scored_dict = trigram_typicality(
+        docs, "doc_id", "text", "lang", model=mdict
+    )
+    c = {r.doc_id: r.sum_freq for r in scored_dict.collect()}
+    assert a == c
 
 
 def test_short_text_yields_no_trigrams(spark):
