@@ -34,29 +34,38 @@ def sort_aggregates(
     aggregates_last: bool = True,
     sort_remaining: bool = True,
 ) -> FlatFrame:
-    """Stable sort placing aggregate labels first/last within groups
-    (reference ``axes.py:58-132``): target levels keyed by
-    (is-aggregate → ±∞, else first-appearance rank); other levels lexical when
-    ``sort_remaining`` else appearance order."""
+    """Stable sort placing aggregate labels first/last
+    (reference ``axes.py:58-132``).
+
+    Parity note (found by the live-reference property tests): the reference
+    executes ONE stable global ``sort_index(level=..., key=...)`` — NOT a
+    hierarchical within-group sort. The leading sort keys are the TARGET
+    levels (in the order given), each mapped (is-aggregate → ±∞, else
+    first-appearance rank over the whole frame, ``axes.py:118-125``);
+    remaining levels participate only when ``sort_remaining``, in index
+    order, by natural (lexical) value. With ``level=1`` on a 2-level index
+    this pulls every Subtotals row to the global tail, AFTER all groups —
+    matching pandas, diverging from a per-group sort."""
     labels = list(labels or [])
     axis = _resolve_axis(axis)
     if axis == 1:
         return _sort_cols(ff, level, labels, aggregates_last, sort_remaining)
 
-    targets = set(range(ff.nlevels)) if level is None else set(_resolve_levels(ff, level))
+    targets = (
+        list(range(ff.nlevels)) if level is None else _resolve_levels(ff, level)
+    )
     agg_score = F.lit(_BIG) if aggregates_last else F.lit(-1.0)
 
     order: list[Column] = []
-    for i, c in enumerate(ff.index):
-        col = F.col(c)
+    for i in targets:
+        col = F.col(ff.index[i])
         appearance = F.min(POS).over(Window.partitionBy(col))
-        if i in targets:
-            key = F.when(col.isin(labels), agg_score).otherwise(appearance)
-            order.append(key)
-        elif sort_remaining:
-            order.append(col)
-        else:
-            order.append(appearance)
+        order.append(F.when(col.isin(labels), agg_score).otherwise(appearance))
+    if sort_remaining:
+        tset = set(targets)
+        for i in range(ff.nlevels):
+            if i not in tset:
+                order.append(F.col(ff.index[i]))
     order.append(F.col(POS))  # stable tiebreak
 
     new_pos = F.row_number().over(Window.orderBy(*order)).cast("double")
@@ -64,12 +73,16 @@ def sort_aggregates(
 
 
 def _sort_cols(ff, level, labels, aggregates_last, sort_remaining) -> FlatFrame:
+    """Column-axis variant: same pandas ``sort_index`` key order as the row
+    path (target levels lead with the aggregate/appearance mapping; remaining
+    levels lexical only when ``sort_remaining``); ``sorted`` is stable, so no
+    explicit position tiebreak is needed."""
     ncl = ff.ncol_levels
     if level is None:
-        targets = set(range(ncl))
+        targets = list(range(ncl))
     else:
         lvls = [level] if isinstance(level, (int, str)) else list(level)
-        targets = {lv if isinstance(lv, int) else ff.col_names.index(lv) for lv in lvls}
+        targets = [lv if isinstance(lv, int) else ff.col_names.index(lv) for lv in lvls]
     appearance: list[dict] = []
     for i in range(ncl):
         seen: dict = {}
@@ -77,16 +90,21 @@ def _sort_cols(ff, level, labels, aggregates_last, sort_remaining) -> FlatFrame:
             seen.setdefault(c.labels[i], len(seen))
         appearance.append(seen)
 
+    tset = set(targets)
+
     def key(c: ColInfo):
         ks = []
-        for i in range(ncl):
+        for i in targets:
             el = c.labels[i]
-            if i in targets:
-                ks.append(_BIG if (el in labels and aggregates_last) else -1 if el in labels else appearance[i][el])
-            elif sort_remaining:
-                ks.append(str(el))
-            else:
-                ks.append(appearance[i][el])
+            ks.append(
+                _BIG if (el in labels and aggregates_last)
+                else -1 if el in labels
+                else appearance[i][el]
+            )
+        if sort_remaining:
+            for i in range(ncl):
+                if i not in tset:
+                    ks.append(str(c.labels[i]))
         return tuple(ks)
 
     return ff._copy(cols=sorted(ff.cols, key=key))
