@@ -183,15 +183,20 @@ def main() -> None:
 
     probe = min(probe_before, host_probe())
     total = round(sum(t for t in times.values() if t != float("inf")), 3)
+    # Key order matters: the driver's BENCH record keeps only the LAST 2000
+    # characters of this line (r4: "parsed": null because 105 queries push
+    # the line past that), so the scalars — metric/value/probes — go at the
+    # END where the tail capture preserves them; "queries" (which truncates
+    # gracefully) goes first.
     print(json.dumps({
-        "metric": "total_query_sec",
-        "value": total,
-        "unit": "sec",
         "queries": times,
         "sf": sf,
         "host_probe_sec": round(probe, 3),
         "host_probe_ref_sec": HOST_PROBE_REF_SEC,
         "value_normalized": round(total * HOST_PROBE_REF_SEC / probe, 3),
+        "metric": "total_query_sec",
+        "unit": "sec",
+        "value": total,
     }))
 
 
