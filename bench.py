@@ -41,6 +41,35 @@ def host_probe() -> float:
     assert x > 0
     return time.perf_counter() - t0
 
+
+def _burn(_):
+    x = 0
+    for i in range(5_000_000):
+        x += i * i
+    return x
+
+
+def parallel_probe() -> float:
+    """Parallel-efficiency probe: single-burn time / 8-process-pool elapsed.
+    ~1.0 on a healthy 32-vCPU box; observed as low as 0.36 when the
+    hypervisor throttles SMP (round 5: the same suite measured 131 s and
+    276 s a hour apart with the SINGLE-thread probe moving only
+    1.22->1.41 — multi-core collapse is invisible to it, so record both
+    and judge bench deltas against this too)."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    _burn(0)
+    single = time.perf_counter() - t0
+    try:
+        with mp.Pool(8) as pool:
+            t0 = time.perf_counter()
+            pool.map(_burn, range(8))
+            elapsed = time.perf_counter() - t0
+    except Exception:
+        return float("nan")
+    return single / elapsed
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry  # noqa: E402
@@ -169,6 +198,14 @@ def main() -> None:
     # CLI args both filter AND order (lets a warm/cold comparison put a
     # query after its warm-up peers)
     names = [n for n in (only or qs) if n in qs]
+    # Deliberately NO cache release between queries: Spark's CacheManager
+    # matches on the analyzed plan, so a later query rebuilding the same
+    # pivot/signature frame hits the earlier query's persisted blocks and
+    # skips the scan+shuffle entirely. Measured A/B at sf0.1 (round 5):
+    # releasing pins after every query cost +47 s across the 106-query
+    # suite (stream/trigram/kmeans families re-paying their inputs) and
+    # saved only ~8 s of tail GC drag on the late TPC-H queries — keep the
+    # accumulate-and-share behavior; 128 GiB of executor memory absorbs it.
     for name in names:
         fn = qs[name]
         t0 = time.perf_counter()
@@ -193,6 +230,7 @@ def main() -> None:
         "sf": sf,
         "host_probe_sec": round(probe, 3),
         "host_probe_ref_sec": HOST_PROBE_REF_SEC,
+        "host_parallel_eff": round(parallel_probe(), 3),
         "value_normalized": round(total * HOST_PROBE_REF_SEC / probe, 3),
         "metric": "total_query_sec",
         "unit": "sec",
