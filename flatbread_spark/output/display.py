@@ -182,6 +182,55 @@ class Display:
         self.config.margin_labels = set(labels)
         return self
 
+    def set_separator(self, sep: str) -> "Display":
+        """Truncation indicator (reference ``display.py:170-173``)."""
+        self.config.separator = sep
+        return self
+
+    def hide_borders(self, hide: bool = True) -> "Display":
+        """All four border groups at once (reference ``display.py:175-181``)."""
+        self.config.hide_group_borders = hide
+        self.config.hide_row_borders = hide
+        self.config.hide_thead_border = hide
+        self.config.hide_index_border = hide
+        return self
+
+    def show_group_borders(self, show: bool = True) -> "Display":
+        self.config.hide_group_borders = not show
+        return self
+
+    def show_row_borders(self, show: bool = True) -> "Display":
+        self.config.hide_row_borders = not show
+        return self
+
+    def show_header_border(self, show: bool = True) -> "Display":
+        self.config.hide_thead_border = not show
+        return self
+
+    def show_index_border(self, show: bool = True) -> "Display":
+        self.config.hide_index_border = not show
+        return self
+
+    def show_hover(self, show: bool = True) -> "Display":
+        self.config.show_hover = show
+        return self
+
+    def collapse_columns(self, collapse: bool = True) -> "Display":
+        self.config.collapse_columns = collapse
+        return self
+
+    def set_section_levels(self, levels: int) -> "Display":
+        self.config.section_levels = levels
+        return self
+
+    def set_no_wrap(self, no_wrap: bool = True) -> "Display":
+        self.config.no_wrap = no_wrap
+        return self
+
+    def set_column_border_levels(self, levels: int) -> "Display":
+        self.config.column_border_levels = levels
+        return self
+
     def format(self, key: Any, format_spec: Any) -> "Display":
         self.builder.set_format(key, format_spec)
         return self
@@ -212,3 +261,7 @@ class Display:
         return render_html(self.get_json(), self.config)
 
     to_html = _repr_html_
+    # reference accessor aliases (``display.py:305-307``)
+    configure_display = configure
+    get_table_spec = data_spec
+    get_table_spec_json = get_json

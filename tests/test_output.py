@@ -137,3 +137,43 @@ def test_value_counts_null_category(spark):
     )
     out = {r.k: r["count"] for r in value_counts(df, "k").to_df().collect()}
     assert out["<NA>"] == 1 and out["a"] == 2 and out["Totals"] == 4
+
+
+def test_display_border_and_layout_setters(spark):
+    """Reference-accessor parity for the border/layout fluent surface
+    (reference ``display.py:170-307``): every setter lands as the same
+    viewer attribute the Jinja template emits."""
+    ff = make_ff(spark)
+    d = (
+        Display(ff)
+        .collapse_columns()
+        .set_section_levels(1)
+        .set_no_wrap()
+        .set_column_border_levels(2)
+        .set_separator("…")
+        .show_hover()
+        .show_row_borders(False)
+        .show_header_border(False)
+    )
+    html = d._repr_html_()
+    for attr in (
+        '"collapse-columns", "true"',
+        '"section-levels", "1"',
+        '"no-wrap", ""',
+        '"column-border-levels", "2"',
+        '"hide-row-borders", ""',
+        '"hide-thead-border", ""',
+        '"show-hover", ""',
+    ):
+        assert attr in html, attr
+    # hide_borders flips all four groups; aliases mirror the reference names
+    d2 = Display(ff).hide_borders()
+    html2 = d2._repr_html_()
+    for attr in (
+        "hide-group-borders", "hide-row-borders",
+        "hide-thead-border", "hide-index-border",
+    ):
+        assert f'"{attr}", ""' in html2, attr
+    assert d2.get_table_spec() == d2.data_spec()
+    assert d2.get_table_spec_json() == d2.get_json()
+    assert d2.configure_display(max_rows=7).config.max_rows == 7
