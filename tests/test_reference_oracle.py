@@ -300,3 +300,71 @@ def test_value_counts_matches_reference(spark, vals, nd):
     assert list(ref.columns) == list(ours.columns)
     assert np.allclose(ref.values.astype(float), ours.values.astype(float),
                        atol=GRID_ATOL if nd >= 0 else 1e-9)
+
+
+@given(spec=mi_frames_clean, pos=st.sampled_from([0, 1, 2]))
+@settings(**SET)
+def test_add_level_matches_reference(spark, spec, pos):
+    """add_level: scalar insert at every row position, column-axis insert,
+    and per-row list values, against the live reference."""
+    from flatbread.axes import add_level as ref_add
+
+    pdf = build_mi(spec)
+    assert_frames_equal(
+        ref_add(pdf, "L", level=pos, level_name="nl", axis=0),
+        FlatFrame.from_pandas(spark, pdf)
+        .add_level("L", level=pos, level_name="nl", axis=0)
+        .to_pandas(),
+    )
+    assert_frames_equal(
+        ref_add(pdf, "blk", level=0, level_name="k", axis=1),
+        FlatFrame.from_pandas(spark, pdf)
+        .add_level("blk", level=0, level_name="k", axis=1)
+        .to_pandas(),
+    )
+    vals = ["p" if i % 2 == 0 else "q" for i in range(len(pdf))]
+    assert_frames_equal(
+        ref_add(pdf, vals, level=1, level_name="pr", axis=0),
+        FlatFrame.from_pandas(spark, pdf)
+        .add_level(vals, level=1, level_name="pr", axis=0)
+        .to_pandas(),
+    )
+
+
+@given(spec=mi_frames_clean, order=st.permutations(["B", "A", "C"]))
+@settings(**SET)
+def test_sort_index_from_list_matches_reference(spark, spec, order):
+    from flatbread.tooling import sort_index_from_list as ref_sort
+
+    pdf = build_mi(spec)
+    assert_frames_equal(
+        ref_sort(pdf, list(order), axis=0, level=0),
+        FlatFrame.from_pandas(spark, pdf)
+        .sort_index_from_list(list(order), axis=0, level=0)
+        .to_pandas(),
+    )
+
+
+def test_offset_date_field_matches_reference(spark):
+    """Year-alignment shift: time-of-day preserved, Feb-29 clamped, values
+    identical to the reference's DateOffset group shift (column order and
+    row order are presentation differences; the driver compare sorts both)."""
+    from flatbread.tooling import offset_date_field as ref_offs
+
+    from flatbread_spark.operators.dates import offset_date_field
+
+    pdf = pd.DataFrame({
+        "date": pd.to_datetime([
+            "2021-03-01 04:05:06", "2022-05-02 00:00:00",
+            "2021-07-04 00:00:00", "2023-01-31 23:59:59",
+            "2020-02-29 12:00:00",
+        ]),
+        "year": [2021, 2022, 2021, 2023, 2020],
+        "v": [1, 2, 3, 4, 5],
+    })
+    ref = ref_offs(pdf, "date", "year").sort_values("v")
+    ours = offset_date_field(
+        spark.createDataFrame(pdf), "date", "year"
+    ).toPandas().sort_values("v")
+    assert list(ref["date_offs"].astype(str)) == list(ours["date_offs"].astype(str))
+    assert list(ref["date"].astype(str)) == list(ours["date"].astype(str))
