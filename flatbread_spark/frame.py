@@ -342,6 +342,33 @@ class FlatFrame:
 
         return [c for c in self.cols if clean(c.labels)]
 
+    def squeeze_col_level(self, level: int = -1) -> "FlatFrame":
+        """Drop a CONSTANT column level — metadata only, no data movement.
+
+        The Series-adapter output shape (reference
+        ``accessors/series.py:195-236``): a Series piped through
+        ``add_percentages`` comes back with single-level ``[n, pct]``
+        columns, whereas the same data as a 1-column frame carries the
+        2-level ``[(n, v), (pct, v)]`` block. Squeezing the constant value
+        level converts the frame shape into the Series shape (this is what
+        ``value_counts`` does internally). Raises if the level is not
+        constant across columns (dropping it would alias columns)."""
+        ncl = self.ncol_levels
+        if ncl <= 1:
+            return self
+        lv = level if level >= 0 else ncl + level
+        vals = {c.labels[lv] for c in self.cols}
+        if len(vals) > 1:
+            raise ValueError(
+                f"column level {level} is not constant ({sorted(map(str, vals))}); "
+                "refusing to drop it"
+            )
+        new_cols = [
+            ColInfo(c.labels[:lv] + c.labels[lv + 1 :], c.name) for c in self.cols
+        ]
+        col_names = [n for i, n in enumerate(self.col_names) if i != lv]
+        return self._copy(cols=new_cols, col_names=col_names or [None])
+
     def tracked(self, kind: str) -> list[str]:
         return list(self.labels.get(kind, []))
 

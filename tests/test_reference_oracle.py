@@ -368,3 +368,38 @@ def test_offset_date_field_matches_reference(spark):
     ).toPandas().sort_values("v")
     assert list(ref["date_offs"].astype(str)) == list(ours["date_offs"].astype(str))
     assert list(ref["date"].astype(str)) == list(ours["date"].astype(str))
+
+
+def test_series_adapter_matches_reference(spark):
+    """Series path (§2 #18): a 1-column frame squeezed back to the Series
+    shape reproduces the reference Series accessor's add_totals /
+    as_percentages / add_percentages outputs exactly — including the
+    single-level [n, pct] columns."""
+    from flatbread.transforms.percentages import (
+        add_percentages as ref_addpct,
+        as_percentages as ref_aspct,
+    )
+    from flatbread.transforms.totals import add_totals as ref_tot
+
+    s = pd.Series([5, 3, 8], index=pd.Index(["b", "a", "c"], name="k"), name="v")
+    ff = FlatFrame.from_pandas(spark, s.to_frame()).add_totals(axis=0)
+
+    ref_t = ref_tot(s)
+    ours_t = ff.to_pandas()["v"]
+    assert list(ref_t.index) == list(ours_t.index)
+    assert list(ref_t) == list(ours_t)
+
+    ref_p = ref_aspct(ref_tot(s), ndigits=2, base=100)
+    ours_p = ff.as_percentages(axis=0, ndigits=2, base=100).to_pandas()["v"]
+    assert list(ref_p) == list(ours_p)
+
+    ref_a = ref_addpct(ref_tot(s), ndigits=2, base=100)
+    ours_a = (
+        ff.add_percentages(axis=0, label_n="n", ndigits=2, base=100)
+        .squeeze_col_level(-1)
+        .to_pandas()
+    )
+    assert_frames_equal(ref_a, ours_a)
+    # squeeze refuses a non-constant level
+    with pytest.raises(ValueError):
+        ff.add_percentages(axis=0, ndigits=2, base=100).squeeze_col_level(0)
