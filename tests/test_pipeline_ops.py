@@ -952,3 +952,46 @@ def test_apportioned_ranged_matches_window(spark, lineitem):
     tot = [float(r[pct]) for r in ff_r.df.collect()
            if r[ff_r.index[0]] != "Totals"]
     assert abs(sum(tot) - 100.0) < 1e-9
+
+
+def test_apportioned_ranged_null_propagation(spark):
+    """Nulls through the ranged apportioning path: null cells stay null,
+    contribute 0 to the running sum, and the rounded values match the
+    window path cell-for-cell (same contract _apportioned_round documents)."""
+    import pandas as pd
+
+    from flatbread_spark.config import CONFIG
+    from flatbread_spark.frame import FlatFrame
+
+    n = 240
+    pdf = pd.DataFrame({
+        "k": [f"r{i:04d}" for i in range(n)],
+        "a": [float(i % 7) if i % 5 else None for i in range(n)],
+        "b": [float((i * 3) % 11) for i in range(n)],
+    })
+    sdf = spark.createDataFrame(pdf)
+
+    def run(threshold):
+        CONFIG.update_runtime({"engine": {"pos_auto_threshold": threshold}})
+        try:
+            ff = FlatFrame.from_df(sdf, index=["k"]).add_totals(axis=0)
+            out = ff.as_percentages(axis=0, ndigits=2, base=100)
+            rows = {
+                r["k"]: (
+                    repr(r[out.cols[0].name]) if r[out.cols[0].name] is not None else None,
+                    repr(r[out.cols[1].name]) if r[out.cols[1].name] is not None else None,
+                )
+                for r in out.df.collect()
+            }
+            return out.pos_ranged, rows
+        finally:
+            CONFIG.update_runtime({"engine": {"pos_auto_threshold": 100_000}})
+
+    ranged, rows_r = run(100)
+    window, rows_w = run(100_000)
+    assert ranged and not window
+    assert rows_r == rows_w
+    # nulls preserved exactly where the input was null
+    null_keys = {f"r{i:04d}" for i in range(n) if i % 5 == 0}
+    for k in null_keys:
+        assert rows_r[k][0] is None
