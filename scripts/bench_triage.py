@@ -126,7 +126,12 @@ def main() -> None:
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if not runs or not line:
             return None, out.stderr[-500:]
-        sprobe = json.loads(line[-1]).get("host_probe_sec", ref)
+        solo = json.loads(line[-1])
+        sprobe = solo.get("host_probe_sec", ref)
+        eff = solo.get("host_parallel_eff")
+        if eff is not None and eff < 0.7:
+            print(f"  # {q}: host_parallel_eff={eff} — SMP throttled, "
+                  "verdict unreliable; rerun when healthy")
         return min(runs) * ref / sprobe, sprobe
 
     verdicts = {}
