@@ -49,25 +49,32 @@ def _burn(_):
     return x
 
 
-def parallel_probe() -> float:
+def parallel_probe() -> float | None:
     """Parallel-efficiency probe: single-burn time / 8-process-pool elapsed.
     ~1.0 on a healthy 32-vCPU box; observed as low as 0.36 when the
     hypervisor throttles SMP (round 5: the same suite measured 131 s and
     276 s a hour apart with the SINGLE-thread probe moving only
     1.22->1.41 — multi-core collapse is invisible to it, so record both
-    and judge bench deltas against this too)."""
+    and judge bench deltas against this too).
+
+    Spawn (not fork) workers: this runs AFTER Spark, in a process full of
+    py4j/logging threads — a fork-with-held-lock child deadlocks pool.map
+    forever and the suite's single JSON result line would never print.
+    Returns None (JSON null) on any pool failure; float('nan') would
+    serialize as the bare non-JSON token NaN and corrupt the contract
+    line."""
     import multiprocessing as mp
 
     t0 = time.perf_counter()
     _burn(0)
     single = time.perf_counter() - t0
     try:
-        with mp.Pool(8) as pool:
+        with mp.get_context("spawn").Pool(8) as pool:
             t0 = time.perf_counter()
             pool.map(_burn, range(8))
             elapsed = time.perf_counter() - t0
     except Exception:
-        return float("nan")
+        return None
     return single / elapsed
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -230,7 +237,9 @@ def main() -> None:
         "sf": sf,
         "host_probe_sec": round(probe, 3),
         "host_probe_ref_sec": HOST_PROBE_REF_SEC,
-        "host_parallel_eff": round(parallel_probe(), 3),
+        "host_parallel_eff": (
+            round(pe, 3) if (pe := parallel_probe()) is not None else None
+        ),
         "value_normalized": round(total * HOST_PROBE_REF_SEC / probe, 3),
         "metric": "total_query_sec",
         "unit": "sec",

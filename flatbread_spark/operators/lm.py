@@ -117,7 +117,12 @@ def trigram_typicality(
     if model is None:
         model = trigram_counts(df, text_col, lang_col, n)
     if isinstance(model, dict):
-        mdict = {(str(l), str(t)): int(c) for (l, t), c in model.items()}
+        # preserve None keys (null-lang docs) — str() would rewrite them to
+        # 'None' and silently diverge from the DataFrame-model path
+        mdict = {
+            (l if l is None else str(l), t if t is None else str(t)): int(c)
+            for (l, t), c in model.items()
+        }
     else:
         mdict = {(r["lang"], r["tri"]): int(r["c"]) for r in model.collect()}
     kern = make_trigram_score_udf(mdict, n)

@@ -294,8 +294,10 @@ def add_percentages(
             labels = (label_pct,) + c.labels[1:]
         name = make_col_name(labels, used)
         used.append(name)
-        exprs.append(e.alias(name))
-        raw_named[name] = e
+        if ranged_ap:
+            raw_named[name] = e
+        else:
+            exprs.append(e.alias(name))
         new_cols.append(ColInfo(labels, name))
 
     if ranged_ap:

@@ -62,7 +62,8 @@ def main() -> None:
                 if m.group(1)
                 not in (
                     "sf", "host_probe_sec", "host_probe_ref_sec",
-                    "value_normalized", "value", "n", "rc", "cpus",
+                    "host_parallel_eff", "value_normalized", "value",
+                    "n", "rc", "cpus",
                 )
             }
             probe_m = re.search(r'"host_probe_sec":\s*([0-9.]+)', text)
@@ -77,7 +78,16 @@ def main() -> None:
     if len(sys.argv) > 2:
         local_path = sys.argv[2]
     else:
-        snaps = sorted(glob.glob(os.path.join(REPO, "bench_r*_local.json")))
+        # numeric round sort: lexicographic would pick r9 over r10
+        import re as _re
+
+        def _round_no(path):
+            m = _re.search(r"bench_r(\d+)_local", path)
+            return int(m.group(1)) if m else -1
+
+        snaps = sorted(
+            glob.glob(os.path.join(REPO, "bench_r*_local.json")), key=_round_no
+        )
         if not snaps:
             print("no tracked bench_r*_local.json snapshot found")
             sys.exit(2)

@@ -71,6 +71,12 @@ SPARK2DUCK = {
     "boolean": {"BOOLEAN"},
     "date": {"DATE"},
     "binary": {"BLOB"},
+    # repo convention: graded queries NEVER emit raw timestamps — cross-
+    # engine timestamp encodings (unit, tz) are a byte-hash minefield (the
+    # r3 event-time family). Cast to string or epoch-ns BIGINT instead.
+    # Empty expected-set = always flagged.
+    "timestamp": set(),
+    "timestamp_ntz": set(),
 }
 
 
