@@ -44,3 +44,33 @@ def test_vanilla_oracle_gate_on_fragile_queries():
         f"vanilla oracle gate failed:\n{proc.stdout[-4000:]}\n{proc.stderr[-2000:]}"
     )
     assert "all queries match" in proc.stdout
+
+
+def test_type_guard_catches_width_drift():
+    """Unit test of the check_oracle cross-engine type guard (the r4 HUGEINT
+    lesson): width drift flagged, exact matches pass, unmapped/complex
+    types skipped, timestamps always flagged."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_oracle import type_mismatches
+
+    spark_dtypes = [
+        ("n", "bigint"), ("pct", "double"), ("v", "string"),
+        ("arr", "array<double>"), ("d", "decimal(27,6)"),
+    ]
+    # exact parity → clean
+    assert type_mismatches(
+        spark_dtypes,
+        ["n", "pct", "v", "arr", "d"],
+        ["BIGINT", "DOUBLE", "VARCHAR", "DOUBLE[]", "DECIMAL(27,6)"],
+    ) == []
+    # HUGEINT promotion → flagged
+    bad = type_mismatches(spark_dtypes, ["n"], ["HUGEINT"])
+    assert bad == [("n", "bigint", "HUGEINT")]
+    # float-vs-double and decimal-scale drift → flagged
+    assert type_mismatches(spark_dtypes, ["pct"], ["FLOAT"])
+    assert type_mismatches(spark_dtypes, ["d"], ["DECIMAL(38,12)"])
+    # timestamps are always a hazard (repo convention: cast to string/ns)
+    assert type_mismatches([("ts", "timestamp")], ["ts"], ["TIMESTAMP WITH TIME ZONE"])
+    assert type_mismatches([("ts", "timestamp_ntz")], ["ts"], ["TIMESTAMP"])
+    # column missing on the duck side is the main compare's job, not ours
+    assert type_mismatches(spark_dtypes, ["other"], ["BIGINT"]) == []

@@ -311,3 +311,52 @@ def test_pack_sequences_geometry_property(spark, toks, ctx):
             assert r.n_splits == (r.cum_tokens - 1) // ctx - start // ctx
         prev = r.cum_tokens
     assert prev == sum(toks)
+
+
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value="-99.999999999999",
+            max_value="99.999999999999",
+            places=12,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    nparts=st.integers(2, 6),
+)
+@settings(**SET)
+def test_two_phase_decimal_cumsum_matches_window(spark, vals, nparts):
+    """Unit-level equivalence for the apportioning scale path: the
+    range-partitioned two-phase decimal running sum equals the
+    unpartitioned window sum digit-for-digit, for random (incl. negative)
+    decimal(28,12) values under any partition count."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flatbread_spark.operators.ranking import two_phase_decimal_cumsums
+
+    rows = [(float(i + 1), str(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "__pos__ double, raw string").withColumn(
+        "v", F.col("raw").cast("decimal(28,12)")
+    )
+    ranged = {
+        r["__pos__"]: r["v__cum__"]
+        for r in two_phase_decimal_cumsums(
+            df, ["__pos__"], ["v"], num_partitions=nparts
+        ).collect()
+    }
+    w = Window.orderBy("__pos__").rowsBetween(Window.unboundedPreceding, 0)
+    window = {
+        r["__pos__"]: r["c"]
+        for r in df.withColumn(
+            "c", F.sum("v").over(w).cast("decimal(28,12)")
+        ).collect()
+    }
+    assert set(ranged) == set(window)
+    for k in window:
+        assert Decimal(ranged[k]) == Decimal(window[k]), (k, ranged[k], window[k])
