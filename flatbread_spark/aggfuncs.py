@@ -16,7 +16,6 @@ transposing (``flatbread/tooling.py:31-43``) which is infeasible at scale:
 """
 from __future__ import annotations
 
-from functools import reduce
 from typing import Callable
 
 from pyspark.sql import Column

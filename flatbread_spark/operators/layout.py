@@ -10,7 +10,6 @@ write time for every row.
 """
 from __future__ import annotations
 
-from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
