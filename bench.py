@@ -49,6 +49,10 @@ def _burn(_):
     return x
 
 
+def _noop(_):
+    return 0
+
+
 def parallel_probe() -> float | None:
     """Parallel-efficiency probe: single-burn time / 8-process-pool elapsed.
     ~1.0 on a healthy 32-vCPU box; observed as low as 0.36 when the
@@ -70,6 +74,13 @@ def parallel_probe() -> float | None:
     single = time.perf_counter() - t0
     try:
         with mp.get_context("spawn").Pool(8) as pool:
+            # absorb worker startup BEFORE timing: each spawn worker
+            # re-imports this module's top level (pyspark + the entry
+            # module, seconds per worker) — timing the first map would
+            # bill that import cost to the host and understate efficiency
+            # by 2-3x (observed: 0.30 "efficiency" right after a healthy
+            # 120 s suite run)
+            pool.map(_noop, range(8))
             t0 = time.perf_counter()
             pool.map(_burn, range(8))
             elapsed = time.perf_counter() - t0
