@@ -457,3 +457,33 @@ def test_rounding_mode_boundary_documented_divergence(spark):
     assert list(ref["x"]) == list(ours["x"])
     assert list(ref["y"]) == list(ours["y"])
     assert ref.sum().tolist() == ours.sum().tolist()
+
+
+def test_rendered_html_attributes_match_reference(spark):
+    """The HTML sink's rendered viewer attributes — a configured display
+    chain on both engines — match the reference's Jinja output exactly
+    (including the default margin-labels, na-rep, trim-size and the
+    hide-settings-menu baseline attribute)."""
+    import re
+
+    s = pd.DataFrame(
+        {"x": [1, 2], "y": [3, 4]}, index=pd.Index(["a", "b"], name="k")
+    )
+    acc = (
+        s.pita.set_locale("nl-NL").set_max_rows(10)
+        .show_hover().collapse_columns().set_no_wrap()
+    )
+    html_ref = acc._repr_html_()
+    d = (
+        FlatFrame.from_pandas(spark, s).display()
+        .set_locale("nl-NL").set_max_rows(10)
+        .show_hover().collapse_columns().set_no_wrap()
+    )
+    html_ours = d._repr_html_()
+
+    def attrs(html):
+        return sorted(
+            set(re.findall(r'setAttribute\("([^"]+)",\s*"?([^")]*)"?\)', html))
+        )
+
+    assert attrs(html_ref) == attrs(html_ours)
