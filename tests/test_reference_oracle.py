@@ -466,6 +466,8 @@ def test_rendered_html_attributes_match_reference(spark):
     hide-settings-menu baseline attribute)."""
     import re
 
+    import flatbread  # noqa: F401 — registers the .pita accessor
+
     s = pd.DataFrame(
         {"x": [1, 2], "y": [3, 4]}, index=pd.Index(["a", "b"], name="k")
     )
