@@ -32,8 +32,14 @@ REF = "/root/reference"
 if REF not in sys.path:  # live oracle, read-only
     sys.path.insert(0, REF)
 
+try:
+    import flatbread  # noqa: F401 — registers the .pita accessor
+except Exception:  # pragma: no cover — no reference checkout
+    flatbread = None
+
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference checkout not available"
+    not os.path.isdir(REF) or flatbread is None,
+    reason="reference checkout not available",
 )
 
 import numpy as np
@@ -465,8 +471,6 @@ def test_rendered_html_attributes_match_reference(spark):
     (including the default margin-labels, na-rep, trim-size and the
     hide-settings-menu baseline attribute)."""
     import re
-
-    import flatbread  # noqa: F401 — registers the .pita accessor
 
     s = pd.DataFrame(
         {"x": [1, 2], "y": [3, 4]}, index=pd.Index(["a", "b"], name="k")
