@@ -78,7 +78,7 @@ from flatbread_spark.operators.graph import connected_components, dedup_clusters
 from flatbread_spark.operators.curation import curation_funnel  # noqa: E402
 from flatbread_spark.operators.kmeans import kmeans_lloyd  # noqa: E402
 from flatbread_spark.operators.layout import cluster_by_zorder, zorder_key  # noqa: E402
-from flatbread_spark.operators.lm import trigram_typicality  # noqa: E402
+from flatbread_spark.operators.lm import pmi_bigrams, trigram_typicality  # noqa: E402
 from flatbread_spark.operators.packing import (  # noqa: E402
     build_packs,
     pack_sequences,
@@ -89,6 +89,7 @@ from flatbread_spark.operators.sampling import (  # noqa: E402
     sample_deterministic,
     sample_stratified,
     sample_token_budget,
+    sample_weighted,
 )
 from flatbread_spark.operators.similarity import (  # noqa: E402
     ivf_candidates,
@@ -116,9 +117,10 @@ __all__ = [
     "ngram_jaccard_pairs", "embedding_dup_pairs",
     "connected_components", "dedup_clusters",
     "sample_deterministic", "sample_stratified", "sample_token_budget",
+    "sample_weighted",
     "assign_split", "pack_sequences", "build_packs", "scalable_cumsum",
     "curation_funnel",
-    "trigram_typicality", "kmeans_lloyd", "zorder_key", "cluster_by_zorder",
+    "trigram_typicality", "pmi_bigrams", "kmeans_lloyd", "zorder_key", "cluster_by_zorder",
     "knn_bruteforce", "knn_lsh", "knn_ivf", "ivf_candidates", "rank_topk",
     "pair_counts", "char_entropy", "mix_temperature",
     "bpe_train", "apply_merges",

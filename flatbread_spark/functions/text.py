@@ -467,3 +467,52 @@ def with_seq_ngrams(df, text_col: str, n: int = 2, out_col: str = "__grams"):
     """Sequential NON-distinct word n-grams (:func:`with_shingles` with
     ``distinct=False``)."""
     return with_shingles(df, text_col, n, out_col, distinct=False)
+
+
+# ------------------------------------------------------------- normalization
+# Characters normalize_text maps to a plain space (unicode spaces, tab) and
+# characters it deletes outright (C0/C1 controls except \n, DEL, zero-widths,
+# BOM, soft hyphen). Explicit char LISTS, not \p{...} regex classes, so an
+# ANSI-SQL oracle can replay the exact transform with translate() — unicode
+# property tables differ between regex engines; a character list cannot.
+_NORM_TO_SPACE = (
+    "\t          "
+    "     　"
+)
+_NORM_DROP = "".join(
+    map(chr, [*range(0x00, 0x09), *range(0x0B, 0x20), 0x7F,
+              0xAD, 0x200B, 0x200C, 0x200D, 0xFEFF])
+)
+
+
+def normalize_text(text: Column) -> Column:
+    """Standard pre-dedup text normalization, entirely JVM-side expressions
+    (zero Python in the hot path, pushdown-transparent):
+
+    1. unicode spaces + tab → ASCII space; C0/C1 controls (except ``\\n``),
+       DEL, zero-widths, BOM, soft hyphen → deleted (one ``translate``;
+       dropping ``\\r`` turns CRLF into LF for free);
+    2. runs of spaces collapse to one; spaces hugging a newline are dropped
+       (keeps blank-line paragraph structure, removes trailing-space noise
+       that breaks exact line/chunk dedup);
+    3. leading/trailing spaces and newlines trimmed.
+
+    Dedup pipelines run this BEFORE fingerprinting: two documents differing
+    only in whitespace/control junk must collide, or exact dedup undercounts.
+    Oracle replay (DuckDB): ``translate(x, <same char lists>, ...)`` then
+    ``regexp_replace(.., ' +', ' ', 'g')``, ``regexp_replace(.., ' ?\\n ?',
+    chr(10), 'g')``, ``trim(.., ' ' || chr(10))`` — byte-identical because
+    the char lists are explicit.
+    """
+    t = F.translate(text, _NORM_TO_SPACE + _NORM_DROP, " " * len(_NORM_TO_SPACE))
+    t = F.regexp_replace(t, " +", " ")
+    t = F.regexp_replace(t, " ?\n ?", "\n")
+    # btrim's second arg is ColumnOrName — a bare str would be read as a
+    # column NAME, so the trim set must be an explicit literal
+    return F.btrim(t, F.lit(" \n"))
+
+
+def with_normalized(df, text_col: str, out_col: str | None = None):
+    """Apply :func:`normalize_text`, replacing ``text_col`` in place unless
+    ``out_col`` names a new column."""
+    return df.withColumn(out_col or text_col, normalize_text(F.col(text_col)))

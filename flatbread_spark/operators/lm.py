@@ -149,3 +149,86 @@ def trigram_typicality(
             ),
         )
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Collocation extraction: pointwise mutual information of adjacent
+    word pairs over the corpus — ``PMI(a,b) = log2(p(a,b) / (p(a)·p(b)))``
+    with ``p(a,b) = c_ab / B`` (bigram count over total bigrams) and
+    ``p(a) = c_a / N`` (unigram count over total tokens). High-PMI pairs
+    are multiword expressions ("Hong Kong"); corpus curation uses them to
+    spot template/boilerplate n-grams whose PMI is implausibly high.
+
+    Returns the ``top_n`` pairs with ``c_ab >= min_count``:
+    ``(w1, w2, c_ab bigint, pmi double)``, PMI descending then (w1, w2).
+
+    Scale shape: tokenization and bigram assembly are row-local expressions
+    (split → shifted-slice zip, same trick as :func:`char_ngrams` — no
+    O(len²) lambda re-inlining); then exactly two vocabulary-bounded
+    aggregations (bigram counts, unigram counts) and two hash joins of the
+    bigram table against the unigram table (word-keyed; vocabulary-sized,
+    so AQE broadcast-eligible at small scale and a plain shuffle join at
+    open-web scale — neither is all-pairs). The two scalar totals ride a
+    broadcast cross join of a 1-row frame. Final top-n is
+    TakeOrderedAndProject (partial top-n map-side). PMI is computed as
+    ``log2`` of ONE integer-derived ratio and rounded to 6 — the accepted
+    libm 1-ulp caveat (``char_entropy``) applies only within ~5e-10 of a
+    round-6 boundary.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # blank/null text must contribute NOTHING: split(trim(''), '\s+') is
+    # [''] (size 1), which would smuggle an empty token into the unigram
+    # total and shift every PMI — filter before tokenizing
+    base = df.filter(F.trim(F.col(text_col)) != "").select(toks.alias("__t"))
+    uni = base.select(F.explode("__t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_w")
+    )
+    arr = F.col("__t")
+    # adjacent pairs via shifted-slice zip (row-local, O(len))
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        base.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= int(min_count))
+    )
+    totals = base.select(
+        F.sum(F.size(arr)).cast("bigint").alias("n_uni"),
+        F.sum(F.greatest(F.size(arr) - 1, F.lit(0))).cast("bigint").alias("n_big"),
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    joined = big.join(ua, "w1").join(ub, "w2").crossJoin(F.broadcast(totals))
+    ratio = (
+        F.col("c_ab").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+        / (
+            F.col("n_big").cast("double")
+            * F.col("c_a").cast("double")
+            * F.col("c_b").cast("double")
+        )
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(F.log2(ratio), 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(int(top_n))
+    )

@@ -128,3 +128,61 @@ def sample_token_budget(
         df.withColumn("cum_tokens", cum)
         .filter((F.col("cum_tokens") - tok < budget) & (budget > 0))
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    n: int,
+    strata_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES, the exponential-jitter form): each row draws a stable
+    uniform ``u`` from its key hash and competes with priority
+    ``ln(u) / w`` — taking the top-``n`` priorities samples rows with
+    probability proportional to weight, without replacement. This is the
+    quality-weighted corpus-selection primitive ("sample 1M docs
+    proportional to quality_score") that rate-based sampling can't express:
+    the sample SIZE is exact and the tilt continuous. Reproducible across
+    runs, engines and partitionings, like every sampler in this module —
+    rerunning the recipe picks the same documents.
+
+    With ``strata_col``, takes the top-``n`` PER STRATUM instead.
+
+    Rows with NULL or non-positive weight are excluded (A-ES requires
+    ``w > 0``; a zero-weight row can never be sampled).
+
+    Scale: the global path is ``orderBy(priority).limit(n)`` — Spark plans
+    TakeOrderedAndProject, per-partition partial top-n map-side, so only
+    ``n × partitions`` rows ever reach the driver-side merge. The
+    stratified path is one rank window (single shuffle on stratum; each
+    stratum retains only n rows after the filter). Priorities use ``ln``
+    — a libm call, so the accepted 1-ulp cross-engine caveat applies
+    (see ``char_entropy``); selection only flips if two priorities collide
+    within 1 ulp, which distinct md5-derived uniforms make vanishingly
+    improbable, and the deterministic ``(priority, key)`` tie-break keeps
+    the output stable even then.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    # u in (0, 1): center each 1e6-wide hash bucket so log() never sees 0
+    u = (sample_hash_bucket(F.col(key_col), salt).cast("double") + 0.5) / _MOD
+    base = df.filter(w.isNotNull() & (w > 0)).withColumn("__pri", F.log(u) / w)
+    if strata_col is None:
+        out = base.orderBy(F.col("__pri").desc(), F.col(key_col).asc()).limit(n)
+    else:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(strata_col).orderBy(
+            F.col("__pri").desc(), F.col(key_col).asc()
+        )
+        out = (
+            base.withColumn("__rk", F.row_number().over(win))
+            .filter(F.col("__rk") <= n)
+            .drop("__rk")
+        )
+    return out.drop("__pri")

@@ -1,0 +1,215 @@
+"""Round-6 operators: sample_weighted (A-ES), normalize_text, pmi_bigrams.
+
+Each test checks the operator against an independent pure-Python
+re-implementation of its contract (the same oracle-style discipline as
+test_pipeline_ops), plus the determinism properties the module docstrings
+promise (partitioning-invariance, weight-monotone inclusion).
+"""
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _py_bucket(key: str, salt: str = "") -> int:
+    return int(hashlib.md5((key + salt).encode()).hexdigest()[:15], 16) % 1_000_000
+
+
+def _py_priority(key: str, weight: float, salt: str = "") -> float:
+    u = (_py_bucket(key, salt) + 0.5) / 1_000_000
+    return math.log(u) / weight
+
+
+# ------------------------------------------------------------ sample_weighted
+class TestSampleWeighted:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, grp string, w double")
+
+    def test_matches_pure_python_aes(self, spark):
+        from flatbread_spark.operators.sampling import sample_weighted
+
+        rows = [(f"k{i}", "g", float(1 + i % 7)) for i in range(200)]
+        got = {
+            r["k"]
+            for r in sample_weighted(self._df(spark, rows), "k", "w", 25).collect()
+        }
+        pri = sorted(rows, key=lambda r: (-_py_priority(r[0], r[2]), r[0]))
+        want = {r[0] for r in pri[:25]}
+        assert got == want
+
+    def test_partitioning_invariant(self, spark):
+        from flatbread_spark.operators.sampling import sample_weighted
+
+        rows = [(f"doc{i}", "g", float((i * 37) % 11 + 1)) for i in range(300)]
+        df = self._df(spark, rows)
+        a = {r["k"] for r in sample_weighted(df, "k", "w", 40).collect()}
+        b = {
+            r["k"]
+            for r in sample_weighted(df.repartition(7), "k", "w", 40).collect()
+        }
+        assert a == b
+
+    def test_stratified_takes_n_per_stratum(self, spark):
+        from flatbread_spark.operators.sampling import sample_weighted
+
+        rows = [(f"k{i}", f"g{i % 3}", 1.0 + i % 5) for i in range(90)]
+        out = sample_weighted(
+            self._df(spark, rows), "k", "w", 7, strata_col="grp"
+        ).collect()
+        per = Counter(r["grp"] for r in out)
+        assert per == {"g0": 7, "g1": 7, "g2": 7}
+        # per-stratum winners match the pure-python A-ES ranking
+        for g in ("g0", "g1", "g2"):
+            pri = sorted(
+                (r for r in rows if r[1] == g),
+                key=lambda r: (-_py_priority(r[0], r[2]), r[0]),
+            )
+            want = {r[0] for r in pri[:7]}
+            assert {r["k"] for r in out if r["grp"] == g} == want
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from flatbread_spark.operators.sampling import sample_weighted
+
+        df = spark.createDataFrame(
+            [("a", "g", 1.0), ("b", "g", 0.0), ("c", "g", -2.0), ("d", "g", None)],
+            "k string, grp string, w double",
+        )
+        out = sample_weighted(df, "k", "w", 10).collect()
+        assert {r["k"] for r in out} == {"a"}
+
+    def test_weight_tilt_is_directional(self, spark):
+        # one heavy key vs many light ones: the heavy key must be sampled
+        # (P ~ 1 - eps with weight ratio 1000), light-only sample would
+        # indicate the priority sign/direction is flipped
+        from flatbread_spark.operators.sampling import sample_weighted
+
+        rows = [("heavy", "g", 1000.0)] + [
+            (f"light{i}", "g", 1.0) for i in range(100)
+        ]
+        out = {r["k"] for r in sample_weighted(self._df(spark, rows), "k", "w", 20).collect()}
+        assert "heavy" in out
+
+    def test_salt_decouples(self, spark):
+        from flatbread_spark.operators.sampling import sample_weighted
+
+        rows = [(f"k{i}", "g", 1.0) for i in range(400)]
+        df = self._df(spark, rows)
+        a = {r["k"] for r in sample_weighted(df, "k", "w", 50, salt="s1").collect()}
+        b = {r["k"] for r in sample_weighted(df, "k", "w", 50, salt="s2").collect()}
+        assert a != b  # 400 choose 50 twice colliding ~ impossible
+
+    def test_rejects_nonpositive_n(self, spark):
+        from flatbread_spark.operators.sampling import sample_weighted
+
+        with pytest.raises(ValueError):
+            sample_weighted(self._df(spark, [("a", "g", 1.0)]), "k", "w", 0)
+
+
+# ------------------------------------------------------------- normalize_text
+class TestNormalizeText:
+    def _norm(self, spark, s):
+        from flatbread_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame([(s,)], "t string")
+        return df.select(normalize_text(F.col("t")).alias("o")).first()["o"]
+
+    def test_unicode_spaces_collapse(self, spark):
+        assert self._norm(spark, "a   b　c") == "a b c"
+
+    def test_controls_and_zero_widths_dropped(self, spark):
+        assert self._norm(spark, "a\x00\x01b​c﻿d\x7fe") == "abcde"
+
+    def test_crlf_becomes_lf_and_line_edges_trim(self, spark):
+        assert self._norm(spark, "a \r\n  b\t\r\nc") == "a\nb\nc"
+
+    def test_outer_whitespace_trimmed(self, spark):
+        assert self._norm(spark, "\n\n  hello world \n") == "hello world"
+
+    def test_blank_lines_preserved(self, spark):
+        # paragraph structure survives: inner \n\n stays
+        assert self._norm(spark, "p1\n\np2") == "p1\n\np2"
+
+    def test_soft_hyphen_dropped(self, spark):
+        assert self._norm(spark, "co­operate") == "cooperate"
+
+    def test_idempotent(self, spark):
+        once = self._norm(spark, " a  b \r\n\tc​ ")
+        assert self._norm(spark, once) == once
+
+    def test_clean_text_untouched(self, spark, documents):
+        from flatbread_spark.functions.text import normalize_text
+
+        n = (
+            documents.select(
+                (F.col("text") == normalize_text(F.col("text"))).alias("same")
+            )
+            .filter(~F.col("same"))
+            .count()
+        )
+        assert n == 0  # synthetic corpus is already clean ASCII
+
+
+# --------------------------------------------------------------- pmi_bigrams
+def _py_pmi(texts, min_count, top_n):
+    uni, big = Counter(), Counter()
+    n_uni = n_big = 0
+    for t in texts:
+        ws = t.strip().split()
+        if not ws:
+            continue
+        uni.update(ws)
+        n_uni += len(ws)
+        pairs = list(zip(ws, ws[1:]))
+        big.update(pairs)
+        n_big += len(pairs)
+    out = []
+    for (a, b), c in big.items():
+        if c < min_count:
+            continue
+        pmi = math.log2(c * n_uni * n_uni / (n_big * uni[a] * uni[b]))
+        out.append((a, b, c, round(pmi, 6)))
+    out.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return out[:top_n]
+
+
+class TestPmiBigrams:
+    def test_matches_pure_python(self, spark):
+        from flatbread_spark.operators.lm import pmi_bigrams
+
+        texts = [
+            "hong kong is big",
+            "hong kong hong kong",
+            "new york and hong kong",
+            "the cat sat on the mat",
+            "the cat and the dog",
+            "a b a b a b",
+            "single",
+            "  ",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            (r["w1"], r["w2"], r["c_ab"], r["pmi"])
+            for r in pmi_bigrams(df, "text", min_count=2, top_n=10).collect()
+        ]
+        assert got == _py_pmi([t for t in texts if t.strip()], 2, 10)
+
+    def test_collocation_beats_chance_pair(self, spark):
+        from flatbread_spark.operators.lm import pmi_bigrams
+
+        # "hong kong" always adjacent; "the cat" co-occur but also apart
+        texts = ["hong kong"] * 5 + ["the cat", "cat the", "the dog the cat"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        rows = {(r["w1"], r["w2"]): r["pmi"] for r in
+                pmi_bigrams(df, "text", min_count=2, top_n=10).collect()}
+        assert rows[("hong", "kong")] > rows[("the", "cat")]
+
+    def test_on_documents_deterministic(self, spark, documents):
+        from flatbread_spark.operators.lm import pmi_bigrams
+
+        a = pmi_bigrams(documents, "text", min_count=5, top_n=20).collect()
+        b = pmi_bigrams(
+            documents.repartition(5), "text", min_count=5, top_n=20
+        ).collect()
+        assert a == b and len(a) == 20
