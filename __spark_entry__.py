@@ -2113,6 +2113,63 @@ def q_tablespec_json(spark, sf_dir):
     )
 
 
+def q_sample_weighted(spark, sf_dir):
+    """A-ES deterministic weighted sampling (operators/sampling.py
+    sample_weighted): documents weighted by n_chars — one global top-150
+    draw plus a per-source top-5 draw, union-tagged. Output is the
+    selected rows only (integer/string columns), so the ln() in the
+    priority affects SELECTION, never a hashed value; the md5-derived
+    uniforms keep priorities far from cross-engine 1-ulp ties."""
+    from flatbread_spark.operators.sampling import sample_weighted
+
+    docs = _load(spark, sf_dir, "documents")
+    cols = ["doc_id", "source", "n_chars"]
+    g = sample_weighted(docs, "doc_id", "n_chars", 150, salt="wq").select(
+        F.lit("global").alias("mode"), *cols
+    )
+    s = sample_weighted(
+        docs, "doc_id", "n_chars", 5, strata_col="source", salt="wq"
+    ).select(F.lit("per_source").alias("mode"), *cols)
+    return g.unionByName(s)
+
+
+# junk injected around each document for q_text_normalize — every char here
+# is in normalize_text's translate lists, so the oracle can rebuild the
+# dirty string with chr() concatenation and replay the identical chain
+_TN_PRE = "\u00a0junk\t\r\n "
+_TN_POST = " \u200b\r\n\r\n tail\u0001 \u3000"
+
+
+def q_text_normalize(spark, sf_dir):
+    """normalize_text (functions/text.py): wrap each document's text in
+    deterministic unicode junk (NBSP, CRLF, zero-width, control char,
+    ideographic space), normalize, and pin length + md5 of the result.
+    The oracle replays the exact translate/regexp/trim chain — the char
+    lists are explicit constants, so the SQL is byte-identical."""
+    from flatbread_spark.functions.text import normalize_text
+
+    docs = _load(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit(_TN_PRE), F.col("text"), F.lit(_TN_POST))
+    clean = normalize_text(dirty)
+    return docs.select(
+        "doc_id",
+        F.length(dirty).cast("bigint").alias("n_dirty"),
+        F.length(clean).cast("bigint").alias("n_clean"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """Collocation extraction (operators/lm.py pmi_bigrams): top-50 PMI
+    word pairs with corpus count >= 5. Counts stay integer; the single
+    log2 is rounded to 6 (accepted libm pattern, see char_entropy)."""
+    from flatbread_spark.operators.lm import pmi_bigrams
+
+    docs = _load(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, "text", min_count=5, top_n=50)
+
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2163,6 +2220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         # -- new this round: display-contract pin --
         "tablespec_json": q_tablespec_json,
+        # -- new round-6 operators: need their first grade --
+        "sample_weighted": q_sample_weighted,
+        "text_normalize": q_text_normalize,
+        "pmi_bigrams": q_pmi_bigrams,
         # -- stale since r3: reference-parity §2 surface --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -2187,9 +2248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_planted": q_contamination_planted,
         "chunk_dedup": q_chunk_dedup,
         "chunk_overlap": q_chunk_overlap,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q19": q_tpch_q19,
         # heaviest never-graded pair closes the window (positions 49-50):
         # both need a grade, but they are codegen-heavy and bench ~2s
         # cheaper after 46 queries of warm-up than at position 22
@@ -2198,6 +2256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail (positions 51+): sacrificed first if the driver's
         # ---- grading window is shorter. r3-stale leftovers lead, then
         # ---- everything graded green in r4, heavy similarity last.
+        "tpch_q15": q_tpch_q15,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q19": q_tpch_q19,
         "corpus_mix": q_corpus_mix,
         "stream_dedup_replay": q_stream_dedup_replay,
         "events_hourly": q_events_hourly,
@@ -2275,6 +2336,21 @@ o AS (SELECT v, n, grp,
 
 
 def oracle_sql() -> dict[str, str]:
+    # --- text_normalize oracle pieces: rebuilt from the SAME constants the
+    # operator uses, so the SQL replays the identical translate chain
+    from flatbread_spark.functions.text import _NORM_DROP, _NORM_TO_SPACE
+
+    def _chr_concat(txt: str) -> str:
+        return " || ".join(
+            f"'{c}'" if c.isalnum() or c == ' ' else f"chr({ord(c)})" for c in txt
+        ).replace("' || '", "")
+
+    _TN_PRE_SQL = _chr_concat(_TN_PRE)
+    _TN_POST_SQL = _chr_concat(_TN_POST)
+    _NORM_FROM_SQL = " || ".join(
+        f"chr({ord(c)})" for c in (_NORM_TO_SPACE + _NORM_DROP)
+    )
+    _N_TO_SPACE = len(_NORM_TO_SPACE)
     qty_grid = """
 WITH g AS (SELECT l_returnflag,
              SUM(CASE WHEN l_linestatus='F' THEN l_quantity END) AS F,
@@ -2892,6 +2968,62 @@ SELECT doc_id,
        round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
          AS repetition
 FROM g
+""",
+        "sample_weighted": """
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+    ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wq'), 1, 15) AS BIGINT)
+          % 1000000 + 0.5) / 1000000.0)
+      / CAST(n_chars AS DOUBLE) AS pri
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT 'global' AS mode, doc_id, source, n_chars
+FROM (SELECT * FROM b ORDER BY pri DESC, doc_id LIMIT 150)
+UNION ALL
+SELECT 'per_source' AS mode, doc_id, source, n_chars
+FROM (SELECT b.*, row_number() OVER (PARTITION BY source
+                                     ORDER BY pri DESC, doc_id) AS rk FROM b)
+WHERE rk <= 5
+""",
+        "text_normalize": f"""
+WITH d AS (
+  SELECT doc_id, {_TN_PRE_SQL} || text || {_TN_POST_SQL} AS dirty
+  FROM documents),
+c AS (
+  SELECT doc_id, dirty,
+    trim(regexp_replace(regexp_replace(
+           translate(dirty, {_NORM_FROM_SQL}, repeat(' ', {_N_TO_SPACE})),
+           ' +', ' ', 'g'),
+         ' ?' || chr(10) || ' ?', chr(10), 'g'),
+         ' ' || chr(10)) AS clean
+  FROM d)
+SELECT doc_id,
+       CAST(length(dirty) AS BIGINT) AS n_dirty,
+       CAST(length(clean) AS BIGINT) AS n_clean,
+       md5(clean) AS clean_md5
+FROM c
+""",
+        "pmi_bigrams": r"""
+WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents WHERE trim(text) <> ''),
+tot AS (SELECT CAST(SUM(len(ws)) AS DOUBLE) AS n_uni,
+               CAST(SUM(greatest(len(ws) - 1, 0)) AS DOUBLE) AS n_big
+        FROM t),
+uni AS (SELECT w, count(*) AS c_w
+        FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+big AS (SELECT w1, w2, count(*) AS c_ab
+        FROM (SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+              FROM t WHERE len(ws) >= 2)
+        GROUP BY w1, w2 HAVING count(*) >= 5)
+SELECT big.w1, big.w2, CAST(c_ab AS BIGINT) AS c_ab,
+       round(log2(CAST(c_ab AS DOUBLE) * n_uni * n_uni
+                  / (n_big * CAST(ua.c_w AS DOUBLE) * CAST(ub.c_w AS DOUBLE))), 6)
+         AS pmi
+FROM big
+JOIN uni ua ON ua.w = big.w1
+JOIN uni ub ON ub.w = big.w2
+CROSS JOIN tot
+ORDER BY pmi DESC, big.w1, big.w2
+LIMIT 50
 """,
         "sample_stratified": """
 WITH b AS (SELECT doc_id, lang,
