@@ -2184,6 +2184,24 @@ def q_token_topk_sketch(spark, sf_dir):
 
 
 
+def q_chunk_self_dedup(spark, sf_dir):
+    """Intra-document boilerplate removal (operators/dedup.py
+    chunk_self_dedup): each document gets a copy of its first 12-word
+    chunk PREPENDED (so every doc with >= 12 words contains a genuine
+    intra-doc duplicate at an aligned boundary), then the row-local
+    first-occurrence filter strips it. Zero-shuffle single-scan plan."""
+    from flatbread_spark.operators.dedup import chunk_self_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    synth = F.concat(
+        F.concat_ws(" ", F.slice(ws, 1, 12)), F.lit(" "), F.col("text")
+    )
+    sdf = docs.select("doc_id", synth.alias("text"))
+    return chunk_self_dedup(sdf, "doc_id", "text", words_per_chunk=12)
+
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2239,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "pmi_bigrams": q_pmi_bigrams,
         "token_topk_sketch": q_token_topk_sketch,
+        "chunk_self_dedup": q_chunk_self_dedup,
         # -- stale since r3: reference-parity §2 surface --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -2258,7 +2277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_margin": q_median_margin,
         "sort_index_list": q_sort_index_list,
         "sample_stratified": q_sample_stratified,
-        "corpus_shuffle": q_corpus_shuffle,
         "contamination_planted": q_contamination_planted,
         "chunk_dedup": q_chunk_dedup,
         "chunk_overlap": q_chunk_overlap,
@@ -2270,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail (positions 51+): sacrificed first if the driver's
         # ---- grading window is shorter. r3-stale leftovers lead, then
         # ---- everything graded green in r4, heavy similarity last.
+        "corpus_shuffle": q_corpus_shuffle,
         "salted_agg": q_salted_agg,
         "tpch_q15": q_tpch_q15,
         "tpch_q9": q_tpch_q9,
@@ -2983,6 +3002,26 @@ SELECT doc_id,
        round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
          AS repetition
 FROM g
+""",
+        "chunk_self_dedup": """
+WITH s AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:12], ' ') || ' ' || text AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, CAST(ceil(len(ws) / 12.0) AS INT) - 1),
+                   i -> array_to_string(ws[i*12+1 : i*12+12], ' ')) AS ch
+  FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM s)),
+k AS (
+  SELECT doc_id, ch,
+         list_filter(ch, (x, i) -> list_position(ch, x) = i) AS kept
+  FROM c)
+SELECT doc_id,
+       CAST(len(ch) AS BIGINT) AS n_chunks,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       md5(array_to_string(kept, ' ')) AS clean_md5
+FROM k
 """,
         "token_topk_sketch": r"""
 WITH c AS (

@@ -67,6 +67,7 @@ from flatbread_spark.operators.counts import value_counts  # noqa: E402
 # a corpus pipeline reads as one import
 from flatbread_spark.operators.asof import asof_join, range_join_bucketed  # noqa: E402
 from flatbread_spark.operators.dedup import (  # noqa: E402
+    chunk_self_dedup,
     dedup_exact,
     dedup_incremental,
     embedding_dup_pairs,
@@ -115,7 +116,7 @@ __all__ = [
     "read_table", "write_table",
     "asof_join", "range_join_bucketed",
     "dedup_exact", "dedup_incremental", "minhash_lsh_pairs", "simhash_pairs",
-    "ngram_jaccard_pairs", "embedding_dup_pairs",
+    "ngram_jaccard_pairs", "embedding_dup_pairs", "chunk_self_dedup",
     "connected_components", "dedup_clusters",
     "sample_deterministic", "sample_stratified", "sample_token_budget",
     "sample_weighted",

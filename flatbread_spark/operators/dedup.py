@@ -780,3 +780,51 @@ def chunk_overlap(
         .groupBy("grp_a", "grp_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_chunks"))
     )
+
+
+def chunk_self_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words_per_chunk: int = 12,
+) -> DataFrame:
+    """INTRA-document chunk dedup (RefinedWeb-style boilerplate removal):
+    drop every repeat of a chunk WITHIN its own document, keeping the first
+    occurrence. Complements :func:`chunk_dedup` (which removes chunks
+    duplicated ACROSS documents): nav bars, cookie banners and template
+    footers repeat inside a single page long before they repeat across the
+    corpus slice being processed.
+
+    Entirely ROW-LOCAL — chunking, first-occurrence detection
+    (``array_position(chunks, c) == index``) and reassembly are HOF
+    expressions inside one scan stage: zero shuffles, zero Python, trivially
+    correct at any scale. The position probe is O(chunks²) per document,
+    bounded by (len/words_per_chunk)² — tens of comparisons for typical
+    pages.
+
+    Returns one row per document: (id_col, n_chunks, n_kept, clean_md5 —
+    md5 of the text reassembled from surviving chunks in order).
+    """
+    w = int(words_per_chunk)
+    if w <= 0:
+        raise ValueError("words_per_chunk must be positive")
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__words"))
+    words = F.col("__words")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * w + 1, w)),
+    )
+    staged = base.select(F.col(id_col), chunks.alias("__chunks"))
+    arr = F.col("__chunks")
+    # keep chunk i iff its FIRST occurrence in the array is at i
+    # (array_position is 1-based; the filter lambda index is 0-based)
+    kept = F.filter(arr, lambda c, i: F.array_position(arr, c) == i + 1)
+    staged2 = staged.select(F.col(id_col), arr.alias("__chunks"),
+                            kept.alias("__kept"))
+    return staged2.select(
+        F.col(id_col),
+        F.size("__chunks").cast("bigint").alias("n_chunks"),
+        F.size("__kept").cast("bigint").alias("n_kept"),
+        F.md5(F.concat_ws(" ", F.col("__kept"))).alias("clean_md5"),
+    )

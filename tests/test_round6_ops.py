@@ -331,3 +331,58 @@ def test_normalize_matches_python_on_random_soup(spark):
     }
     for i, c in enumerate(cases):
         assert got[i] == _py_normalize(c), (i, repr(c))
+
+
+# ------------------------------------------------------- chunk_self_dedup
+def _py_chunk_self_dedup(text, w=12):
+    ws = text.split(" ")
+    chunks = [" ".join(ws[i * w:(i + 1) * w]) for i in range(-(-len(ws) // w))]
+    kept, seen = [], set()
+    for c in chunks:
+        if c not in seen:
+            seen.add(c)
+            kept.append(c)
+    return len(chunks), len(kept), " ".join(kept)
+
+
+class TestChunkSelfDedup:
+    def test_matches_pure_python(self, spark):
+        import hashlib
+
+        from flatbread_spark.operators.dedup import chunk_self_dedup
+
+        docs = [
+            (1, "a b c d a b c d a b c d"),      # w=4: three identical chunks
+            (2, "x y z w p q r s x y z w"),       # first == third chunk
+            (3, "one two three"),                  # single short chunk
+            (4, "a b c d e f g h"),                # no repeats
+            (5, ""),                               # empty text
+        ]
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_md5"])
+            for r in chunk_self_dedup(df, "doc_id", "text", words_per_chunk=4).collect()
+        }
+        for did, text in docs:
+            n, k, clean = _py_chunk_self_dedup(text, 4)
+            md5 = hashlib.md5(clean.encode()).hexdigest()
+            assert got[did] == (n, k, md5), (did, got[did], (n, k, md5))
+
+    def test_boilerplate_removed_keeps_first(self, spark):
+        from flatbread_spark.operators.dedup import chunk_self_dedup
+
+        # a "page" whose nav chunk repeats at top and bottom
+        nav = " ".join(f"nav{i}" for i in range(4))
+        body = " ".join(f"w{i}" for i in range(8))
+        df = spark.createDataFrame(
+            [(1, f"{nav} {body} {nav}")], "doc_id int, text string"
+        )
+        r = chunk_self_dedup(df, "doc_id", "text", words_per_chunk=4).first()
+        assert (r["n_chunks"], r["n_kept"]) == (4, 3)
+
+    def test_rejects_bad_width(self, spark):
+        from flatbread_spark.operators.dedup import chunk_self_dedup
+
+        df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+        with pytest.raises(ValueError):
+            chunk_self_dedup(df, "doc_id", "text", words_per_chunk=0)
