@@ -2202,6 +2202,19 @@ def q_chunk_self_dedup(spark, sf_dir):
 
 
 
+def q_pca_covariance(spark, sf_dir):
+    """Exact embedding covariance (operators/pca.py covariance_matrix):
+    dim² = 4096 (i, j, cov) rows from 12-decimal-rounded moments summed in
+    DECIMAL(28,12) — the dot_exact discipline, so the iterative-ML
+    building block is value-hash reproducible across engines and
+    partitionings. Only dim²-bounded partials ever leave the executors."""
+    from flatbread_spark.operators.pca import covariance_matrix
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding", 64)
+
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2258,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "token_topk_sketch": q_token_topk_sketch,
         "chunk_self_dedup": q_chunk_self_dedup,
+        "pca_covariance": q_pca_covariance,
         # -- stale since r3: reference-parity §2 surface --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -2279,7 +2293,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "contamination_planted": q_contamination_planted,
         "chunk_dedup": q_chunk_dedup,
-        "chunk_overlap": q_chunk_overlap,
         # heaviest never-graded pair closes the window (positions 49-50):
         # both need a grade, but they are codegen-heavy and bench ~2s
         # cheaper after 46 queries of warm-up than at position 22
@@ -2288,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail (positions 51+): sacrificed first if the driver's
         # ---- grading window is shorter. r3-stale leftovers lead, then
         # ---- everything graded green in r4, heavy similarity last.
+        "chunk_overlap": q_chunk_overlap,
         "corpus_shuffle": q_corpus_shuffle,
         "salted_agg": q_salted_agg,
         "tpch_q15": q_tpch_q15,
@@ -3002,6 +3016,24 @@ SELECT doc_id,
        round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
          AS repetition
 FROM g
+""",
+        "pca_covariance": """
+WITH e AS (SELECT embedding AS v FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+p AS (SELECT a.i AS i, b.i AS j,
+        SUM(CAST(round(CAST(v[a.i] AS DOUBLE) * CAST(v[b.i] AS DOUBLE), 12)
+                 AS DECIMAL(28,12))) AS sxy
+      FROM e, idx a, idx b GROUP BY 1, 2),
+m AS (SELECT a.i AS i,
+        SUM(CAST(round(CAST(v[a.i] AS DOUBLE), 12) AS DECIMAL(28,12))) AS sx
+      FROM e, idx a GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e)
+SELECT CAST(p.i - 1 AS INTEGER) AS i, CAST(p.j - 1 AS INTEGER) AS j,
+       round(CAST(sxy AS DOUBLE) / n
+             - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 9)
+         AS cov
+FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j CROSS JOIN n
 """,
         "chunk_self_dedup": """
 WITH s AS (

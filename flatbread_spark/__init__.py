@@ -80,6 +80,11 @@ from flatbread_spark.operators.curation import curation_funnel  # noqa: E402
 from flatbread_spark.operators.kmeans import kmeans_lloyd  # noqa: E402
 from flatbread_spark.operators.layout import cluster_by_zorder, zorder_key  # noqa: E402
 from flatbread_spark.operators.lm import pmi_bigrams, trigram_typicality  # noqa: E402
+from flatbread_spark.operators.pca import (  # noqa: E402
+    covariance_matrix,
+    pca_project,
+    pca_train,
+)
 from flatbread_spark.operators.packing import (  # noqa: E402
     build_packs,
     pack_sequences,
@@ -123,7 +128,8 @@ __all__ = [
     "assign_split", "pack_sequences", "build_packs", "scalable_cumsum",
     "curation_funnel",
     "trigram_typicality", "pmi_bigrams", "kmeans_lloyd", "zorder_key", "cluster_by_zorder",
-    "approx_topk_tokens", "knn_bruteforce", "knn_lsh", "knn_ivf", "ivf_candidates", "rank_topk",
+    "approx_topk_tokens", "covariance_matrix", "pca_train", "pca_project",
+    "knn_bruteforce", "knn_lsh", "knn_ivf", "ivf_candidates", "rank_topk",
     "pair_counts", "char_entropy", "mix_temperature",
     "bpe_train", "apply_merges",
 ]

@@ -386,3 +386,131 @@ class TestChunkSelfDedup:
         df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
         with pytest.raises(ValueError):
             chunk_self_dedup(df, "doc_id", "text", words_per_chunk=0)
+
+
+# ---------------------------------------------------------------- PCA family
+def _py_cov12(vecs, ndigits=9):
+    """Pure-Python replay of the 12-decimal-moment covariance contract."""
+    from decimal import Decimal
+
+    d = len(vecs[0])
+    n = len(vecs)
+
+    def r12(t):
+        s = t * 10**12
+        return int(math.copysign(math.floor(abs(s) + 0.5), s))
+
+    sxy = [[0] * d for _ in range(d)]
+    sx = [0] * d
+    for v in vecs:
+        v = [float(x) for x in v]
+        for i in range(d):
+            sx[i] += r12(v[i])
+            for j in range(d):
+                sxy[i][j] += r12(v[i] * v[j])
+    out = {}
+    for i in range(d):
+        for j in range(d):
+            exy = float(Decimal(sxy[i][j]).scaleb(-12)) / n
+            mi = float(Decimal(sx[i]).scaleb(-12)) / n
+            mj = float(Decimal(sx[j]).scaleb(-12)) / n
+            out[(i, j)] = round(exy - mi * mj, ndigits)
+    return out
+
+
+class TestPca:
+    def test_covariance_matches_pure_python(self, spark):
+        import random
+
+        from flatbread_spark.operators.pca import covariance_matrix
+
+        rnd = random.Random(5)
+        vecs = [[rnd.uniform(-2, 2) for _ in range(6)] for _ in range(120)]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "id int, v array<float>",
+        )
+        got = {
+            (r["i"], r["j"]): r["cov"]
+            for r in covariance_matrix(df, "v", 6).collect()
+        }
+        # reference replays from the FLOAT32-narrowed values Spark stores
+        import numpy as np
+
+        narrowed = [list(np.asarray(v, dtype=np.float32)) for v in vecs]
+        want = _py_cov12(narrowed)
+        assert got == want
+
+    def test_covariance_partitioning_invariant(self, spark, embeddings):
+        from flatbread_spark.operators.pca import covariance_matrix
+
+        a = sorted(
+            covariance_matrix(embeddings, "embedding", 64).collect(),
+            key=lambda r: (r["i"], r["j"]),
+        )
+        b = sorted(
+            covariance_matrix(
+                embeddings.repartition(7), "embedding", 64
+            ).collect(),
+            key=lambda r: (r["i"], r["j"]),
+        )
+        assert a == b
+
+    def test_null_and_ragged_vectors_excluded(self, spark):
+        from flatbread_spark.operators.pca import covariance_matrix
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, None), (3, [1.0]), (4, [3.0, 4.0])],
+            "id int, v array<float>",
+        )
+        got = {
+            (r["i"], r["j"]): r["cov"]
+            for r in covariance_matrix(df, "v", 2).collect()
+        }
+        want = _py_cov12([[1.0, 2.0], [3.0, 4.0]])
+        assert got == want
+
+    def test_train_project_recovers_planted_axes(self, spark):
+        import random
+
+        import numpy as np
+
+        from flatbread_spark.operators.pca import pca_project, pca_train
+
+        # variance concentrated on two planted orthogonal directions
+        rnd = np.random.RandomState(11)
+        d = 8
+        a = np.zeros(d); a[0] = 1.0
+        b = np.zeros(d); b[3] = 1.0
+        X = (
+            rnd.normal(0, 5, (400, 1)) * a
+            + rnd.normal(0, 2, (400, 1)) * b
+            + rnd.normal(0, 0.05, (400, d))
+        )
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+            "id int, v array<float>",
+        )
+        comp, ev = pca_train(df, "v", d, 2)
+        assert abs(comp[0][0]) > 0.99 and abs(comp[1][3]) > 0.99
+        assert ev[0] > ev[1] > 0
+        proj = pca_project(df, "v", comp).orderBy("id").collect()
+        assert len(proj) == 400 and len(proj[0]["pca"]) == 2
+        # projection equals the numpy matmul on float32-narrowed input
+        X32 = np.stack([np.asarray(r, dtype=np.float32) for r in X.tolist()])
+        want = X32.astype(np.float64) @ comp.T
+        got = np.array([r["pca"] for r in proj])
+        assert np.allclose(got, want, atol=1e-9)
+
+    def test_project_null_propagates(self, spark):
+        import numpy as np
+
+        from flatbread_spark.operators.pca import pca_project
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, None), (3, [1.0])],
+            "id int, v array<float>",
+        )
+        comp = np.eye(2)
+        got = {r["id"]: r["pca"] for r in pca_project(df, "v", comp).collect()}
+        assert got[1] == [1.0, 2.0] and got[2] is None and got[3] is None
