@@ -2215,6 +2215,44 @@ def q_pca_covariance(spark, sf_dir):
 
 
 
+def q_stream_topk(spark, sf_dir):
+    """Streaming heavy hitters (streaming/topk.py stream_heavy_hitters):
+    bucketed Misra-Gries under applyInPandasWithState replayed over the
+    bounded documents source (availableNow), drained to each bucket's last
+    summary, then exact-rescored batch-side. Oracle is the PLAIN exact
+    top-30 — grading the streaming candidate recall end-to-end, same
+    contract as token_topk_sketch but with O(buckets × width) incremental
+    state instead of a batch pass."""
+    import tempfile
+
+    from flatbread_spark.operators.sketches import rescore_topk
+    from flatbread_spark.streaming.topk import (
+        drain_final_summary, stream_heavy_hitters,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    stream_dir = tempfile.mkdtemp(prefix="fb_stream_topk_")
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    for q in spark.streams.active:
+        if q.name == "fb_stream_topk":
+            q.stop()
+    sdf = spark.readStream.schema(docs.schema).parquet(stream_dir)
+    hh = stream_heavy_hitters(sdf, "text", width=1024, n_buckets=8)
+    q = (
+        hh.writeStream.format("memory")
+        .queryName("fb_stream_topk")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cand = drain_final_summary(spark.sql("SELECT * FROM fb_stream_topk"))
+    return rescore_topk(docs, "text", cand, 30)
+
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2272,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk_sketch": q_token_topk_sketch,
         "chunk_self_dedup": q_chunk_self_dedup,
         "pca_covariance": q_pca_covariance,
+        "stream_topk": q_stream_topk,
         # -- stale since r3: reference-parity §2 surface --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -2291,7 +2330,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_margin": q_median_margin,
         "sort_index_list": q_sort_index_list,
         "sample_stratified": q_sample_stratified,
-        "contamination_planted": q_contamination_planted,
         "chunk_dedup": q_chunk_dedup,
         # heaviest never-graded pair closes the window (positions 49-50):
         # both need a grade, but they are codegen-heavy and bench ~2s
@@ -2301,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail (positions 51+): sacrificed first if the driver's
         # ---- grading window is shorter. r3-stale leftovers lead, then
         # ---- everything graded green in r4, heavy similarity last.
+        "contamination_planted": q_contamination_planted,
         "chunk_overlap": q_chunk_overlap,
         "corpus_shuffle": q_corpus_shuffle,
         "salted_agg": q_salted_agg,
@@ -3016,6 +3055,15 @@ SELECT doc_id,
        round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
          AS repetition
 FROM g
+""",
+        "stream_topk": r"""
+WITH c AS (
+  SELECT w AS token, count(*) AS n
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY 1)
+SELECT token, CAST(n AS BIGINT) AS n
+FROM c ORDER BY n DESC, token LIMIT 30
 """,
         "pca_covariance": """
 WITH e AS (SELECT embedding AS v FROM embeddings

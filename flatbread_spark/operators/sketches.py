@@ -62,9 +62,6 @@ def approx_topk_tokens(
     if k <= 0 or width <= k:
         raise ValueError("need k > 0 and width > k")
     text = F.lower(F.col(text_col)) if lower else F.col(text_col)
-    toks = df.select(
-        F.explode(F.split(F.trim(text), r"\s+")).alias("token")
-    ).filter(F.col("token") != "")
 
     w = int(width)
 
@@ -86,8 +83,27 @@ def approx_topk_tokens(
         .mapInPandas(sketch, "token string")
         .distinct()
     )
+    return rescore_topk(df, text_col, cand, k, lower=lower)
+
+
+def rescore_topk(
+    df: DataFrame,
+    text_col: str,
+    candidates: DataFrame,
+    k: int,
+    lower: bool = True,
+) -> DataFrame:
+    """Exact counts for a candidate token set, then top-``k``: the
+    candidate frame (one ``token`` column) broadcasts by construction —
+    it came from a bounded sketch — so the rescore scan shuffles candidate
+    tokens only, never the vocabulary. Shared by the batch MG operator and
+    the streaming heavy-hitter drain."""
+    text = F.lower(F.col(text_col)) if lower else F.col(text_col)
+    toks = df.select(
+        F.explode(F.split(F.trim(text), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
     exact = (
-        toks.join(F.broadcast(cand), "token")
+        toks.join(F.broadcast(candidates.select("token").distinct()), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

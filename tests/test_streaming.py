@@ -3,6 +3,8 @@ with the batch rollup on the same data (same grouping, same buckets)."""
 import math
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flatbread_spark.streaming.windows import hourly_rollup, stream_hourly_rollup
@@ -230,3 +232,54 @@ def test_watermark_drops_late_rows_across_restarts(spark, events, tmp_path):
     rows = {(r.w, r.user): r.n for r in out.collect()}
     assert rows[(0, "u")] == 2          # finalized once, late row dropped
     assert (0, "u") not in {k for k, v in rows.items() if v != rows[(0, "u")]}
+
+
+def test_stream_heavy_hitters_candidates_then_exact_topk(spark, documents, tmp_path):
+    """Drained bucketed-MG summaries must contain every true heavy token
+    (recall guarantee), and the exact rescore of those candidates must equal
+    the batch exact top-k."""
+    from collections import Counter
+
+    from flatbread_spark.operators.sketches import rescore_topk
+    from flatbread_spark.streaming.topk import (
+        drain_final_summary, stream_heavy_hitters,
+    )
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    os.symlink(
+        os.path.join(SF_DIR, "documents.parquet"), stream_dir / "documents.parquet"
+    )
+    sdf = spark.readStream.schema(documents.schema).parquet(str(stream_dir))
+    hh = stream_heavy_hitters(sdf, "text", width=256, n_buckets=4)
+    assert hh.isStreaming
+    q = (
+        hh.writeStream.format("memory")
+        .queryName("hh_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cand = drain_final_summary(spark.sql("SELECT * FROM hh_test"))
+    cand_set = {r["token"] for r in cand.collect()}
+    assert 0 < len(cand_set) <= 4 * 256
+
+    exact = Counter()
+    for r in documents.select("text").collect():
+        exact.update(r["text"].lower().split())
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    # recall: every true top-15 token is among the drained candidates
+    assert {t for t, _ in want} <= cand_set
+    got = [
+        (r["token"], r["n"])
+        for r in rescore_topk(documents, "text", cand, 15).collect()
+    ]
+    assert got == want
+
+
+def test_stream_heavy_hitters_rejects_bad_params(spark, documents):
+    from flatbread_spark.streaming.topk import stream_heavy_hitters
+
+    with pytest.raises(ValueError):
+        stream_heavy_hitters(documents, "text", width=0)
