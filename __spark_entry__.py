@@ -2272,7 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the r4 hash-reds (value_counts/binned family) — red four rounds
     #      solely for the oracle HUGEINT type, fixed in r5, must regrade;
     #   3. everything never driver-graded: the 17 rotated in r5, the r5
-    #      tablespec_json display pin, and the EIGHT round-6 queries
+    #      tablespec_json display pin, and the SEVEN round-6 queries
     #      (sample_weighted, text_normalize, pmi_bigrams,
     #      token_topk_sketch, chunk_self_dedup, pca_covariance,
     #      stream_topk);
