@@ -82,6 +82,7 @@ from flatbread_spark.operators.layout import cluster_by_zorder, zorder_key  # no
 from flatbread_spark.operators.lm import pmi_bigrams, trigram_typicality  # noqa: E402
 from flatbread_spark.operators.pca import (  # noqa: E402
     covariance_matrix,
+    embedding_mean,
     pca_project,
     pca_train,
 )
@@ -128,7 +129,7 @@ __all__ = [
     "assign_split", "pack_sequences", "build_packs", "scalable_cumsum",
     "curation_funnel",
     "trigram_typicality", "pmi_bigrams", "kmeans_lloyd", "zorder_key", "cluster_by_zorder",
-    "approx_topk_tokens", "covariance_matrix", "pca_train", "pca_project",
+    "approx_topk_tokens", "covariance_matrix", "embedding_mean", "pca_train", "pca_project",
     "knn_bruteforce", "knn_lsh", "knn_ivf", "ivf_candidates", "rank_topk",
     "pair_counts", "char_entropy", "mix_temperature",
     "bpe_train", "apply_merges",

@@ -179,3 +179,28 @@ def pca_project(
     return df.select(*cols, F.col(vec_col).alias("__v")).mapInPandas(
         project, schema
     )
+
+
+def embedding_mean(df: DataFrame, vec_col: str, dim: int) -> np.ndarray:
+    """Exact per-dimension mean of the embedding column (the centering
+    vector for :func:`pca_project`): reuses the decimal moment pass, so the
+    result is partition-order independent; collects dim values (model
+    state). Rows with NULL/wrong-length vectors are excluded, matching
+    :func:`covariance_matrix`."""
+    agg = (
+        moment_partials(df, vec_col, int(dim))
+        .filter(F.col("j") == -1)
+        .groupBy("i")
+        .agg(F.sum("psum").alias("s"))
+        .collect()
+    )
+    n = None
+    sums = np.zeros(int(dim))
+    for r in agg:
+        if r["i"] == -1:
+            n = float(r["s"])
+        else:
+            sums[r["i"]] = float(r["s"])
+    if not n:
+        raise ValueError("no valid vectors")
+    return sums / n

@@ -514,3 +514,20 @@ class TestPca:
         comp = np.eye(2)
         got = {r["id"]: r["pca"] for r in pca_project(df, "v", comp).collect()}
         assert got[1] == [1.0, 2.0] and got[2] is None and got[3] is None
+
+
+def test_embedding_mean_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    from flatbread_spark.operators.pca import embedding_mean
+
+    mu = embedding_mean(embeddings, "embedding", 64)
+    X = np.stack([
+        np.asarray(r["embedding"], dtype=np.float32)
+        for r in embeddings.collect()
+    ]).astype(np.float64)
+    # 12-decimal element rounding → within 5e-13 per element of the raw mean
+    assert np.allclose(mu, X.mean(axis=0), atol=1e-9)
+    # and partition-order independent
+    mu2 = embedding_mean(embeddings.repartition(5), "embedding", 64)
+    assert (mu == mu2).all()
