@@ -2247,7 +2247,7 @@ def q_stream_topk(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     cand = drain_final_summary(spark.sql("SELECT * FROM fb_stream_topk"))
     return rescore_topk(docs, "text", cand, 30)
 

@@ -481,6 +481,7 @@ _NORM_TO_SPACE = (
 )
 _NORM_DROP = "".join(
     map(chr, [*range(0x00, 0x09), *range(0x0B, 0x20), 0x7F,
+              *range(0x80, 0xA0),  # C1 incl. U+0085 NEL (cp1252 mojibake)
               0xAD, 0x200B, 0x200C, 0x200D, 0xFEFF])
 )
 

@@ -787,6 +787,7 @@ def chunk_self_dedup(
     id_col: str,
     text_col: str,
     words_per_chunk: int = 12,
+    keep_text: bool = False,
 ) -> DataFrame:
     """INTRA-document chunk dedup (RefinedWeb-style boilerplate removal):
     drop every repeat of a chunk WITHIN its own document, keeping the first
@@ -803,7 +804,10 @@ def chunk_self_dedup(
     pages.
 
     Returns one row per document: (id_col, n_chunks, n_kept, clean_md5 —
-    md5 of the text reassembled from surviving chunks in order).
+    md5 of the text reassembled from surviving chunks in order). Pipelines
+    that want the cleaned CORPUS, not the report, pass ``keep_text=True``
+    for an extra ``clean_text`` column feeding the downstream
+    fingerprint/dedup stages.
     """
     w = int(words_per_chunk)
     if w <= 0:
@@ -822,9 +826,12 @@ def chunk_self_dedup(
     kept = F.filter(arr, lambda c, i: F.array_position(arr, c) == i + 1)
     staged2 = staged.select(F.col(id_col), arr.alias("__chunks"),
                             kept.alias("__kept"))
-    return staged2.select(
+    cols = [
         F.col(id_col),
         F.size("__chunks").cast("bigint").alias("n_chunks"),
         F.size("__kept").cast("bigint").alias("n_kept"),
         F.md5(F.concat_ws(" ", F.col("__kept"))).alias("clean_md5"),
-    )
+    ]
+    if keep_text:
+        cols.append(F.concat_ws(" ", F.col("__kept")).alias("clean_text"))
+    return staged2.select(*cols)

@@ -34,20 +34,33 @@ _Q12 = Decimal(1).scaleb(-12)
 
 
 def _halfup12(t: np.ndarray) -> np.ndarray:
-    """round(t, 12) with SQL HALF-UP semantics, returned as scaled int64."""
+    """round(t, 12) with SQL HALF-UP semantics, returned as scaled int64.
+    Raises when a scaled value leaves the exact-HALF-UP / int64-safe range
+    instead of silently wrapping — the documented 2^52 bound is enforced,
+    not assumed (unnormalized caller vectors would otherwise produce
+    garbage covariance with no error)."""
     s = t * _S12
+    if s.size and np.abs(s).max() >= 2**52:
+        raise ValueError(
+            "moment magnitude exceeds the exact rounding range "
+            "(|value|*1e12 >= 2^52) — rescale/normalize the vectors"
+        )
     return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
 
 
-def moment_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+def moment_partials(
+    df: DataFrame, vec_col: str, dim: int, products: bool = True
+) -> DataFrame:
     """Per-partition exact moment sums for :func:`covariance_matrix`:
     rows ``(i, j, psum decimal(28,12))`` where j >= 0 is the product-moment
     Σ round(v_i·v_j, 12), j = -1 the element sum Σ round(v_i, 12), and
-    (-1, -1) the row count. ≤ dim² + dim + 1 rows per partition."""
+    (-1, -1) the row count. ≤ dim² + dim + 1 rows per partition.
+    ``products=False`` skips the O(dim²)-per-row product block entirely
+    (first moments + count only — what :func:`embedding_mean` needs)."""
     d = int(dim)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        prod = np.zeros((d, d), dtype=object)
+        prod = np.zeros((d, d), dtype=object) if products else None
         elem = np.zeros(d, dtype=object)
         n = 0
         for pdf in batches:
@@ -59,16 +72,18 @@ def moment_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
             # sub-blocks bound the (b, d, d) outer-product tensor to ~8 MB
             for s in range(0, len(X), 256):
                 B = X[s:s + 256]
-                P = _halfup12(B[:, :, None] * B[:, None, :])
-                prod += P.sum(axis=0, dtype=object)
                 elem += _halfup12(B).sum(axis=0, dtype=object)
+                if products:
+                    P = _halfup12(B[:, :, None] * B[:, None, :])
+                    prod += P.sum(axis=0, dtype=object)
         ii, jj, ss = [-1], [-1], [Decimal(n)]
         for i in range(d):
             ii.append(i); jj.append(-1)
             ss.append(Decimal(int(elem[i])) * _Q12)
-            for j in range(d):
-                ii.append(i); jj.append(j)
-                ss.append(Decimal(int(prod[i, j])) * _Q12)
+            if products:
+                for j in range(d):
+                    ii.append(i); jj.append(j)
+                    ss.append(Decimal(int(prod[i, j])) * _Q12)
         yield pd.DataFrame({"i": ii, "j": jj, "psum": ss})
 
     return df.select(F.col(vec_col).alias("__v")).mapInPandas(
@@ -188,7 +203,7 @@ def embedding_mean(df: DataFrame, vec_col: str, dim: int) -> np.ndarray:
     state). Rows with NULL/wrong-length vectors are excluded, matching
     :func:`covariance_matrix`."""
     agg = (
-        moment_partials(df, vec_col, int(dim))
+        moment_partials(df, vec_col, int(dim), products=False)
         .filter(F.col("j") == -1)
         .groupBy("i")
         .agg(F.sum("psum").alias("s"))

@@ -74,15 +74,19 @@ def approx_topk_tokens(
         # graded oracle verifies recall end-to-end.
         counts: dict = {}
         for pdf in batches:
-            vc = pdf["__text"].str.split().explode().dropna().value_counts()
-            _mg_merge(counts, vc, w)
+            # split on the JVM's ASCII \s class, NOT Python str.split()
+            # (which also splits on unicode whitespace like NBSP): a heavy
+            # token CONTAINING unicode whitespace must reach the candidate
+            # set intact or the recall guarantee silently breaks
+            toks = (
+                pdf["__text"].str.split(r"[ \t\n\x0b\f\r]+", regex=True)
+                .explode().dropna()
+            )
+            _mg_merge(counts, toks[toks != ""].value_counts(), w)
         yield pd.DataFrame({"token": list(counts.keys())})
 
-    cand = (
-        df.select(text.alias("__text"))
-        .mapInPandas(sketch, "token string")
-        .distinct()
-    )
+    # no .distinct() here: rescore_topk distinct-s any candidate frame
+    cand = df.select(text.alias("__text")).mapInPandas(sketch, "token string")
     return rescore_topk(df, text_col, cand, k, lower=lower)
 
 
