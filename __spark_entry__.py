@@ -2253,6 +2253,23 @@ def q_stream_topk(spark, sf_dir):
 
 
 
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive-negative mining (operators/similarity.py
+    mine_contrastive_negatives): anchors vec_id < 100 get 3 exact-cosine
+    hard negatives + 2 hash-deterministic random negatives drawn from
+    64 hash buckets. Full value-hash oracle: the hard part replays the
+    exact-decimal cosine (knn_bruteforce oracle), the random part replays
+    the md5 bucket/pick math."""
+    from flatbread_spark.operators.similarity import mine_contrastive_negatives
+
+    emb = _load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 100)
+    return mine_contrastive_negatives(
+        emb, anchors, k_hard=3, n_rand=2, salt="neg", n_buckets=64
+    )
+
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2316,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_self_dedup": q_chunk_self_dedup,
         "pca_covariance": q_pca_covariance,
         "stream_topk": q_stream_topk,
+        "contrastive_pairs": q_contrastive_pairs,
         # -- stale since r3: reference-parity §2 surface --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -2334,7 +2352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_totals_rank": q_sort_totals_rank,
         "median_margin": q_median_margin,
         "sort_index_list": q_sort_index_list,
-        "sample_stratified": q_sample_stratified,
         "chunk_dedup": q_chunk_dedup,
         # heaviest never-graded pair closes the window (positions 49-50):
         # both need a grade, but they are codegen-heavy and bench ~2s
@@ -2344,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail (positions 51+): sacrificed first if the driver's
         # ---- grading window is shorter. r3-stale leftovers lead, then
         # ---- everything graded green in r4, heavy similarity last.
+        "sample_stratified": q_sample_stratified,
         "contamination_planted": q_contamination_planted,
         "chunk_overlap": q_chunk_overlap,
         "corpus_shuffle": q_corpus_shuffle,
@@ -3060,6 +3078,38 @@ SELECT doc_id,
        round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
          AS repetition
 FROM g
+""",
+        "contrastive_pairs": f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id, embedding FROM e WHERE vec_id < 100),
+p AS (SELECT q.vec_id AS anchor_id, c.vec_id AS other_id,
+        {_DOT.format(a='q.embedding', b='c.embedding')} AS dot,
+        {_DOT.format(a='q.embedding', b='q.embedding')} AS nq,
+        {_DOT.format(a='c.embedding', b='c.embedding')} AS nc
+      FROM q, e c WHERE q.vec_id <> c.vec_id),
+s AS (SELECT anchor_id, other_id, round(dot/(sqrt(nq)*sqrt(nc)), 6) AS cos FROM p),
+h AS (SELECT anchor_id, other_id, 'hard' AS kind, cos FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos DESC, other_id ASC) AS rk
+        FROM s) WHERE rk <= 3),
+cb AS (SELECT vec_id AS cid,
+         CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
+       FROM e),
+d AS (SELECT a.vec_id AS aid, j,
+        CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '|' ||
+             CAST(j AS VARCHAR) || '|neg'), 1, 15) AS BIGINT) % 64 AS b
+      FROM q a, (SELECT unnest(generate_series(0, 1)) AS j)),
+r AS (SELECT aid, cid, j,
+        CAST('0x' || substr(md5(CAST(cid AS VARCHAR) || '#' ||
+             CAST(aid AS VARCHAR) || '#' || CAST(j AS VARCHAR) || '#neg'),
+             1, 15) AS BIGINT) AS pk
+      FROM d JOIN cb USING (b) WHERE cid <> aid),
+rr AS (SELECT aid AS anchor_id, cid AS other_id, 'rand' AS kind,
+              CAST(NULL AS DOUBLE) AS cos FROM (
+        SELECT r.*, row_number() OVER (PARTITION BY aid, j
+                                       ORDER BY pk ASC, cid ASC) AS rn
+        FROM r) WHERE rn = 1)
+SELECT * FROM h UNION ALL SELECT * FROM rr
 """,
         "stream_topk": r"""
 WITH c AS (

@@ -249,3 +249,88 @@ def knn_ivf(
     return rank_topk(
         ivf_candidates(corpus, queries, centroids, id_col, vec_col, nprobe), k
     )
+
+
+def mine_contrastive_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_hard: int = 3,
+    n_rand: int = 2,
+    salt: str = "neg",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Contrastive-training negative mining: for every anchor, its
+    ``k_hard`` nearest corpus vectors by cosine (HARD negatives — the pairs
+    an embedding model learns the most from) plus ``n_rand``
+    hash-deterministic RANDOM negatives. Returns
+    ``(anchor_id, other_id, kind 'hard'|'rand', cos)`` — ``cos`` NULL for
+    random picks. A random pick may coincide with a hard negative
+    (independent draws; the ``kind`` column disambiguates).
+
+    Random-negative shape (the part naive implementations get wrong at
+    scale): no global ordering, no per-anchor corpus scan. Every corpus row
+    sits in one of ``n_buckets`` hash buckets; draw j of anchor a opens
+    bucket ``h(a|j|salt) % B`` and takes the member minimizing
+    ``h(member|a|j|salt)`` — one equi-join on the bucket key plus a
+    per-(anchor, draw) rank window, deterministic under any partitioning
+    and engine (portable md5 hashing throughout). A draw whose bucket
+    contains only the anchor itself yields no row (vanishingly rare for
+    B ≪ corpus; documented rather than patched with a rescan).
+
+    Hard negatives reuse :func:`knn_bruteforce` (exact-decimal cosine);
+    at open-corpus scale pass a candidate-bounded path instead —
+    :func:`ivf_candidates` + :func:`rank_topk` — the same swap the knn
+    queries make.
+    """
+    from flatbread_spark.operators.dedup import portable_hash60
+
+    if k_hard <= 0 or n_rand < 0 or n_buckets <= 0:
+        raise ValueError("need k_hard > 0, n_rand >= 0, n_buckets > 0")
+    if anchors is None:
+        anchors = corpus
+    hard = knn_bruteforce(corpus, anchors, id_col, vec_col, k_hard).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("other_id"),
+        F.lit("hard").alias("kind"),
+        "cos",
+    )
+    if n_rand == 0:
+        return hard
+    b = int(n_buckets)
+    cb = corpus.select(
+        F.col(id_col).alias("__cid"),
+        (portable_hash60(F.col(id_col).cast("string")) % b).alias("__b"),
+    )
+    draws = (
+        anchors.select(F.col(id_col).alias("__aid"))
+        .select("__aid", F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_rand) - 1))).alias("__j"))
+        .withColumn(
+            "__b",
+            portable_hash60(
+                F.concat_ws("|", F.col("__aid").cast("string"),
+                            F.col("__j").cast("string"), F.lit(salt))
+            ) % b,
+        )
+    )
+    pick = portable_hash60(
+        F.concat_ws("#", F.col("__cid").cast("string"),
+                    F.col("__aid").cast("string"),
+                    F.col("__j").cast("string"), F.lit(salt))
+    )
+    w = Window.partitionBy("__aid", "__j").orderBy(pick.asc(), F.col("__cid").asc())
+    rand = (
+        draws.join(cb, "__b")
+        .filter(F.col("__cid") != F.col("__aid"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__aid").alias("anchor_id"),
+            F.col("__cid").alias("other_id"),
+            F.lit("rand").alias("kind"),
+            F.lit(None).cast("double").alias("cos"),
+        )
+    )
+    return hard.unionByName(rand)

@@ -531,3 +531,61 @@ def test_embedding_mean_matches_numpy(spark, embeddings):
     # and partition-order independent
     mu2 = embedding_mean(embeddings.repartition(5), "embedding", 64)
     assert (mu == mu2).all()
+
+
+# ------------------------------------------------- mine_contrastive_negatives
+def _py_h60(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+class TestContrastiveNegatives:
+    def test_rand_picks_match_hash_math(self, spark, embeddings):
+        from flatbread_spark.operators.similarity import (
+            mine_contrastive_negatives,
+        )
+
+        anchors = embeddings.filter(F.col("vec_id") < 20)
+        out = mine_contrastive_negatives(
+            embeddings, anchors, k_hard=2, n_rand=2, salt="t", n_buckets=16
+        ).collect()
+        ids = [r["vec_id"] for r in embeddings.select("vec_id").collect()]
+        buckets = {i: _py_h60(str(i)) % 16 for i in ids}
+        got_rand = {}
+        for r in out:
+            if r["kind"] == "rand":
+                got_rand.setdefault(r["anchor_id"], set()).add(r["other_id"])
+                assert r["cos"] is None
+        for a in range(20):
+            want = set()
+            for j in range(2):
+                bj = _py_h60(f"{a}|{j}|t") % 16
+                members = [i for i in ids if buckets[i] == bj and i != a]
+                if members:
+                    want.add(min(members, key=lambda c: (_py_h60(f"{c}#{a}#{j}#t"), c)))
+            assert got_rand.get(a, set()) == want, a
+
+    def test_hard_counts_and_partition_invariance(self, spark, embeddings):
+        from flatbread_spark.operators.similarity import (
+            mine_contrastive_negatives,
+        )
+
+        anchors = embeddings.filter(F.col("vec_id") < 10)
+        a = mine_contrastive_negatives(embeddings, anchors, k_hard=3, n_rand=1)
+        rows = a.collect()
+        hard = [r for r in rows if r["kind"] == "hard"]
+        assert len(hard) == 10 * 3
+        assert all(r["cos"] is not None and r["anchor_id"] != r["other_id"]
+                   for r in hard)
+        b = mine_contrastive_negatives(
+            embeddings.repartition(7), anchors, k_hard=3, n_rand=1
+        ).collect()
+        key = lambda r: (r["anchor_id"], r["kind"], r["other_id"])
+        assert sorted(map(key, rows)) == sorted(map(key, b))
+
+    def test_rejects_bad_params(self, spark, embeddings):
+        from flatbread_spark.operators.similarity import (
+            mine_contrastive_negatives,
+        )
+
+        with pytest.raises(ValueError):
+            mine_contrastive_negatives(embeddings, k_hard=0)
