@@ -137,6 +137,27 @@ def main():
         "char_entropy": lambda d, e: run_count(
             fb.char_entropy(d, "doc_id", "text")
         ),
+        # round-6 operators
+        "sample_weighted": lambda d, e: run_count(
+            fb.sample_weighted(d, "doc_id", "n_chars", 500)
+        ),
+        "approx_topk_tokens": lambda d, e: run_count(
+            fb.approx_topk_tokens(d, "text", k=25, width=2048)
+        ),
+        "chunk_self_dedup": lambda d, e: run_count(
+            fb.chunk_self_dedup(d, "doc_id", "text")
+        ),
+        "pmi_bigrams": lambda d, e: run_count(
+            fb.pmi_bigrams(d, "text", min_count=5, top_n=100)
+        ),
+        "covariance_matrix": lambda d, e: run_count(
+            fb.covariance_matrix(e, "embedding", 64)
+        ),
+        "mine_contrastive_negatives": lambda d, e: run_count(
+            fb.mine_contrastive_negatives(
+                e, e.filter(F.col("vec_id") % 100 == 0), k_hard=3, n_rand=2
+            )
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():
