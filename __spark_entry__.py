@@ -2269,6 +2269,26 @@ def q_contrastive_pairs(spark, sf_dir):
     )
 
 
+def q_chunk_windows(spark, sf_dir):
+    """RAG sliding-window chunking (operators/chunking.py chunk_windows):
+    every document exploded into overlapping 24-word windows at stride 16.
+    Zero-shuffle single-scan plan; all output is integer/md5, so the
+    window arithmetic (ceil counts, slice bounds, portable chunk_uid) is
+    value-hash-verified against the SQL replay."""
+    from flatbread_spark.operators.chunking import chunk_windows
+
+    docs = _load(spark, sf_dir, "documents")
+    ch = chunk_windows(docs, "doc_id", "text", window_words=24, stride_words=16)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_word",
+        "n_chunk_words",
+        "chunk_uid",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
 
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
@@ -2334,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_covariance": q_pca_covariance,
         "stream_topk": q_stream_topk,
         "contrastive_pairs": q_contrastive_pairs,
+        "chunk_windows": q_chunk_windows,
         # -- stale since r3: reference-parity §2 surface --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -3157,6 +3178,25 @@ SELECT doc_id,
        CAST(len(kept) AS BIGINT) AS n_kept,
        md5(array_to_string(kept, ' ')) AS clean_md5
 FROM k
+""",
+        "chunk_windows": r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents),
+p AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         CASE WHEN len(t) <= 24 THEN 1
+              ELSE (CAST(len(t) AS BIGINT) - 24 + 15) // 16 + 1 END AS nc
+  FROM w)
+SELECT doc_id,
+       i AS chunk_idx,
+       i * 16 AS start_word,
+       least(CAST(24 AS BIGINT), n - i * 16) AS n_chunk_words,
+       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                               || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+         AS chunk_uid,
+       md5(array_to_string(t[i*16+1 : i*16+24], ' ')) AS chunk_md5
+FROM p, UNNEST(generate_series(0, nc - 1)) AS u(i)
 """,
         "token_topk_sketch": r"""
 WITH c AS (
