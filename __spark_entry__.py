@@ -2289,6 +2289,21 @@ def q_chunk_windows(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear scoring (operators/classifier.py
+    score_hashed_linear): unigram+bigram feature hashing into 65536
+    buckets, md5-derived integer demo weights, per-document logit sum.
+    One row-local expression chain — zero shuffle, integer arithmetic end
+    to end, so the full feature-hash + weight-lookup + sum pipeline is
+    value-hash-verified against the SQL replay."""
+    from flatbread_spark.operators.classifier import score_hashed_linear
+
+    docs = _load(spark, sf_dir, "documents")
+    return score_hashed_linear(
+        docs, "doc_id", "text", n_buckets=65536, salt="qc#"
+    )
+
+
 
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
@@ -2355,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk": q_stream_topk,
         "contrastive_pairs": q_contrastive_pairs,
         "chunk_windows": q_chunk_windows,
+        "quality_classifier": q_quality_classifier,
         # -- stale since r3: reference-parity §2 surface --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -3197,6 +3213,30 @@ SELECT doc_id,
          AS chunk_uid,
        md5(array_to_string(t[i*16+1 : i*16+24], ' ')) AS chunk_md5
 FROM p, UNNEST(generate_series(0, nc - 1)) AS u(i)
+""",
+        "quality_classifier": r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    list_concat(
+      list_transform(t, x ->
+        CAST('0x' || substr(md5('qc#' || x), 1, 15) AS BIGINT) % 65536),
+      CASE WHEN len(t) >= 2 THEN
+        list_transform(generate_series(1, len(t) - 1), i ->
+          CAST('0x' || substr(md5('qc#' || t[i] || ' ' || t[i+1]), 1, 15)
+               AS BIGINT) % 65536)
+      ELSE CAST([] AS BIGINT[]) END) AS fb
+  FROM w),
+s AS (
+  SELECT doc_id,
+         CAST(len(fb) AS BIGINT) AS n_feats,
+         CAST(coalesce(list_sum(list_transform(fb, b ->
+           CAST('0x' || substr(md5('w#' || CAST(b AS VARCHAR)), 1, 15)
+                AS BIGINT) % 2001 - 1000)), 0) AS BIGINT) AS logit
+  FROM f)
+SELECT doc_id, n_feats, logit, logit > 0 AS keep FROM s
 """,
         "token_topk_sketch": r"""
 WITH c AS (

@@ -110,3 +110,86 @@ class TestChunkWindows:
         df = self._df(spark, [(1, "a b c d e")])
         plan = chunk_windows(df, "doc_id", "text", 2, 1)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------- hashed classifier
+def _py_bucket_n(s: str, n: int, salt: str = "") -> int:
+    return _h60(salt + s) % n
+
+
+def _py_weight(b: int) -> int:
+    return _h60(f"w#{b}") % 2001 - 1000
+
+
+def _py_feats(text: str, n: int, salt: str = "", bigrams: bool = True):
+    words = re.split(r"\s+", text.strip().lower())
+    feats = [_py_bucket_n(w, n, salt) for w in words]
+    if bigrams:
+        feats += [
+            _py_bucket_n(f"{a} {b}", n, salt) for a, b in zip(words, words[1:])
+        ]
+    return feats
+
+
+class TestHashedClassifier:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_pseudo_weights_match_pure_python(self, spark):
+        from flatbread_spark.operators.classifier import score_hashed_linear
+
+        rows = [
+            (1, "The quick Brown fox"),
+            (2, "hello"),
+            (3, "a b c d e f"),
+            (4, "  spaced   out  tokens "),
+        ]
+        out = score_hashed_linear(
+            self._df(spark, rows), "doc_id", "text", n_buckets=4096, salt="qc#"
+        )
+        got = {r["doc_id"]: (r["n_feats"], r["logit"], r["keep"]) for r in out.collect()}
+        for i, t in rows:
+            feats = _py_feats(t, 4096, "qc#")
+            logit = sum(_py_weight(b) for b in feats)
+            assert got[i] == (len(feats), logit, logit > 0)
+
+    def test_unigrams_only(self, spark):
+        from flatbread_spark.operators.classifier import score_hashed_linear
+
+        out = score_hashed_linear(
+            self._df(spark, [(1, "x y z")]), "doc_id", "text",
+            n_buckets=512, salt="s", include_bigrams=False,
+        ).collect()[0]
+        feats = _py_feats("x y z", 512, "s", bigrams=False)
+        assert out["n_feats"] == 3
+        assert out["logit"] == sum(_py_weight(b) for b in feats)
+
+    def test_supplied_weights_left_join_semantics(self, spark):
+        from flatbread_spark.operators.classifier import score_hashed_linear
+
+        rows = [(1, "alpha beta"), (2, "gamma")]
+        n = 256
+        feats1 = _py_feats("alpha beta", n)
+        wdf = spark.createDataFrame(
+            [(int(feats1[0]), 2.5)], "bucket bigint, weight double"
+        )
+        out = {
+            r["doc_id"]: (r["logit"], r["keep"])
+            for r in score_hashed_linear(
+                self._df(spark, rows), "doc_id", "text",
+                weights=wdf, n_buckets=n, threshold=1.0,
+            ).collect()
+        }
+        expect1 = 2.5 * feats1.count(feats1[0])
+        assert out[1] == (expect1, expect1 > 1.0)
+        assert out[2] == (0.0, False)  # no bucket in model -> scores 0
+
+    def test_pseudo_path_zero_shuffle_weights_path_broadcasts(self, spark):
+        from flatbread_spark.operators.classifier import score_hashed_linear
+
+        df = self._df(spark, [(1, "a b")])
+        p1 = score_hashed_linear(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p1
+        wdf = spark.createDataFrame([(0, 1.0)], "bucket bigint, weight double")
+        p2 = score_hashed_linear(df, "doc_id", "text", weights=wdf)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p2
