@@ -2304,6 +2304,36 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter corpus membership (operators/bloom.py): build a
+    16384-bit k=3 filter over the md5 keys of the corpus slice
+    (doc_id % 3 != 0), probe EVERY document, and emit the bloom verdict
+    next to exact membership. The oracle replays the identical bit
+    pattern (build bit_or, probe masks), so false positives — the
+    designed-in part of the contract — are value-hash-verified too, and
+    the no-false-negative invariant is checkable as maybe_dup >= is_dup."""
+    from flatbread_spark.operators.bloom import bloom_build, bloom_check
+
+    docs = _load(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", "text", F.md5("text").alias("key"))
+    corpus = keyed.filter(F.col("doc_id") % 3 != 0)
+    m = 1 << 14
+    bl = bloom_build(corpus, "key", m, 3)
+    flags = bloom_check(
+        keyed.select("key").distinct(), "key", bl, m, 3, result_col="maybe_dup"
+    )
+    truth = corpus.select("text").distinct().withColumn("__in__", F.lit(True))
+    return (
+        keyed.join(flags, "key")
+        .join(truth, "text", "left")
+        .select(
+            "doc_id",
+            "maybe_dup",
+            F.coalesce(F.col("__in__"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
@@ -2371,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,
         "chunk_windows": q_chunk_windows,
         "quality_classifier": q_quality_classifier,
+        "bloom_membership": q_bloom_membership,
         # -- stale since r3: reference-parity §2 surface --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -3237,6 +3268,36 @@ s AS (
                 AS BIGINT) % 2001 - 1000)), 0) AS BIGINT) AS logit
   FROM f)
 SELECT doc_id, n_feats, logit, logit > 0 AS keep FROM s
+""",
+        "bloom_membership": """
+WITH keyed AS (
+  SELECT doc_id, text, md5(text) AS key FROM documents),
+corpus AS (
+  SELECT key, text FROM keyed WHERE doc_id % 3 <> 0),
+cprobes AS (
+  SELECT CAST('0x' || substr(md5('bl#' || key || '#' || CAST(i AS VARCHAR)),
+              1, 15) AS BIGINT) % 16384 AS pos
+  FROM corpus, UNNEST([0, 1, 2]) AS u(i)),
+words AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM cprobes GROUP BY 1),
+bprobes AS (
+  SELECT key,
+         CAST('0x' || substr(md5('bl#' || key || '#' || CAST(i AS VARCHAR)),
+              1, 15) AS BIGINT) % 16384 AS pos
+  FROM (SELECT DISTINCT key FROM keyed), UNNEST([0, 1, 2]) AS u(i)),
+flags AS (
+  SELECT key,
+         bool_and(w.bits IS NOT NULL
+                  AND (w.bits & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)))
+                      = (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)))
+           AS maybe_dup
+  FROM bprobes LEFT JOIN words w ON w.word_idx = pos // 32
+  GROUP BY key)
+SELECT k.doc_id, f.maybe_dup,
+       k.text IN (SELECT text FROM corpus) AS is_dup
+FROM keyed k JOIN flags f ON f.key = k.key
 """,
         "token_topk_sketch": r"""
 WITH c AS (

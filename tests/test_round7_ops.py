@@ -193,3 +193,80 @@ class TestHashedClassifier:
         wdf = spark.createDataFrame([(0, 1.0)], "bucket bigint, weight double")
         p2 = score_hashed_linear(df, "doc_id", "text", weights=wdf)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in p2
+
+
+# ------------------------------------------------------------ bloom membership
+class TestBloom:
+    M, K = 1 << 12, 3
+
+    def _py_probes(self, key):
+        return [_h60(f"bl#{key}#{i}") % self.M for i in range(self.K)]
+
+    def _py_words(self, keys):
+        words = {}
+        for key in keys:
+            for p in self._py_probes(key):
+                words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
+        return words
+
+    def test_no_false_negatives_and_python_parity(self, spark):
+        from flatbread_spark.operators.bloom import bloom_build, bloom_check
+
+        corpus_keys = [f"key{i}" for i in range(200)]
+        batch_keys = [f"key{i}" for i in range(150, 400)]
+        corpus = spark.createDataFrame([(x,) for x in corpus_keys], "k string")
+        batch = spark.createDataFrame([(x,) for x in batch_keys], "k string")
+        bl = bloom_build(corpus, "k", self.M, self.K)
+        assert bl.count() <= self.M // 32
+        got = {
+            r["k"]: r["maybe_present"]
+            for r in bloom_check(batch, "k", bl, self.M, self.K).collect()
+        }
+        # no false negatives
+        assert all(got[x] for x in batch_keys if x in set(corpus_keys))
+        # bit-exact parity with the pure-Python filter (incl. any FPs)
+        words = self._py_words(corpus_keys)
+        for x in batch_keys:
+            want = all(
+                (words.get(p // 32, 0) >> (p % 32)) & 1 for p in self._py_probes(x)
+            )
+            assert got[x] == want
+
+    def test_filter_novel_drops_all_corpus_rows(self, spark):
+        from flatbread_spark.operators.bloom import bloom_build, bloom_filter_novel
+
+        corpus = spark.createDataFrame([(f"c{i}",) for i in range(100)], "k string")
+        batch = spark.createDataFrame(
+            [(f"c{i}",) for i in range(100)] + [(f"n{i}",) for i in range(100)],
+            "k string",
+        )
+        bl = bloom_build(corpus, "k", self.M, self.K)
+        kept = {r["k"] for r in bloom_filter_novel(batch, "k", bl, self.M, self.K).collect()}
+        assert not any(x.startswith("c") for x in kept)  # never keeps a member
+        words = self._py_words([f"c{i}" for i in range(100)])
+        expected = {
+            f"n{i}"
+            for i in range(100)
+            if not all(
+                (words.get(p // 32, 0) >> (p % 32)) & 1
+                for p in self._py_probes(f"n{i}")
+            )
+        }
+        assert kept == expected
+
+    def test_invalid_params_raise(self, spark):
+        from flatbread_spark.operators.bloom import bloom_build
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with pytest.raises(ValueError):
+            bloom_build(df, "k", m_bits=100)  # not a multiple of 32
+        with pytest.raises(ValueError):
+            bloom_build(df, "k", m_bits=64, k=0)
+
+    def test_check_broadcasts_bloom(self, spark):
+        from flatbread_spark.operators.bloom import bloom_build, bloom_check
+
+        df = spark.createDataFrame([("a",)], "k string")
+        bl = bloom_build(df, "k", self.M, self.K)
+        plan = bloom_check(df, "k", bl, self.M, self.K)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
