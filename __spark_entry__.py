@@ -2334,6 +2334,18 @@ def q_bloom_membership(spark, sf_dir):
     )
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary fit diagnostic (operators/tokenizer.py top_vocab +
+    vocab_coverage): exact top-300 corpus tokens (count desc, token asc —
+    a deterministic cut), then per-document in-vocab/OOV counts via the
+    scalable explode + broadcast-vocab join path. All-BIGINT output."""
+    from flatbread_spark.operators.tokenizer import top_vocab, vocab_coverage
+
+    docs = _load(spark, sf_dir, "documents")
+    vocab = top_vocab(docs, "text", 300)
+    return vocab_coverage(docs, "doc_id", "text", vocab)
+
+
 
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
@@ -2402,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": q_chunk_windows,
         "quality_classifier": q_quality_classifier,
         "bloom_membership": q_bloom_membership,
+        "vocab_coverage": q_vocab_coverage,
         # -- stale since r3: reference-parity §2 surface --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
@@ -3298,6 +3311,23 @@ flags AS (
 SELECT k.doc_id, f.maybe_dup,
        k.text IN (SELECT text FROM corpus) AS is_dup
 FROM keyed k JOIN flags f ON f.key = k.key
+""",
+        "vocab_coverage": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+vocab AS (
+  SELECT w FROM tok GROUP BY w ORDER BY count(*) DESC, w LIMIT 300),
+m AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_vocab
+  FROM tok t LEFT JOIN vocab v ON v.w = t.w
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, n_in_vocab,
+       CAST(n_tokens - n_in_vocab AS BIGINT) AS n_oov
+FROM m
 """,
         "token_topk_sketch": r"""
 WITH c AS (

@@ -213,3 +213,70 @@ def mix_temperature(
         F.round(share, 6).alias("share"),
         F.round(powed9 / denom, 6).alias("sampling_prob"),
     )
+
+
+def top_vocab(df: DataFrame, text_col: str, size: int) -> DataFrame:
+    """Exact top-``size`` whitespace tokens by corpus count (ties broken
+    by token ascending, so the cut is deterministic across engines).
+    One vocabulary-bounded wordcount shuffle, then Spark's distributed
+    TakeOrdered for the limit — no single-partition window. Returns
+    ``(token, n)``."""
+    return (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(size)
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    token_col: str = "token",
+    method: str = "join",
+) -> DataFrame:
+    """Per-document vocabulary coverage: how many whitespace tokens are in
+    ``vocab`` (any DataFrame with a ``token_col``), how many are OOV. The
+    standard pre-training diagnostic for tokenizer/vocab fit — a corpus
+    slice with a high OOV rate against the production vocab either needs
+    vocab retraining or gets routed out of the mix.
+
+    Output: ``id_col``, ``n_tokens``, ``n_in_vocab``, ``n_oov`` — all
+    BIGINT, so the whole diagnostic is value-hash reproducible.
+
+    ``method='join'`` (default, the 100 TB path): explode tokens and
+    LEFT-join the broadcast deduplicated vocab, then re-aggregate per
+    document — the explode is map-side, the vocab is model-bounded, and
+    the one shuffle carries (id, partial counts) after partial
+    aggregation. ``method='scan'``: zero-shuffle row-local
+    ``array_contains`` scan against the vocab collapsed to a single array
+    — cheaper for interactive use, but O(vocab) comparisons per token, so
+    keep it for small vocabularies.
+    """
+    words = _tokens(F.col(text_col))
+    vtok = vocab.select(F.col(token_col).cast("string").alias("__t__")).distinct()
+    if method == "scan":
+        vlist = vtok.agg(F.sort_array(F.collect_list("__t__")).alias("__vocab__"))
+        n_in = F.size(
+            F.filter(words, lambda w: F.array_contains(F.col("__vocab__"), w))
+        ).cast("bigint")
+        out = df.crossJoin(F.broadcast(vlist)).select(
+            F.col(id_col),
+            F.size(words).cast("bigint").alias("n_tokens"),
+            n_in.alias("n_in_vocab"),
+        )
+    elif method == "join":
+        tok = df.select(F.col(id_col), F.explode(words).alias("__t__"))
+        marked = tok.join(
+            F.broadcast(vtok.withColumn("__v__", F.lit(1))), "__t__", "left"
+        )
+        out = marked.groupBy(id_col).agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.sum("__v__"), F.lit(0)).cast("bigint").alias("n_in_vocab"),
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (expected 'join' or 'scan')")
+    return out.withColumn("n_oov", F.col("n_tokens") - F.col("n_in_vocab"))

@@ -270,3 +270,75 @@ class TestBloom:
         bl = bloom_build(df, "k", self.M, self.K)
         plan = bloom_check(df, "k", bl, self.M, self.K)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------- vocab coverage
+class TestVocabCoverage:
+    def _rows(self):
+        return [
+            (i, " ".join(f"w{(i * j) % 17}" for j in range(1, (i % 9) + 3)))
+            for i in range(40)
+        ]
+
+    def _py(self, rows, vset):
+        out = {}
+        for i, t in rows:
+            ws = re.split(r"\s+", t.strip().lower())
+            hit = sum(w in vset for w in ws)
+            out[i] = (len(ws), hit, len(ws) - hit)
+        return out
+
+    def test_top_vocab_deterministic_cut(self, spark):
+        from collections import Counter
+
+        from flatbread_spark.operators.tokenizer import top_vocab
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        cnt = Counter(
+            w for _, t in rows for w in re.split(r"\s+", t.strip().lower())
+        )
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+        got = [(r["token"], r["n"]) for r in top_vocab(df, "text", 6).collect()]
+        assert got == want
+
+    def test_join_and_scan_methods_agree_with_python(self, spark):
+        from flatbread_spark.operators.tokenizer import top_vocab, vocab_coverage
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        vt = top_vocab(df, "text", 6)
+        vset = {r["token"] for r in vt.collect()}
+        want = self._py(rows, vset)
+        for method in ("join", "scan"):
+            got = {
+                r["doc_id"]: (r["n_tokens"], r["n_in_vocab"], r["n_oov"])
+                for r in vocab_coverage(
+                    df, "doc_id", "text", vt, method=method
+                ).collect()
+            }
+            assert got == want, method
+
+    def test_duplicate_vocab_rows_do_not_double_count(self, spark):
+        from flatbread_spark.operators.tokenizer import vocab_coverage
+
+        df = spark.createDataFrame([(1, "a a b")], "doc_id bigint, text string")
+        vocab = spark.createDataFrame([("a",), ("a",)], "token string")
+        r = vocab_coverage(df, "doc_id", "text", vocab).collect()[0]
+        assert (r["n_tokens"], r["n_in_vocab"], r["n_oov"]) == (3, 2, 1)
+
+    def test_unknown_method_raises(self, spark):
+        from flatbread_spark.operators.tokenizer import vocab_coverage
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError):
+            vocab_coverage(df, "doc_id", "text", df.select(F.lit("a").alias("token")), method="nope")
+
+    def test_scan_method_zero_shuffle_after_vocab(self, spark):
+        from flatbread_spark.operators.tokenizer import vocab_coverage
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        vocab = spark.createDataFrame([("a",)], "token string")
+        plan = vocab_coverage(df, "doc_id", "text", vocab, method="scan")._jdf.queryExecution().executedPlan().toString()
+        # the doc-side scan joins only against the broadcast 1-row vocab array
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
