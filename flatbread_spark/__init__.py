@@ -75,6 +75,13 @@ from flatbread_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from flatbread_spark.operators.bloom import (  # noqa: E402
+    bloom_build,
+    bloom_check,
+    bloom_filter_novel,
+)
+from flatbread_spark.operators.chunking import chunk_windows  # noqa: E402
+from flatbread_spark.operators.classifier import score_hashed_linear  # noqa: E402
 from flatbread_spark.operators.graph import connected_components, dedup_clusters  # noqa: E402
 from flatbread_spark.operators.curation import curation_funnel  # noqa: E402
 from flatbread_spark.operators.kmeans import kmeans_lloyd  # noqa: E402
@@ -113,6 +120,8 @@ from flatbread_spark.operators.tokenizer import (  # noqa: E402
     char_entropy,
     mix_temperature,
     pair_counts,
+    top_vocab,
+    vocab_coverage,
 )
 from flatbread_spark.sources.tables import read_table, write_table  # noqa: E402
 
@@ -135,4 +144,7 @@ __all__ = [
     "mine_contrastive_negatives",
     "pair_counts", "char_entropy", "mix_temperature",
     "bpe_train", "apply_merges",
+    "chunk_windows", "score_hashed_linear",
+    "bloom_build", "bloom_check", "bloom_filter_novel",
+    "top_vocab", "vocab_coverage",
 ]

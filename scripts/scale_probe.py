@@ -158,6 +158,32 @@ def main():
                 e, e.filter(F.col("vec_id") % 100 == 0), k_hard=3, n_rand=2
             )
         ),
+        # round-7 operators
+        "chunk_windows": lambda d, e: run_count(
+            fb.chunk_windows(d, "doc_id", "text", 24, 16)
+        ),
+        "score_hashed_linear": lambda d, e: run_count(
+            fb.score_hashed_linear(d, "doc_id", "text", n_buckets=65536)
+        ),
+        "bloom_build_check": lambda d, e: run_count(
+            fb.bloom_check(
+                d.select(F.md5("text").alias("key")),
+                "key",
+                fb.bloom_build(
+                    d.filter(F.col("doc_id") % 3 != 0).select(
+                        F.md5("text").alias("key")
+                    ),
+                    "key",
+                    1 << 20,
+                ),
+                1 << 20,
+            )
+        ),
+        "vocab_coverage": lambda d, e: run_count(
+            fb.vocab_coverage(
+                d, "doc_id", "text", fb.top_vocab(d, "text", 1000)
+            )
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():
