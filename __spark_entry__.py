@@ -2346,6 +2346,19 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, "doc_id", "text", vocab)
 
 
+def q_hot_spans(spark, sf_dir):
+    """Repeated-span detection (operators/spans.py hot_ngram_coverage):
+    trigrams occurring >= 5 times corpus-wide mark their covered token
+    positions per document — the n-gram formulation of suffix-array
+    substring dedup (Lee et al. 2022). All-BIGINT output; the oracle
+    replays the hash-keyed count, hot cut, and distinct-position
+    expansion exactly."""
+    from flatbread_spark.operators.spans import hot_ngram_coverage
+
+    docs = _load(spark, sf_dir, "documents")
+    return hot_ngram_coverage(docs, "doc_id", "text", n=3, min_count=5)
+
+
 
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
@@ -2371,7 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      token_topk_sketch, chunk_self_dedup, pca_covariance,
     #      stream_topk, contrastive_pairs), and the FOUR round-7 queries
     #      (chunk_windows, quality_classifier, bloom_membership,
-    #      vocab_coverage);
+    #      vocab_coverage, hot_spans);
     #   4. fill: r3-stale reference-surface queries; the heavy pair
     #      (stream_quality_gate, knn_ivf_sweep) closes the window at
     #      49-50 where they bench cheapest. Rotated to the tail head to
@@ -2379,7 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      an in-window representative): contamination_planted,
     #      chunk_overlap, corpus_shuffle, salted_agg, tpch_q15/q9/q19,
     #      and — for round 7 — totals_grid, subtotals_cols,
-    #      pct_axis0/pct_axis1.
+    #      pct_axis0/pct_axis1/add_percentages.
     return {
         # -- warm-up leads --
         "tpch_q6": q_tpch_q6,
@@ -2420,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bloom_membership": q_bloom_membership,
         "vocab_coverage": q_vocab_coverage,
+        "hot_spans": q_hot_spans,
         # -- stale since r3: reference-parity §2 surface (each family keeps
         # -- at least one in-window representative; the rest rotate to the
         # -- tail to make room for the four round-7 operators above) --
@@ -2431,7 +2445,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_totals_roundtrip": q_drop_totals_roundtrip,
         "add_level": q_add_level,
         "pct_axis2": q_pct_axis2,
-        "add_percentages": q_add_percentages,
         "pct_interleaf": q_pct_interleaf,
         "sort_totals_rank": q_sort_totals_rank,
         "median_margin": q_median_margin,
@@ -2450,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtotals_cols": q_subtotals_cols,
         "pct_axis0": q_pct_axis0,
         "pct_axis1": q_pct_axis1,
+        "add_percentages": q_add_percentages,
         "sample_stratified": q_sample_stratified,
         "contamination_planted": q_contamination_planted,
         "chunk_overlap": q_chunk_overlap,
@@ -3336,6 +3350,30 @@ m AS (
 SELECT doc_id, n_tokens, n_in_vocab,
        CAST(n_tokens - n_in_vocab AS BIGINT) AS n_oov
 FROM m
+""",
+        "hot_spans": r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, i AS start,
+         CAST('0x' || substr(md5(array_to_string(w[i : i+2], ' ')), 1, 15)
+              AS BIGINT) AS gh
+  FROM t, UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+  WHERE len(w) >= 3),
+hot AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 5),
+occ AS (SELECT g.doc_id, g.start FROM g JOIN hot USING (gh)),
+cov AS (
+  SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_covered
+  FROM occ, UNNEST(generate_series(start, start + 2)) AS v(p)
+  GROUP BY doc_id),
+ho AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hot_occ
+       FROM occ GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(coalesce(ho.n_hot_occ, 0) AS BIGINT) AS n_hot_occ
+FROM t LEFT JOIN cov USING (doc_id) LEFT JOIN ho USING (doc_id)
 """,
         "token_topk_sketch": r"""
 WITH c AS (

@@ -106,6 +106,11 @@ from flatbread_spark.operators.sampling import (  # noqa: E402
     sample_weighted,
 )
 from flatbread_spark.operators.sketches import approx_topk_tokens  # noqa: E402
+from flatbread_spark.operators.spans import (  # noqa: E402
+    hot_ngram_coverage,
+    hot_ngram_hashes,
+    mask_hot_ngrams,
+)
 from flatbread_spark.operators.similarity import (  # noqa: E402
     ivf_candidates,
     knn_bruteforce,
@@ -147,4 +152,5 @@ __all__ = [
     "chunk_windows", "score_hashed_linear",
     "bloom_build", "bloom_check", "bloom_filter_novel",
     "top_vocab", "vocab_coverage",
+    "hot_ngram_hashes", "hot_ngram_coverage", "mask_hot_ngrams",
 ]

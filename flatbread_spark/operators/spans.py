@@ -1,0 +1,172 @@
+"""Corpus-wide repeated n-gram span detection and masking.
+
+The span-level companion to document/chunk dedup: training corpora carry
+boilerplate SPANS (license headers, navigation text, templated sentences)
+that repeat across documents which are otherwise unique — whole-document
+and chunk-level dedup both miss them. The public technique (suffix-array
+substring dedup, Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better") removes any span repeated verbatim in the
+corpus. A literal distributed suffix array doesn't fit Spark's model; the
+Spark-first equivalent is n-gram occurrence counting — a span repeated
+k ≥ n tokens long necessarily contains repeated n-grams, so flagging all
+positions covered by an n-gram with corpus count ≥ ``min_count``
+identifies exactly the repeated spans of length ≥ n (with n-token
+resolution at the boundaries).
+
+Dataflow (all bounds are vocabulary/model-shaped, never pairwise):
+  1. per-document n-grams with their start positions — row-local
+     ``sequence`` + ``slice`` HOFs; the join key is the md5-portable HASH
+     of the n-gram, so the wire carries 8-byte ints, not strings;
+  2. corpus-wide occurrence count — ONE partial-aggregated shuffle
+     bounded by the n-gram vocabulary (same bound, and same open-corpus
+     honesty caveat, as ``pair_counts``/``ngram_jaccard``: at open-web
+     scale you raise ``min_count`` and the hot set shrinks by Zipf);
+  3. the hot set (count ≥ min_count) joins back to doc occurrences —
+     hot sets are small by construction, so the join BROADCASTS;
+  4. per-document coverage — positions covered by any hot occurrence,
+     expanded row-locally (``flatten``/``sequence``/``array_distinct``)
+     after a doc-keyed ``collect_list`` of hot starts (bounded by the
+     document's own occurrence count).
+
+``hot_ngram_coverage`` emits the diagnostic counts; ``mask_hot_ngrams``
+additionally rebuilds the text with covered tokens removed — the actual
+cleaning transform.
+"""
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flatbread_spark.operators.dedup import portable_hash60
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def _gram_hash(words: Column, start: Column, n: int) -> Column:
+    return portable_hash60(F.concat_ws(" ", F.slice(words, start, n)))
+
+
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, start, gh) for every n-gram occurrence; docs shorter than n
+    contribute nothing. Row-local explode — the map side of everything."""
+    words = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col), words.alias("__w__")).filter(
+        F.size("__w__") >= n
+    )
+    return base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.size("__w__") - (n - 1))
+        ).alias("start"),
+        "__w__",
+    ).select(
+        id_col,
+        "start",
+        _gram_hash(F.col("__w__"), F.col("start"), n).alias("gh"),
+    )
+
+
+def hot_ngram_hashes(
+    df: DataFrame, text_col: str, n: int = 8, min_count: int = 2,
+    id_col: str = "__hot_id__",
+) -> DataFrame:
+    """The hot set: hashes of n-grams occurring ≥ min_count times in the
+    corpus (occurrences, not distinct documents — a span repeated three
+    times inside one page is boilerplate too). One vocabulary-bounded
+    shuffle."""
+    tagged = df.select(F.monotonically_increasing_id().alias(id_col), text_col)
+    return (
+        _doc_grams(tagged, id_col, text_col, n)
+        .groupBy("gh")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+    )
+
+
+def hot_ngram_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document repeated-span diagnostics: ``n_tokens``, ``n_covered``
+    (token positions inside at least one hot n-gram occurrence), and
+    ``n_hot_occ`` (hot occurrences in the document) — all BIGINT.
+
+    ``hot`` — optionally a precomputed/persisted hot set (from
+    :func:`hot_ngram_hashes`, e.g. built once for a corpus release and
+    reused across batches); defaults to building it from ``df`` itself.
+    """
+    grams = _doc_grams(df, id_col, text_col, n)
+    if hot is None:
+        hot = grams.groupBy("gh").agg(F.count("*").alias("n_occ")).filter(
+            F.col("n_occ") >= min_count
+        )
+    hits = grams.join(F.broadcast(hot.select("gh")), "gh")
+    per_doc = hits.groupBy(id_col).agg(
+        F.collect_list("start").alias("__starts__"),
+        F.count("*").cast("bigint").alias("n_hot_occ"),
+    )
+    covered = F.size(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    "__starts__", lambda s: F.sequence(s, s + (n - 1))
+                )
+            )
+        )
+    ).cast("bigint")
+    words = _tokens(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.size(words).cast("bigint").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(covered, F.lit(0).cast("bigint")).alias("n_covered"),
+            F.coalesce("n_hot_occ", F.lit(0).cast("bigint")).alias("n_hot_occ"),
+        )
+    )
+
+
+def mask_hot_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+    hot: DataFrame | None = None,
+    out_col: str = "masked_text",
+) -> DataFrame:
+    """Rebuild each document with every hot-covered token removed — the
+    cleaning counterpart of :func:`hot_ngram_coverage`. The rebuild is
+    row-local: covered positions expand from the doc's own hot starts and
+    the keep-filter runs inside the scan stage (O(tokens × covered)
+    membership scans, bounded by document length)."""
+    grams = _doc_grams(df, id_col, text_col, n)
+    if hot is None:
+        hot = grams.groupBy("gh").agg(F.count("*").alias("n_occ")).filter(
+            F.col("n_occ") >= min_count
+        )
+    hits = grams.join(F.broadcast(hot.select("gh")), "gh")
+    per_doc = hits.groupBy(id_col).agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("start"), F.col("start") + (n - 1)))
+            )
+        ).alias("__cov__")
+    )
+    words = _tokens(F.col(text_col))
+    kept = F.filter(
+        F.transform(words, lambda w, i: F.struct(w.alias("w"), (i + 1).alias("p"))),
+        lambda s: ~F.coalesce(
+            F.array_contains(F.col("__cov__"), s["p"]), F.lit(False)
+        ),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(out_col, F.concat_ws(" ", F.transform(kept, lambda s: s["w"])))
+        .drop("__cov__")
+    )

@@ -184,6 +184,13 @@ def main():
                 d, "doc_id", "text", fb.top_vocab(d, "text", 1000)
             )
         ),
+        # NOTE: the 10× replica corpus is adversarial for hot_ngram
+        # coverage on purpose — every doc is 10-way near-duplicated, so
+        # almost every trigram goes hot and the hot set approaches the
+        # full gram vocabulary (min_count would be raised at real scale).
+        "hot_ngram_coverage": lambda d, e: run_count(
+            fb.hot_ngram_coverage(d, "doc_id", "text", n=3, min_count=5)
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():

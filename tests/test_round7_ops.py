@@ -342,3 +342,92 @@ class TestVocabCoverage:
         plan = vocab_coverage(df, "doc_id", "text", vocab, method="scan")._jdf.queryExecution().executedPlan().toString()
         # the doc-side scan joins only against the broadcast 1-row vocab array
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ----------------------------------------------------------- hot ngram spans
+def _py_coverage(rows, n, min_count):
+    from collections import Counter
+
+    toks = {i: re.split(r"\s+", t.strip().lower()) for i, t in rows}
+    occ = Counter()
+    for ws in toks.values():
+        for s in range(len(ws) - n + 1):
+            occ[" ".join(ws[s : s + n])] += 1
+    hot = {g for g, c in occ.items() if c >= min_count}
+    out = {}
+    for i, ws in toks.items():
+        starts = [
+            s for s in range(len(ws) - n + 1) if " ".join(ws[s : s + n]) in hot
+        ]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + n))
+        out[i] = (len(ws), len(covered), len(starts), covered)
+    return out
+
+
+class TestHotNgramSpans:
+    def _rows(self):
+        boiler = "all rights reserved see license for details"
+        uniq = lambda i: " ".join(f"u{i}_{j}" for j in range(6))
+        rows = [(i, f"{uniq(i)} {boiler} tail{i}") for i in range(5)]
+        rows.append((90, "totally unrelated short text"))
+        rows.append((91, "xx yy"))  # shorter than n
+        return rows
+
+    def test_coverage_matches_pure_python(self, spark):
+        from flatbread_spark.operators.spans import hot_ngram_coverage
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_covered"], r["n_hot_occ"])
+            for r in hot_ngram_coverage(df, "doc_id", "text", n=3, min_count=3).collect()
+        }
+        want = {
+            i: (nt, nc, nh) for i, (nt, nc, nh, _) in _py_coverage(rows, 3, 3).items()
+        }
+        assert got == want
+        # the planted boilerplate is detected in every carrier document
+        assert all(got[i][1] >= 7 for i in range(5))
+        assert got[90] == (4, 0, 0)
+
+    def test_mask_removes_exactly_covered_tokens(self, spark):
+        from flatbread_spark.operators.spans import mask_hot_ngrams
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: r["masked_text"]
+            for r in mask_hot_ngrams(df, "doc_id", "text", n=3, min_count=3).collect()
+        }
+        py = _py_coverage(rows, 3, 3)
+        for i, t in rows:
+            ws = re.split(r"\s+", t.strip().lower())
+            keep = [w for p, w in enumerate(ws) if p not in py[i][3]]
+            assert got[i] == " ".join(keep), i
+
+    def test_precomputed_hot_set_reused(self, spark):
+        from flatbread_spark.operators.spans import (
+            hot_ngram_coverage, hot_ngram_hashes,
+        )
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        hot = hot_ngram_hashes(df, "text", n=3, min_count=3)
+        batch = df.filter(F.col("doc_id") < 2)
+        got = {
+            r["doc_id"]: (r["n_covered"], r["n_hot_occ"])
+            for r in hot_ngram_coverage(
+                batch, "doc_id", "text", n=3, hot=hot
+            ).collect()
+        }
+        py = _py_coverage(rows, 3, 3)
+        assert got == {i: (py[i][1], py[i][2]) for i in (0, 1)}
+
+    def test_hot_join_broadcasts(self, spark):
+        from flatbread_spark.operators.spans import hot_ngram_coverage
+
+        df = spark.createDataFrame(self._rows(), "doc_id bigint, text string")
+        plan = hot_ngram_coverage(df, "doc_id", "text", n=3, min_count=3)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
