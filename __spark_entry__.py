@@ -2359,6 +2359,52 @@ def q_hot_spans(spark, sf_dir):
     return hot_ngram_coverage(docs, "doc_id", "text", n=3, min_count=5)
 
 
+# deterministic HTML wrapper for q_strip_html — script/style/comment blocks,
+# entities from strip_html's explicit decode list, plus &copy; which is NOT
+# in the list (both engines must leave it literal)
+_HTML_PRE = (
+    '<html><head><script type="text/javascript">var x = "<tag>";</script>'
+    "<style>p { color: red; }</style></head><body><!-- boilerplate -->"
+    "<h1>Title&nbsp;A</h1><p>"
+)
+_HTML_POST = (
+    '</p><br/><div class="foot">&copy; footer &amp; notes</div></body></html>'
+)
+
+
+def q_strip_html(spark, sf_dir):
+    """HTML → text extraction (functions/text.py strip_html): wrap each
+    document in a deterministic HTML template (script/style/comment
+    blocks, entity escapes, an out-of-list entity) and strip it. The
+    oracle replays the identical RE2-compatible regexp + replace chain,
+    so tag removal, block elision, and decode ordering (&amp; last) are
+    value-hash-verified."""
+    from flatbread_spark.functions.text import strip_html
+
+    docs = _load(spark, sf_dir, "documents")
+    raw = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    clean = strip_html(raw)
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("bigint").alias("n_raw"),
+        F.length(clean).cast("bigint").alias("n_clean"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def q_outlier_gate(spark, sf_dir):
+    """Robust per-group outlier gate (operators/curation.py
+    robust_outlier_gate): per-language median/MAD of n_chars, flag
+    |x - med| > 3*MAD. Exact medians land on .5 granularity (no libm), so
+    med, mad, and the flag are value-hash reproducible."""
+    from flatbread_spark.operators.curation import robust_outlier_gate
+
+    docs = _load(spark, sf_dir, "documents")
+    return robust_outlier_gate(
+        docs.select("doc_id", "lang", "n_chars"), "lang", "n_chars", 3.0
+    ).select("doc_id", "lang", "n_chars", "med", "mad", "is_outlier")
+
+
 
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
@@ -2384,7 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      token_topk_sketch, chunk_self_dedup, pca_covariance,
     #      stream_topk, contrastive_pairs), and the FOUR round-7 queries
     #      (chunk_windows, quality_classifier, bloom_membership,
-    #      vocab_coverage, hot_spans);
+    #      vocab_coverage, hot_spans, strip_html, outlier_gate);
     #   4. fill: r3-stale reference-surface queries; the heavy pair
     #      (stream_quality_gate, knn_ivf_sweep) closes the window at
     #      49-50 where they bench cheapest. Rotated to the tail head to
@@ -2392,7 +2438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      an in-window representative): contamination_planted,
     #      chunk_overlap, corpus_shuffle, salted_agg, tpch_q15/q9/q19,
     #      and — for round 7 — totals_grid, subtotals_cols,
-    #      pct_axis0/pct_axis1/add_percentages.
+    #      pct_axis0/pct_axis1/add_percentages, subtotals_chained,
+    #      sort_index_list.
     return {
         # -- warm-up leads --
         "tpch_q6": q_tpch_q6,
@@ -2434,13 +2481,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "vocab_coverage": q_vocab_coverage,
         "hot_spans": q_hot_spans,
+        "strip_html": q_strip_html,
+        "outlier_gate": q_outlier_gate,
         # -- stale since r3: reference-parity §2 surface (each family keeps
         # -- at least one in-window representative; the rest rotate to the
         # -- tail to make room for the four round-7 operators above) --
         "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
         "agg_margins": q_agg_margins,
-        "subtotals_chained": q_subtotals_chained,
         "subtotals_rollup": q_subtotals_rollup,
         "drop_totals_roundtrip": q_drop_totals_roundtrip,
         "add_level": q_add_level,
@@ -2448,7 +2496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_interleaf": q_pct_interleaf,
         "sort_totals_rank": q_sort_totals_rank,
         "median_margin": q_median_margin,
-        "sort_index_list": q_sort_index_list,
         "chunk_dedup": q_chunk_dedup,
         # heaviest never-graded pair closes the window (positions 49-50):
         # both need a grade, but they are codegen-heavy and bench ~2s
@@ -2464,6 +2511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_axis0": q_pct_axis0,
         "pct_axis1": q_pct_axis1,
         "add_percentages": q_add_percentages,
+        "subtotals_chained": q_subtotals_chained,
+        "sort_index_list": q_sort_index_list,
         "sample_stratified": q_sample_stratified,
         "contamination_planted": q_contamination_planted,
         "chunk_overlap": q_chunk_overlap,
@@ -2560,6 +2609,8 @@ def oracle_sql() -> dict[str, str]:
 
     _TN_PRE_SQL = _chr_concat(_TN_PRE)
     _TN_POST_SQL = _chr_concat(_TN_POST)
+    _HTML_PRE_SQL = "'" + _HTML_PRE.replace("'", "''") + "'"
+    _HTML_POST_SQL = "'" + _HTML_POST.replace("'", "''") + "'"
     _NORM_FROM_SQL = " || ".join(
         f"chr({ord(c)})" for c in (_NORM_TO_SPACE + _NORM_DROP)
     )
@@ -3374,6 +3425,40 @@ SELECT t.doc_id,
        CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered,
        CAST(coalesce(ho.n_hot_occ, 0) AS BIGINT) AS n_hot_occ
 FROM t LEFT JOIN cov USING (doc_id) LEFT JOIN ho USING (doc_id)
+""",
+        "strip_html": f"""
+WITH d AS (
+  SELECT doc_id, {_HTML_PRE_SQL} || text || {_HTML_POST_SQL} AS raw
+  FROM documents),
+c AS (
+  SELECT doc_id, raw,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(raw, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', chr(39)), '&amp;', '&'),
+      ' +', ' ', 'g'), ' ') AS clean
+  FROM d)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS n_raw,
+       CAST(length(clean) AS BIGINT) AS n_clean,
+       md5(clean) AS clean_md5
+FROM c
+""",
+        "outlier_gate": """
+WITH m AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang),
+d AS (SELECT doc_id, documents.lang, n_chars, m.med
+      FROM documents JOIN m USING (lang)),
+s AS (SELECT lang, median(abs(n_chars - med)) AS mad FROM d GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars, d.med, s.mad,
+       abs(d.n_chars - d.med) > 3.0 * s.mad AS is_outlier
+FROM d JOIN s USING (lang)
 """,
         "token_topk_sketch": r"""
 WITH c AS (

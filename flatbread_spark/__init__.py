@@ -83,7 +83,10 @@ from flatbread_spark.operators.bloom import (  # noqa: E402
 from flatbread_spark.operators.chunking import chunk_windows  # noqa: E402
 from flatbread_spark.operators.classifier import score_hashed_linear  # noqa: E402
 from flatbread_spark.operators.graph import connected_components, dedup_clusters  # noqa: E402
-from flatbread_spark.operators.curation import curation_funnel  # noqa: E402
+from flatbread_spark.operators.curation import (  # noqa: E402
+    curation_funnel,
+    robust_outlier_gate,
+)
 from flatbread_spark.operators.kmeans import kmeans_lloyd  # noqa: E402
 from flatbread_spark.operators.layout import cluster_by_zorder, zorder_key  # noqa: E402
 from flatbread_spark.operators.lm import pmi_bigrams, trigram_typicality  # noqa: E402
@@ -153,4 +156,5 @@ __all__ = [
     "bloom_build", "bloom_check", "bloom_filter_novel",
     "top_vocab", "vocab_coverage",
     "hot_ngram_hashes", "hot_ngram_coverage", "mask_hot_ngrams",
+    "robust_outlier_gate",
 ]

@@ -517,3 +517,43 @@ def with_normalized(df, text_col: str, out_col: str | None = None):
     """Apply :func:`normalize_text`, replacing ``text_col`` in place unless
     ``out_col`` names a new column."""
     return df.withColumn(out_col or text_col, normalize_text(F.col(text_col)))
+
+
+# html entity decode pairs, applied AFTER tag removal (decode-last cannot
+# fabricate new tags from &lt;script&gt;-style escaped markup) — explicit
+# list so the oracle replays the identical replace chain
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last: &amp;lt; must decode to &lt;, not <
+)
+
+
+def strip_html(text: Column) -> Column:
+    """Boilerplate HTML → text extraction, entirely JVM-side regexps (the
+    CommonCrawl-style WET step): script/style blocks and comments are
+    removed wholesale, every remaining tag becomes a space, the explicit
+    entity list decodes, and whitespace collapses. All patterns are
+    RE2-compatible (non-greedy dot-all block matches, no backrefs), so a
+    DuckDB oracle replays the chain byte-identically with
+    ``regexp_replace(..., 'g')``; Java and RE2 agree on these constructs.
+    Not a browser-grade parser — malformed-nesting edge cases degrade to
+    extra whitespace, never to dropped text content.
+    """
+    t = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, " +", " ")
+    return F.btrim(t, F.lit(" "))
+
+
+def with_stripped_html(df, text_col: str, out_col: str | None = None):
+    """Apply :func:`strip_html`, replacing ``text_col`` in place unless
+    ``out_col`` names a new column."""
+    return df.withColumn(out_col or text_col, strip_html(F.col(text_col)))

@@ -431,3 +431,77 @@ class TestHotNgramSpans:
         df = spark.createDataFrame(self._rows(), "doc_id bigint, text string")
         plan = hot_ngram_coverage(df, "doc_id", "text", n=3, min_count=3)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------------ strip_html
+class TestStripHtml:
+    def _strip(self, spark, raw):
+        from flatbread_spark.functions.text import strip_html
+
+        df = spark.createDataFrame([(raw,)], "t string")
+        return df.select(strip_html(F.col("t")).alias("s")).collect()[0]["s"]
+
+    def test_blocks_tags_entities(self, spark):
+        raw = (
+            '<html><head><script>var x="<b>";</script><style>p{}</style>'
+            "</head><body><!-- c --><p>Hello &amp; welcome</p> "
+            "<b>to</b> the &lt;real&gt; world&#39;s &quot;best&quot;&nbsp;page"
+            "</body></html>"
+        )
+        assert (
+            self._strip(spark, raw)
+            == 'Hello & welcome to the <real> world\'s "best" page'
+        )
+
+    def test_decode_order_amp_last(self, spark):
+        # &amp;lt; must become &lt; (literal), never < — decode can't cascade
+        assert self._strip(spark, "a &amp;lt; b") == "a &lt; b"
+
+    def test_out_of_list_entity_kept(self, spark):
+        assert self._strip(spark, "x &copy; y") == "x &copy; y"
+
+    def test_multiline_script_and_comment(self, spark):
+        raw = "a<script>\nline1\nline2\n</script>b<!--\nmulti\n-->c"
+        assert self._strip(spark, raw) == "a b c"
+
+    def test_plain_text_unchanged(self, spark):
+        assert self._strip(spark, "no markup here") == "no markup here"
+
+    def test_with_stripped_html_in_place(self, spark):
+        from flatbread_spark.functions.text import with_stripped_html
+
+        df = spark.createDataFrame([(1, "<p>x</p>")], "i bigint, text string")
+        assert with_stripped_html(df, "text").collect()[0]["text"] == "x"
+
+
+# ------------------------------------------------------------- robust outliers
+class TestRobustOutlierGate:
+    def test_median_mad_flags(self, spark):
+        from flatbread_spark.operators.curation import robust_outlier_gate
+
+        rows = [("en", i) for i in [10, 11, 12, 12, 13, 14, 100]] + [
+            ("de", j) for j in [5, 5, 5, 5, 50]
+        ]
+        df = spark.createDataFrame(rows, "lang string, v bigint")
+        out = robust_outlier_gate(df, "lang", "v", 3.0).collect()
+        en = {r["v"]: (r["med"], r["mad"], r["is_outlier"]) for r in out if r["lang"] == "en"}
+        de = {r["v"]: (r["med"], r["mad"], r["is_outlier"]) for r in out if r["lang"] == "de"}
+        assert en[12] == (12.0, 1.0, False) and en[100] == (12.0, 1.0, True)
+        # MAD=0 degenerate group: any deviation from the median flags
+        assert de[5] == (5.0, 0.0, False) and de[50] == (5.0, 0.0, True)
+
+    def test_interpolated_median_half_granularity(self, spark):
+        from flatbread_spark.operators.curation import robust_outlier_gate
+
+        df = spark.createDataFrame(
+            [("g", v) for v in [10, 11, 13, 14]], "lang string, v bigint"
+        )
+        r = robust_outlier_gate(df, "lang", "v").collect()[0]
+        assert r["med"] == 12.0 and r["mad"] == 1.5
+
+    def test_stats_joins_broadcast(self, spark):
+        from flatbread_spark.operators.curation import robust_outlier_gate
+
+        df = spark.createDataFrame([("g", 1)], "lang string, v bigint")
+        plan = robust_outlier_gate(df, "lang", "v")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
