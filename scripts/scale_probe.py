@@ -105,6 +105,22 @@ def main():
     emb1 = emb.localCheckpoint(eager=True)
     emb10 = emb_10x(emb).repartition(32).localCheckpoint(eager=True)
 
+    # round-8 probes ride the docs slot; helpers below derive their inputs
+    def _pseudo_names(d):
+        # last two tokens: the pad-prefix replication leaves suffixes
+        # unchanged, so the distinct-name vocabulary is IDENTICAL at 1x
+        # and 10x — which is the linkage scale claim under test (cost
+        # follows the vocabulary, not the row count)
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        return d.select(F.concat_ws(" ", F.slice(toks, -2, 2)).alias("pname"))
+
+    def _versioned(d):
+        return d.select(
+            F.col("doc_id").alias("k"),
+            F.xxhash64("text").alias("content"),
+            F.lit(1).cast("bigint").alias("version"),
+        )
+
     def run_count(df_out):
         return df_out.count()
 
@@ -190,6 +206,44 @@ def main():
         # full gram vocabulary (min_count would be raised at real scale).
         "hot_ngram_coverage": lambda d, e: run_count(
             fb.hot_ngram_coverage(d, "doc_id", "text", n=3, min_count=5)
+        ),
+        # round-8 operators
+        "merge_upsert": lambda d, e: run_count(
+            fb.merge_upsert(
+                _versioned(d),
+                _versioned(d.filter(F.col("doc_id") % 3 == 0)).withColumn(
+                    "version", F.lit(2).cast("bigint")
+                ),
+                ["k"],
+                "version",
+            )
+        ),
+        "snapshot_diff": lambda d, e: run_count(
+            fb.snapshot_diff_summary(
+                _versioned(d),
+                _versioned(d.filter(F.col("doc_id") % 5 != 0)).withColumn(
+                    "content",
+                    F.when(
+                        F.col("k") % 7 == 0, F.col("content") + 1
+                    ).otherwise(F.col("content")),
+                ),
+                ["k"],
+            )
+        ),
+        "gap_fill": lambda d, e: run_count(
+            fb.gap_fill(
+                # synthetic per-lang ordinal stream: doc_id as the clock,
+                # bucket width 16 ids; spine span scales with the id range
+                d.select("lang", "doc_id", "n_chars"),
+                ["lang"],
+                "doc_id",
+                16,
+                {"n": F.count(F.lit(1)), "v": F.sum("n_chars")},
+                fill=["v"],
+            )
+        ),
+        "fuzzy_match_pairs": lambda d, e: run_count(
+            fb.fuzzy_match_pairs(_pseudo_names(d), "pname", 2)
         ),
     }
     only = sys.argv[1:]
