@@ -2546,6 +2546,40 @@ def q_name_canonical(spark, sf_dir):
     )
 
 
+def q_validate(spark, sf_dir):
+    """Declarative data-quality gate (operators/validate.py
+    validate_constraints): seven rules over documents compiled to ONE
+    corpus scan (row-local conditional counts stacked from a single agg)
+    plus one distinct-count for uniqueness. Rules chosen to mix passes
+    and real violations so the report hash is non-trivial."""
+    from flatbread_spark.operators.validate import (
+        accepted_values,
+        in_range,
+        matches_regex,
+        not_null,
+        satisfies,
+        unique,
+        validate_constraints,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return validate_constraints(
+        docs,
+        [
+            not_null("doc_id"),
+            unique("doc_id"),
+            not_null("text"),
+            accepted_values("lang", ["en", "de", "fr"]),
+            in_range("n_chars", 50, 2000),
+            matches_regex("source", "^src[0-9]$"),
+            satisfies(
+                "n_chars_consistent",
+                F.col("n_chars") == F.length("text"),
+            ),
+        ],
+    )
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2571,8 +2605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      stream_topk, contrastive_pairs), and the FOUR round-7 queries
     #      (chunk_windows, quality_classifier, bloom_membership,
     #      vocab_coverage, hot_spans, strip_html, outlier_gate), and the
-    #      FIVE round-8 queries (merge_upsert, snapshot_diff, gap_fill,
-    #      fuzzy_pairs, name_canonical);
+    #      SIX round-8 queries (merge_upsert, snapshot_diff, gap_fill,
+    #      fuzzy_pairs, name_canonical, validate_rules);
     #   4. fill: r3-stale reference-surface queries; the heavy pair
     #      (stream_quality_gate, knn_ivf_sweep) closes the window at
     #      49-50 where they bench cheapest. Rotated to the tail head to
@@ -2581,8 +2615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      chunk_overlap, corpus_shuffle, salted_agg, tpch_q15/q9/q19,
     #      for round 7 — totals_grid, subtotals_cols,
     #      pct_axis0/pct_axis1/add_percentages, subtotals_chained,
-    #      sort_index_list — and for round 8: pivot_sum, pct_interleaf,
-    #      sort_totals_rank, median_margin, chunk_dedup.
+    #      sort_index_list — and for round 8: pivot_sum, agg_margins,
+    #      pct_interleaf, sort_totals_rank, median_margin, chunk_dedup.
     return {
         # -- warm-up leads --
         "tpch_q6": q_tpch_q6,
@@ -2630,7 +2664,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- at least one in-window representative; the rest rotate to the
         # -- tail to make room for the four round-7 operators above) --
         "totals_row": q_totals_row,
-        "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
         "drop_totals_roundtrip": q_drop_totals_roundtrip,
         "add_level": q_add_level,
@@ -2643,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "fuzzy_pairs": q_fuzzy_pairs,
         "name_canonical": q_name_canonical,
+        "validate_rules": q_validate,
         # heaviest never-graded pair closes the window (positions 49-50):
         # both need a grade, but they are codegen-heavy and bench ~2s
         # cheaper after 46 queries of warm-up than at position 22
@@ -2653,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- rotated-out family variants first), then everything graded
         # ---- green in r4, heavy similarity last.
         "pivot_sum": q_pivot_sum,
+        "agg_margins": q_agg_margins,
         "pct_interleaf": q_pct_interleaf,
         "sort_totals_rank": q_sort_totals_rank,
         "median_margin": q_median_margin,
@@ -3703,6 +3738,35 @@ SELECT vocab.name,
             ELSE vocab.name END AS canonical,
        vocab.n
 FROM vocab LEFT JOIN best USING (name) ORDER BY name
+""",
+        "validate_rules": """
+WITH c AS (SELECT
+  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_id_null,
+  CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS v_id_dup,
+  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_text_null,
+  CAST(SUM(CASE WHEN lang IS NOT NULL
+                 AND lang NOT IN ('en', 'de', 'fr') THEN 1 ELSE 0 END)
+       AS BIGINT) AS v_lang,
+  CAST(SUM(CASE WHEN n_chars IS NOT NULL
+                 AND (n_chars < 50 OR n_chars > 2000) THEN 1 ELSE 0 END)
+       AS BIGINT) AS v_range,
+  CAST(SUM(CASE WHEN source IS NOT NULL
+                 AND NOT regexp_matches(source, '^src[0-9]$') THEN 1 ELSE 0 END)
+       AS BIGINT) AS v_src,
+  CAST(SUM(CASE WHEN NOT COALESCE(n_chars = length(text), FALSE)
+                THEN 1 ELSE 0 END) AS BIGINT) AS v_cons
+  FROM documents)
+SELECT rule, kind, n_violations, n_violations = 0 AS passed
+FROM (
+  SELECT 1 AS idx, 'not_null(doc_id)' AS rule, 'not_null' AS kind,
+         v_id_null AS n_violations FROM c
+  UNION ALL SELECT 2, 'unique(doc_id)', 'unique', v_id_dup FROM c
+  UNION ALL SELECT 3, 'not_null(text)', 'not_null', v_text_null FROM c
+  UNION ALL SELECT 4, 'accepted_values(lang)', 'accepted_values', v_lang FROM c
+  UNION ALL SELECT 5, 'in_range(n_chars)', 'in_range', v_range FROM c
+  UNION ALL SELECT 6, 'matches_regex(source)', 'matches_regex', v_src FROM c
+  UNION ALL SELECT 7, 'n_chars_consistent', 'satisfies', v_cons FROM c)
+ORDER BY idx
 """,
         "token_topk_sketch": r"""
 WITH c AS (

@@ -141,6 +141,7 @@ from flatbread_spark.operators.linkage import (  # noqa: E402
     canonicalize_names,
     fuzzy_match_pairs,
 )
+from flatbread_spark.operators.validate import validate_constraints  # noqa: E402
 from flatbread_spark.sources.tables import read_table, write_table  # noqa: E402
 
 __all__ = [
@@ -169,4 +170,5 @@ __all__ = [
     "robust_outlier_gate",
     "merge_upsert", "snapshot_diff", "snapshot_diff_summary",
     "gap_fill", "fuzzy_match_pairs", "canonicalize_names",
+    "validate_constraints",
 ]
