@@ -283,3 +283,79 @@ def test_stream_heavy_hitters_rejects_bad_params(spark, documents):
 
     with pytest.raises(ValueError):
         stream_heavy_hitters(documents, "text", width=0)
+
+
+def test_stream_latest_state_matches_batch_merge(spark, tmp_path):
+    """Streaming latest-wins upsert drains to EXACTLY the batch
+    merge_upsert answer over the same change set, independent of how the
+    source chops the files into micro-batches (maxFilesPerTrigger=1 →
+    one batch per file, exercising cross-batch state)."""
+    import pandas as pd
+
+    from flatbread_spark.streaming.upsert import (
+        drain_current_state,
+        stream_latest_state,
+    )
+
+    # three change files: v1 for all keys, v2 updates+tombstones, v3 revives
+    files = [
+        pd.DataFrame({
+            "k": range(1, 21), "version": [1] * 20,
+            "tiebreak": range(100, 120),
+            "value": [float(i) for i in range(1, 21)],
+            "deleted": [False] * 20,
+        }),
+        pd.DataFrame({
+            "k": [2, 4, 6, 8], "version": [2] * 4,
+            "tiebreak": [201, 202, 203, 204],
+            "value": [20.5, 40.5, 60.5, 80.5],
+            "deleted": [False, True, False, True],
+        }),
+        pd.DataFrame({
+            "k": [8, 19], "version": [3, 3], "tiebreak": [301, 302],
+            "value": [88.0, 99.0], "deleted": [False, False],
+        }),
+    ]
+    stream_dir = tmp_path / "changes"
+    stream_dir.mkdir()
+    for i, pdf in enumerate(files):
+        pdf.to_parquet(stream_dir / f"part{i}.parquet")
+
+    all_changes = spark.createDataFrame(
+        pd.concat(files),
+        "k long, version long, tiebreak long, value double, deleted boolean",
+    )
+    # batch expectation: max (version, tiebreak) wins, tombstones drop
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(
+        F.col("version").desc(), F.col("tiebreak").desc()
+    )
+    expect = {
+        (r.k, r.version, r.value)
+        for r in all_changes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ~F.col("deleted"))
+        .collect()
+    }
+    assert (4, 2, 40.5) not in expect and (8, 3, 88.0) in expect
+
+    sdf = (
+        spark.readStream.schema(all_changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    out = stream_latest_state(sdf, "k", "version", "tiebreak", "value", "deleted")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("upsert_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.k, r.version, r.value)
+        for r in drain_current_state(spark.table("upsert_test")).collect()
+    }
+    assert got == expect
