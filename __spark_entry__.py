@@ -2595,6 +2595,30 @@ def q_stream_upsert(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (operators/graph.py pagerank_fixed) over the
+    symmetric customer↔supplier purchase graph (supplier nodes offset by
+    1e6), 3 iterations. ALL arithmetic is BIGINT floor division — the
+    oracle replays the identical chained-CTE iterations, so ranks are
+    byte-exact with zero float tolerance."""
+    from flatbread_spark.operators.graph import pagerank_fixed
+
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("s2"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("c").alias("s"), F.col("s2").alias("d")).unionByName(
+        raw.select(F.col("s2").alias("s"), F.col("c").alias("d"))
+    )
+    return pagerank_fixed(edges, "s", "d", iters=3).orderBy("node")
+
+
 def q_validate(spark, sf_dir):
     """Declarative data-quality gate (operators/validate.py
     validate_constraints): seven rules over documents compiled to ONE
@@ -2654,8 +2678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      stream_topk, contrastive_pairs), and the FOUR round-7 queries
     #      (chunk_windows, quality_classifier, bloom_membership,
     #      vocab_coverage, hot_spans, strip_html, outlier_gate), and the
-    #      SEVEN round-8 queries (merge_upsert, snapshot_diff, gap_fill,
-    #      fuzzy_pairs, name_canonical, validate_rules, stream_upsert);
+    #      EIGHT round-8 queries (merge_upsert, snapshot_diff, gap_fill,
+    #      fuzzy_pairs, name_canonical, validate_rules, stream_upsert,
+    #      pagerank);
     #   4. fill: r3-stale reference-surface queries; the heavy pair
     #      (stream_quality_gate, knn_ivf_sweep) closes the window at
     #      49-50 where they bench cheapest. Rotated to the tail head to
@@ -2665,8 +2690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      for round 7 — totals_grid, subtotals_cols,
     #      pct_axis0/pct_axis1/add_percentages, subtotals_chained,
     #      sort_index_list — and for round 8: pivot_sum, agg_margins,
-    #      drop_totals_roundtrip, pct_interleaf, sort_totals_rank,
-    #      median_margin, chunk_dedup.
+    #      subtotals_rollup, drop_totals_roundtrip, pct_interleaf,
+    #      sort_totals_rank, median_margin, chunk_dedup.
     return {
         # -- warm-up leads --
         "tpch_q6": q_tpch_q6,
@@ -2714,7 +2739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- at least one in-window representative; the rest rotate to the
         # -- tail to make room for the four round-7 operators above) --
         "totals_row": q_totals_row,
-        "subtotals_rollup": q_subtotals_rollup,
         "add_level": q_add_level,
         "pct_axis2": q_pct_axis2,
         # -- round-8 operators: need their first grade (displacing five
@@ -2727,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_canonical": q_name_canonical,
         "validate_rules": q_validate,
         "stream_upsert": q_stream_upsert,
+        "pagerank": q_pagerank,
         # heaviest never-graded pair closes the window (positions 49-50):
         # both need a grade, but they are codegen-heavy and bench ~2s
         # cheaper after 46 queries of warm-up than at position 22
@@ -2738,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- green in r4, heavy similarity last.
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
+        "subtotals_rollup": q_subtotals_rollup,
         "drop_totals_roundtrip": q_drop_totals_roundtrip,
         "pct_interleaf": q_pct_interleaf,
         "sort_totals_rank": q_sort_totals_rank,
@@ -3789,6 +3815,36 @@ SELECT vocab.name,
             ELSE vocab.name END AS canonical,
        vocab.n
 FROM vocab LEFT JOIN best USING (name) ORDER BY name
+""",
+        "pagerank": """
+WITH raw AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s2
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS (SELECT c AS s, s2 AS d FROM raw
+      UNION ALL SELECT s2, c FROM raw),
+deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+cn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN cn),
+i1 AS (SELECT e.d AS node, SUM(r0.r // deg.outdeg) AS inb
+       FROM e JOIN deg USING (s) JOIN r0 ON r0.node = e.s GROUP BY e.d),
+r1 AS (SELECT nodes.node,
+              (15 * (1000000000000 // n)) // 100
+                + (85 * COALESCE(inb, 0)) // 100 AS r
+       FROM nodes CROSS JOIN cn LEFT JOIN i1 ON nodes.node = i1.node),
+i2 AS (SELECT e.d AS node, SUM(r1.r // deg.outdeg) AS inb
+       FROM e JOIN deg USING (s) JOIN r1 ON r1.node = e.s GROUP BY e.d),
+r2 AS (SELECT nodes.node,
+              (15 * (1000000000000 // n)) // 100
+                + (85 * COALESCE(inb, 0)) // 100 AS r
+       FROM nodes CROSS JOIN cn LEFT JOIN i2 ON nodes.node = i2.node),
+i3 AS (SELECT e.d AS node, SUM(r2.r // deg.outdeg) AS inb
+       FROM e JOIN deg USING (s) JOIN r2 ON r2.node = e.s GROUP BY e.d),
+r3 AS (SELECT nodes.node,
+              (15 * (1000000000000 // n)) // 100
+                + (85 * COALESCE(inb, 0)) // 100 AS r
+       FROM nodes CROSS JOIN cn LEFT JOIN i3 ON nodes.node = i3.node)
+SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3 ORDER BY node
 """,
         "stream_upsert": """
 WITH r AS (

@@ -82,7 +82,11 @@ from flatbread_spark.operators.bloom import (  # noqa: E402
 )
 from flatbread_spark.operators.chunking import chunk_windows  # noqa: E402
 from flatbread_spark.operators.classifier import score_hashed_linear  # noqa: E402
-from flatbread_spark.operators.graph import connected_components, dedup_clusters  # noqa: E402
+from flatbread_spark.operators.graph import (  # noqa: E402
+    connected_components,
+    dedup_clusters,
+    pagerank_fixed,
+)
 from flatbread_spark.operators.curation import (  # noqa: E402
     curation_funnel,
     robust_outlier_gate,
@@ -152,7 +156,7 @@ __all__ = [
     "asof_join", "range_join_bucketed",
     "dedup_exact", "dedup_incremental", "minhash_lsh_pairs", "simhash_pairs",
     "ngram_jaccard_pairs", "embedding_dup_pairs", "chunk_self_dedup",
-    "connected_components", "dedup_clusters",
+    "connected_components", "dedup_clusters", "pagerank_fixed",
     "sample_deterministic", "sample_stratified", "sample_token_budget",
     "sample_weighted",
     "assign_split", "pack_sequences", "build_packs", "scalable_cumsum",

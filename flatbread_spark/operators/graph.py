@@ -202,3 +202,89 @@ def dedup_clusters(
         id_col, "cluster_id",
         (F.col(id_col) == F.col("cluster_id")).alias("is_survivor"),
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = 3,
+    scale: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list — crawl-frontier /
+    source-importance scoring with CROSS-ENGINE EXACT integer arithmetic.
+
+    Floating-point PageRank is order-dependent (summation) and
+    libm-dependent; this variant keeps every rank as a BIGINT numerator
+    over ``scale``, with all divisions explicit floor divisions — the
+    result is bit-identical on any engine and any partitioning, at the
+    cost of leaking a deterministic remainder per division (~1/scale,
+    irrelevant at scale=1e12 and exactly mirrored by the SQL oracle).
+
+    Per iteration: each node sends ``rank // outdeg`` along every
+    out-edge and receives
+    ``rank' = base + (damping_pct * inbound_sum) // 100`` where
+    ``base = ((100 - damping_pct) * (scale // n_nodes)) // 100``.
+    Nodes are edge endpoints (an isolated node has no business in an
+    edge-derived ranking); dangling nodes contribute nothing (their mass
+    decays — acceptable for ranking, documented).
+
+    Scale: one keyed shuffle per iteration (join ranks to edges on src +
+    re-aggregate on dst) over |edges| rows; rank state is one row per
+    node. Each iteration is cut with an eager ``localCheckpoint`` — the
+    iterative-lineage discipline (same as packing/kmeans), without which
+    iteration k replans k full joins.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("s"),
+        F.col(dst_col).cast("long").alias("d"),
+    ).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "s")
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+
+    init = (
+        nodes.crossJoin(n_df)
+        .select(
+            "node",
+            F.expr(f"{scale} div __n").alias("rank_fp"),
+            "__n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    base_expr = F.expr(f"((100 - {damping_pct}) * ({scale} div __n)) div 100")
+    ranks = init
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks.select("node", "rank_fp"), ed["s"] == F.col("node"))
+            .select("d", F.expr("rank_fp div outdeg").alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = (
+            ranks.select("node", "__n")
+            .join(contrib, ranks["node"] == contrib["d"], "left")
+            .select(
+                "node",
+                (
+                    base_expr
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inbound, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_fp"),
+                "__n",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank_fp")

@@ -1,0 +1,77 @@
+"""pagerank_fixed: integer fixed-point PageRank vs a pure-Python replay."""
+import pytest
+from pyspark.sql import functions as F
+
+
+def _py_pagerank(edges, iters=3, scale=10**12, dpct=85):
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = ((100 - dpct) * (scale // n)) // 100
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        inbound = {v: 0 for v in nodes}
+        for s, d in edges:
+            inbound[d] += rank[s] // outdeg[s]
+        rank = {v: base + (dpct * inbound[v]) // 100 for v in nodes}
+    return rank
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1), (5, 4), (5, 1),
+    (6, 1), (2, 1), (3, 2),
+]
+
+
+class TestPagerankFixed:
+    def _run(self, spark, edges, **kw):
+        df = spark.createDataFrame(edges, "s bigint, d bigint")
+        from flatbread_spark.operators.graph import pagerank_fixed
+
+        return {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixed(df, "s", "d", **kw).collect()
+        }
+
+    def test_matches_pure_python(self, spark):
+        got = self._run(spark, EDGES, iters=3)
+        assert got == _py_pagerank(EDGES, iters=3)
+
+    def test_more_iterations_and_params(self, spark):
+        got = self._run(spark, EDGES, iters=5, scale=10**9, damping_pct=70)
+        assert got == _py_pagerank(EDGES, iters=5, scale=10**9, dpct=70)
+
+    def test_hub_outranks_leaf(self, spark):
+        got = self._run(spark, EDGES, iters=3)
+        # node 1 receives from 3,4,5,6,2; node 6 receives nothing
+        assert got[1] > got[6]
+
+    def test_duplicate_edges_collapse(self, spark):
+        got = self._run(spark, EDGES + EDGES[:4], iters=2)
+        assert got == _py_pagerank(EDGES, iters=2)
+
+    def test_bad_params_raise(self, spark):
+        df = spark.createDataFrame(EDGES, "s bigint, d bigint")
+        from flatbread_spark.operators.graph import pagerank_fixed
+
+        with pytest.raises(ValueError, match="iters"):
+            pagerank_fixed(df, "s", "d", iters=0)
+        with pytest.raises(ValueError, match="damping"):
+            pagerank_fixed(df, "s", "d", damping_pct=100)
+
+    def test_partitioning_invariant(self, spark):
+        df = spark.createDataFrame(EDGES, "s bigint, d bigint")
+        from flatbread_spark.operators.graph import pagerank_fixed
+
+        a = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixed(df.repartition(7), "s", "d").collect()
+        }
+        b = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixed(df.coalesce(1), "s", "d").collect()
+        }
+        assert a == b
