@@ -2653,6 +2653,107 @@ def q_validate(spark, sf_dir):
     )
 
 
+def _synth_urls(spark, sf_dir):
+    """Deterministic dirty-URL corpus for the URL family: five spelling
+    families (mixed case, default ports, ``www.``, tracking params,
+    shuffled param order, trailing slashes, fragments) built from
+    documents columns, so both engines replay byte-identical inputs —
+    same discipline as ``_dirty_parts``."""
+    docs = _load(spark, sf_dir, "documents")
+
+    def m(k):
+        return (F.col("doc_id") % k).cast("string")
+
+    base = F.concat(F.col("source"), F.lit("-"), m(3))
+    c = F.col("doc_id") % 5
+    url = (
+        F.when(
+            c == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), base, F.lit(".Example.COM:80/Docs/"),
+                m(7), F.lit("/?utm_source=feed&b=2&a=1#top"),
+            ),
+        )
+        .when(
+            c == 1,
+            F.concat(
+                F.lit("https://news."), base, F.lit(".example.co.uk/post/"),
+                m(13), F.lit("?id="), m(4), F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(c == 2, F.concat(F.lit("https://"), base, F.lit(".example.com:443/a/B/")))
+        .when(
+            c == 3,
+            F.concat(F.lit("http://"), base, F.lit(".example.com/a/B?fbclid=abc&z=9")),
+        )
+        .otherwise(F.concat(F.lit("https://www."), base, F.lit(".example.com")))
+    )
+    return docs.select("doc_id", "n_chars", url.alias("url"))
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (functions/urls.py canonical_url /
+    registered_domain): normalize the dirty-URL corpus — case, default
+    ports, www, tracking params, param order, trailing slashes, fragments
+    — then profile hosts per registered domain. Pure codegen string
+    expressions; the oracle replays the SAME constants via the module's
+    SQL mirrors."""
+    from flatbread_spark.functions.urls import (
+        canonical_url,
+        registered_domain,
+        url_host,
+    )
+
+    su = _synth_urls(spark, sf_dir)
+    e = su.select(
+        registered_domain(url_host(F.col("url"))).alias("domain"),
+        url_host(F.col("url")).alias("host"),
+        canonical_url(F.col("url")).alias("url_c"),
+    )
+    return (
+        e.groupBy("domain", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url_c").alias("n_urls"),
+        )
+        .orderBy("domain", "host")
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-keyed dedup (functions/urls.py dedup_by_url): one winner per
+    canonical URL spelling — highest n_chars, ties to the smallest
+    doc_id (struct max, deterministic under any partitioning). Content
+    never moves; only (canonical, quality, id) triples shuffle."""
+    from flatbread_spark.functions.urls import dedup_by_url
+
+    su = _synth_urls(spark, sf_dir)
+    return dedup_by_url(su, "url", "doc_id", "n_chars").orderBy("url_canonical")
+
+
+def q_skew_profile(spark, sf_dir):
+    """Key-skew diagnostic (operators/skew.py skew_profile): top-10
+    heaviest l_suppkey values with integer ppm shares plus the global
+    aggregates that size a salting mitigation. All-BIGINT arithmetic
+    (`div`, not float floor) so the profile is byte-exact."""
+    from flatbread_spark.operators.skew import skew_profile
+
+    li = _load(spark, sf_dir, "lineitem")
+    return skew_profile(li, ["l_suppkey"], top_k=10).orderBy("rank")
+
+
+def q_domain_cap_sample(spark, sf_dir):
+    """Domain-capped sampling (operators/sampling.py sample_domain_capped):
+    cap every source at 3% of the corpus via deterministic md5-bucket
+    down-sampling; thresholds are BIGINT integral division, so the kept
+    set and the audit column are byte-identical across engines."""
+    from flatbread_spark.operators.sampling import sample_domain_capped
+
+    docs = _load(spark, sf_dir, "documents")
+    out = sample_domain_capped(docs, "doc_id", "source", cap_ppm=30_000)
+    return out.select("doc_id", "source", "keep_threshold_ppm").orderBy("doc_id")
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2758,9 +2859,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quality_gate": q_stream_quality_gate,
         "knn_ivf_sweep": q_knn_ivf_sweep,
         # ---- tail (positions 51+): sacrificed first if the driver's
-        # ---- grading window is shorter. r3-stale leftovers lead (the
-        # ---- rotated-out family variants first), then everything graded
-        # ---- green in r4, heavy similarity last.
+        # ---- grading window is shorter. The round-9 operators lead the
+        # ---- tail (graded first if the window ever exceeds 50), then
+        # ---- r3-stale leftovers (the rotated-out family variants first),
+        # ---- then everything graded green in r4, heavy similarity last.
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
+        "skew_profile": q_skew_profile,
+        "domain_cap_sample": q_domain_cap_sample,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -2858,6 +2964,27 @@ o AS (SELECT v, n, grp,
         row_number() OVER (ORDER BY grp, CASE WHEN grp=0 THEN -n END, v) AS pos
       FROM u),
 """
+
+
+from flatbread_spark.functions import urls as _ulib  # noqa: E402
+
+# SQL twin of _synth_urls — the same literals, moduli and case arms
+_SYNTH_URL_CTE = """su AS (
+  SELECT doc_id, n_chars,
+    CASE CAST(doc_id % 5 AS INTEGER)
+      WHEN 0 THEN 'HTTP://WWW.' || base || '.Example.COM:80/Docs/'
+                  || CAST(doc_id % 7 AS VARCHAR)
+                  || '/?utm_source=feed&b=2&a=1#top'
+      WHEN 1 THEN 'https://news.' || base || '.example.co.uk/post/'
+                  || CAST(doc_id % 13 AS VARCHAR) || '?id='
+                  || CAST(doc_id % 4 AS VARCHAR) || '&utm_campaign=x'
+      WHEN 2 THEN 'https://' || base || '.example.com:443/a/B/'
+      WHEN 3 THEN 'http://' || base || '.example.com/a/B?fbclid=abc&z=9'
+      ELSE 'https://www.' || base || '.example.com'
+    END AS url
+  FROM (SELECT doc_id, n_chars,
+               source || '-' || CAST(doc_id % 3 AS VARCHAR) AS base
+        FROM documents))"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4695,6 +4822,69 @@ ORDER BY train_id
         # the stream drains to exactly the batch sessionization answer —
         # same oracle by construction
         "stream_replay": _SESSIONS_SQL,
+        # ---- round 9: URL family, skew profile, domain-capped sampling.
+        # The URL expressions are EMITTED BY THE ENGINE MODULE
+        # (functions/urls.py *_sql mirrors) from the same constants the
+        # Spark columns use — oracle and engine cannot drift apart.
+        "url_normalize": f"""
+WITH {_SYNTH_URL_CTE},
+e AS (SELECT {_ulib.registered_domain_sql(_ulib.url_host_sql('url'))} AS domain,
+             {_ulib.url_host_sql('url')} AS host,
+             {_ulib.canonical_url_sql('url')} AS url_c
+      FROM su)
+SELECT domain, host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url_c) AS BIGINT) AS n_urls
+FROM e GROUP BY domain, host
+ORDER BY domain, host
+""",
+        "url_dedup": f"""
+WITH {_SYNTH_URL_CTE},
+c AS (SELECT doc_id, n_chars,
+             {_ulib.canonical_url_sql('url')} AS url_canonical
+      FROM su),
+w AS (SELECT url_canonical, doc_id, n_chars,
+             row_number() OVER (PARTITION BY url_canonical
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY url_canonical) AS nd
+      FROM c)
+SELECT url_canonical, doc_id, n_chars, CAST(nd AS BIGINT) AS n_dups
+FROM w WHERE rn = 1
+ORDER BY url_canonical
+""",
+        "skew_profile": """
+WITH pk AS (SELECT COALESCE(CAST(l_suppkey AS VARCHAR), '<NULL>') AS "key",
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys FROM pk),
+top AS (SELECT "key", n,
+               CAST(row_number() OVER (ORDER BY n DESC, "key" ASC) AS BIGINT)
+                 AS "rank"
+        FROM pk ORDER BY n DESC, "key" LIMIT 10),
+s AS (SELECT "rank", "key", n,
+             (n * 1000000) // n_rows AS share_ppm, n_rows, n_keys,
+             (n * n_keys) // n_rows AS skew_x
+      FROM top CROSS JOIN t)
+SELECT "rank", "key", n, CAST(share_ppm AS BIGINT) AS share_ppm,
+       CAST(SUM(share_ppm) OVER (ORDER BY "rank" ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_share_ppm,
+       n_rows, n_keys, CAST(skew_x AS BIGINT) AS skew_x
+FROM s ORDER BY "rank"
+""",
+        "domain_cap_sample": """
+WITH dn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS d_n
+            FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(d_n) AS BIGINT) AS total FROM dn),
+thr AS (SELECT source,
+               CAST(LEAST(1000000, (30000 * total) // d_n) AS BIGINT)
+                 AS keep_threshold_ppm
+        FROM dn CROSS JOIN t)
+SELECT d.doc_id, d.source, thr.keep_threshold_ppm
+FROM documents d JOIN thr USING (source)
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % 1000000 < thr.keep_threshold_ppm
+ORDER BY d.doc_id
+""",
     }
 
 

@@ -146,6 +146,17 @@ from flatbread_spark.operators.linkage import (  # noqa: E402
     fuzzy_match_pairs,
 )
 from flatbread_spark.operators.validate import validate_constraints  # noqa: E402
+from flatbread_spark.operators.skew import (  # noqa: E402
+    salt_explode_join,
+    salted_agg,
+    skew_profile,
+)
+from flatbread_spark.operators.sampling import sample_domain_capped  # noqa: E402
+from flatbread_spark.functions.urls import (  # noqa: E402
+    canonical_url,
+    dedup_by_url,
+    registered_domain,
+)
 from flatbread_spark.sources.tables import read_table, write_table  # noqa: E402
 
 __all__ = [
@@ -175,4 +186,7 @@ __all__ = [
     "merge_upsert", "snapshot_diff", "snapshot_diff_summary",
     "gap_fill", "fuzzy_match_pairs", "canonicalize_names",
     "validate_constraints",
+    "skew_profile", "salted_agg", "salt_explode_join",
+    "sample_domain_capped",
+    "canonical_url", "registered_domain", "dedup_by_url",
 ]

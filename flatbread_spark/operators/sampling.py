@@ -130,6 +130,64 @@ def sample_token_budget(
     )
 
 
+def sample_domain_capped(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    cap_ppm: int,
+    salt: str = "",
+    broadcast_domains: bool = True,
+    out_threshold: str = "keep_threshold_ppm",
+) -> DataFrame:
+    """Cap any single domain's share of the corpus at ``cap_ppm``
+    (parts-per-million of TOTAL rows) by deterministic down-sampling —
+    the web-corpus balance rule ("no domain exceeds 1% of training data")
+    that stops content farms and crawler traps from dominating a mixture.
+
+    Each domain's keep-threshold is ``min(1e6, floor(cap_ppm * n_rows /
+    domain_n))`` — domains under the cap keep everything, oversized ones
+    keep a uniform hash-chosen fraction that lands them AT the cap (in
+    expectation over the hash buckets). All-integer BIGINT arithmetic, so
+    the threshold table and the kept set are byte-identical across
+    engines; a row's fate is ``hash(key) < threshold`` — stable across
+    runs and partitionings like every sampler in this module.
+
+    The appended ``out_threshold`` column makes the decision auditable
+    per-row.
+
+    Scale: one map-side-combining groupBy over the domain column (the
+    only shuffle), a 1-row total broadcast, and a domains→corpus join.
+    ``broadcast_domains=True`` (default) broadcasts the per-domain
+    threshold table — right for up to tens of millions of domains (a few
+    hundred MB); set it False for a hash join when the domain universe is
+    genuinely huge. The filter itself is a pure expression, so Catalyst
+    still pushes unrelated predicates below it.
+    """
+    if not 0 < cap_ppm <= _MOD:
+        raise ValueError(f"cap_ppm must be in (0, {_MOD}]")
+    per_domain = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__dn")
+    )
+    totals = per_domain.agg(F.sum("__dn").alias("__total"))
+    thresholds = (
+        per_domain.crossJoin(F.broadcast(totals))
+        .withColumn(
+            out_threshold,
+            # `div` = BIGINT integral division: floor(a/b) stays exact past
+            # 2^53 rows, where double-divide-then-floor starts rounding
+            F.least(
+                F.lit(_MOD).cast("bigint"),
+                F.expr(f"(CAST({int(cap_ppm)} AS BIGINT) * __total) div __dn"),
+            ),
+        )
+        .select(domain_col, out_threshold)
+    )
+    if broadcast_domains:
+        thresholds = F.broadcast(thresholds)
+    bucket = sample_hash_bucket(F.col(key_col), salt)
+    return df.join(thresholds, domain_col).filter(bucket < F.col(out_threshold))
+
+
 def sample_weighted(
     df: DataFrame,
     key_col: str,

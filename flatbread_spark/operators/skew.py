@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT = "__salt__"
@@ -55,6 +55,86 @@ def salted_agg(
     )
     return partial.groupBy(*keys).agg(
         *[m.alias(name) for name, (_, m) in aggs.items()]
+    )
+
+
+def skew_profile(
+    df: DataFrame, keys: Sequence[str], top_k: int = 10
+) -> DataFrame:
+    """Key-skew diagnostic for a planned join/agg: the top-``top_k``
+    heaviest keys with integer parts-per-million shares, plus the
+    whole-table aggregates needed to size a mitigation.
+
+    This is the "measure, don't guess" step before choosing ``salted_agg``
+    / ``salt_explode_join`` factors or trusting AQE's skew-join split: at
+    100 TB a key holding 4% of rows means one task processes 4 TB, and the
+    time to learn that is BEFORE the 6-hour job, from a profile that costs
+    one map-side-combining groupBy. Everything stays integer (counts and
+    floor-divided ppm shares) so results are byte-identical across engines
+    and partitionings — no float tolerance.
+
+    Output, one row per heavy key ordered by rank:
+
+    - ``rank``            1..top_k by (count desc, key asc) — deterministic
+    - ``key``             the key columns rendered ``'\\x1f'``-joined (nulls
+                          as ``'<NULL>'``), so multi-column keys profile
+                          without a struct column
+    - ``n``               rows carrying the key
+    - ``share_ppm``       floor(n * 1e6 / n_rows)
+    - ``cum_share_ppm``   running sum of share_ppm over ranks 1..rank
+    - ``n_rows``          total rows (same every row)
+    - ``n_keys``          distinct keys (same every row)
+    - ``skew_x``          floor(n * n_keys / n_rows) — the key's multiple
+                          of the mean key size; a direct ``n_salts``
+                          suggestion for ``salted_agg`` (skew_x ≤ 1 means
+                          no mitigation needed)
+
+    Scale: one groupBy on the profiled keys (partial aggregation map-side,
+    so the hot key itself cannot straggle THIS job), a single-row global
+    aggregate joined by broadcast-able cross join, and a driver-bounded
+    top-k (TakeOrderedAndProject — only ``top_k × partitions`` rows merge).
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    key_str = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(k).cast("string"), F.lit("<NULL>")) for k in keys]
+    )
+    per_key = (
+        df.select(key_str.alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = per_key.agg(
+        F.sum("n").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = (
+        per_key.orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+    )
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("key").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        # `div` = BIGINT integral division: exact past 2^53 rows, where
+        # double-divide-then-floor would round
+        top.withColumn(
+            "share_ppm", F.expr("(n * CAST(1000000 AS BIGINT)) div n_rows")
+        )
+        .withColumn("cum_share_ppm", F.sum("share_ppm").over(w).cast("bigint"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("key").asc()))
+            .cast("bigint"),
+        )
+        .withColumn("skew_x", F.expr("(n * n_keys) div n_rows"))
+        .select(
+            "rank", "key", "n", "share_ppm", "cum_share_ppm",
+            "n_rows", "n_keys", "skew_x",
+        )
     )
 
 

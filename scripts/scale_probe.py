@@ -121,6 +121,24 @@ def main():
             F.lit(1).cast("bigint").alias("version"),
         )
 
+    def _with_urls(d):
+        # synthetic dirty URLs keyed off doc_id/source — 10x replication
+        # multiplies collisions per canonical URL, which is exactly the
+        # reduce-side growth url_dedup must absorb map-side
+        return d.select(
+            "doc_id",
+            "n_chars",
+            F.concat(
+                F.lit("HTTP://WWW."),
+                F.col("source"),
+                F.lit("-"),
+                (F.col("doc_id") % 97).cast("string"),
+                F.lit(".Example.COM:80/p/"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("/?utm_source=x&b=2&a=1#f"),
+            ).alias("url"),
+        )
+
     def run_count(df_out):
         return df_out.count()
 
@@ -244,6 +262,17 @@ def main():
         ),
         "fuzzy_match_pairs": lambda d, e: run_count(
             fb.fuzzy_match_pairs(_pseudo_names(d), "pname", 2)
+        ),
+        # round-9 operators: URL family over a synthetic dirty-URL column,
+        # skew profile + domain cap over the replicated corpus
+        "url_dedup": lambda d, e: run_count(
+            fb.dedup_by_url(_with_urls(d), "url", "doc_id", "n_chars")
+        ),
+        "skew_profile": lambda d, e: run_count(
+            fb.skew_profile(d, ["lang"], top_k=10)
+        ),
+        "domain_cap_sample": lambda d, e: run_count(
+            fb.sample_domain_capped(d, "doc_id", "source", 30_000)
         ),
     }
     only = sys.argv[1:]
