@@ -2754,6 +2754,49 @@ def q_domain_cap_sample(spark, sf_dir):
     return out.select("doc_id", "source", "keep_threshold_ppm").orderBy("doc_id")
 
 
+def q_join_estimate(spark, sf_dir):
+    """Exact pre-join cardinality profile (operators/skew.py
+    join_estimate): |lineitem ⋈ lineitem on l_partkey| computed from the
+    per-key count tables — the blowup check that runs BEFORE a fact×fact
+    join ships 100 TB through a shuffle. All BIGINT; est_rows is the
+    exact output size, verified by identity in tests."""
+    from flatbread_spark.operators.skew import join_estimate
+
+    li = _load(spark, sf_dir, "lineitem")
+    return join_estimate(li, li, ["l_partkey"], top_k=10).orderBy("rank")
+
+
+def q_rate_anomaly(spark, sf_dir):
+    """Per-user daily rate-spike audit (operators/timeseries.py
+    rate_anomaly): counts on the gap-filled day grid, each bucket
+    compared to 3×-mean of the 3 fully-observed preceding buckets —
+    silent days count as zero, the regularization that batch rate
+    monitors get wrong. Integer ratio (×1000, BIGINT div), NULL until
+    history fills."""
+    from flatbread_spark.operators.timeseries import rate_anomaly
+
+    DAY_NS = 86_400_000_000_000
+    ev = _load(spark, sf_dir, "events")
+    out = rate_anomaly(
+        ev, ["user_id"], "ts", DAY_NS, trailing=3, factor_x1000=3000,
+        min_count=4,
+    )
+    return out.orderBy("user_id", "bucket_start")
+
+
+def q_label_vote(spark, sf_dir):
+    """Majority-vote label reconciliation (operators/curation.py
+    label_vote): each customer's dominant order priority with agreement
+    evidence — winner = max votes, ties to the lexicographically smallest
+    label, agreement in exact BIGINT ppm."""
+    from flatbread_spark.operators.curation import label_vote
+
+    orders = _load(spark, sf_dir, "orders")
+    return label_vote(orders, "o_custkey", "o_orderpriority").orderBy(
+        "o_custkey"
+    )
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2867,6 +2910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "skew_profile": q_skew_profile,
         "domain_cap_sample": q_domain_cap_sample,
+        "join_estimate": q_join_estimate,
+        "rate_anomaly": q_rate_anomaly,
+        "label_vote": q_label_vote,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -4884,6 +4930,67 @@ FROM documents d JOIN thr USING (source)
 WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         % 1000000 < thr.keep_threshold_ppm
 ORDER BY d.doc_id
+""",
+        # ---- round 10: join estimate, rate anomaly, label vote
+        "join_estimate": """
+WITH cl AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_left
+            FROM lineitem GROUP BY 1),
+cr AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_right
+       FROM lineitem GROUP BY 1),
+pk AS (SELECT COALESCE(CAST(cl.l_partkey AS VARCHAR), '<NULL>') AS "key",
+              n_left, n_right, n_left * n_right AS n_pairs
+       FROM cl JOIN cr USING (l_partkey)),
+t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS est_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_matching_keys FROM pk),
+top AS (SELECT "key", n_left, n_right, n_pairs,
+               CAST(row_number() OVER (ORDER BY n_pairs DESC, "key" ASC)
+                    AS BIGINT) AS "rank"
+        FROM pk ORDER BY n_pairs DESC, "key" LIMIT 10)
+SELECT "rank", "key", n_left, n_right, n_pairs, est_rows, n_matching_keys
+FROM top CROSS JOIN t ORDER BY "rank"
+""",
+        "rate_anomaly": """
+WITH obs AS (
+  SELECT user_id,
+         epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY 1),
+spine AS (SELECT user_id,
+                 unnest(generate_series(lo, hi,
+                        CAST(86400000000000 AS BIGINT))) AS b
+          FROM span),
+g AS (SELECT spine.user_id, spine.b, COALESCE(obs.n, 0) AS n
+      FROM spine LEFT JOIN obs
+        ON spine.user_id = obs.user_id AND spine.b = obs.b),
+w AS (SELECT user_id, b, n,
+        SUM(n) OVER (PARTITION BY user_id ORDER BY b
+                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS tsum,
+        COUNT(*) OVER (PARTITION BY user_id ORDER BY b
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS nprior
+      FROM g)
+SELECT user_id, b AS bucket_start, n,
+       CASE WHEN nprior = 3 THEN CAST(tsum AS BIGINT) END AS trailing_sum,
+       CASE WHEN nprior = 3 AND tsum > 0
+            THEN CAST((n * 3 * 1000) // tsum AS BIGINT) END AS ratio_x1000,
+       (nprior = 3 AND n >= 4
+        AND (tsum = 0 OR n * 3 * 1000 > 3000 * tsum)) AS is_anomaly
+FROM w ORDER BY user_id, bucket_start
+""",
+        "label_vote": """
+WITH votes AS (SELECT o_custkey, o_orderpriority AS label,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT o_custkey, label, n,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY n DESC, label ASC) AS rn,
+             CAST(SUM(n) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_votes,
+             CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+               AS n_labels
+      FROM votes)
+SELECT o_custkey, label, n_votes, n AS n_winner,
+       CAST((n * 1000000) // n_votes AS BIGINT) AS agreement_ppm, n_labels
+FROM r WHERE rn = 1 ORDER BY o_custkey
 """,
     }
 

@@ -147,10 +147,13 @@ from flatbread_spark.operators.linkage import (  # noqa: E402
 )
 from flatbread_spark.operators.validate import validate_constraints  # noqa: E402
 from flatbread_spark.operators.skew import (  # noqa: E402
+    join_estimate,
     salt_explode_join,
     salted_agg,
     skew_profile,
 )
+from flatbread_spark.operators.timeseries import rate_anomaly  # noqa: E402
+from flatbread_spark.operators.curation import label_vote  # noqa: E402
 from flatbread_spark.operators.sampling import sample_domain_capped  # noqa: E402
 from flatbread_spark.functions.urls import (  # noqa: E402
     canonical_url,
@@ -186,7 +189,7 @@ __all__ = [
     "merge_upsert", "snapshot_diff", "snapshot_diff_summary",
     "gap_fill", "fuzzy_match_pairs", "canonicalize_names",
     "validate_constraints",
-    "skew_profile", "salted_agg", "salt_explode_join",
-    "sample_domain_capped",
+    "skew_profile", "salted_agg", "salt_explode_join", "join_estimate",
+    "sample_domain_capped", "rate_anomaly", "label_vote",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

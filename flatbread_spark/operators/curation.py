@@ -171,3 +171,67 @@ def robust_outlier_gate(
         "is_outlier",
         F.abs(F.col(value_col) - F.col("med")) > F.lit(float(k)) * F.col("mad"),
     )
+
+
+def label_vote(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Majority-vote label reconciliation: collapse repeated annotations of
+    the same item (multiple raters, repeated model scorings, overlapping
+    crawl snapshots) to one winner per item plus the agreement evidence a
+    curation gate filters on ("keep items with ≥ 80% rater agreement").
+
+    Winner = label with the highest vote count (or ``weight_col`` sum),
+    ties to the lexicographically SMALLEST label — deterministic under any
+    partitioning. NULL labels are abstentions: excluded from both the
+    winner choice and the agreement denominator.
+
+    Returns one row per item:
+
+    - ``{item_col}``, ``label`` (the winner)
+    - ``n_votes``          total non-null votes on the item
+    - ``n_winner``         votes for the winner
+    - ``agreement_ppm``    floor(n_winner · 1e6 / n_votes) — BIGINT, exact
+    - ``n_labels``         distinct labels voted for the item
+
+    Scale: one (item, label) groupBy — map-side combining, so a
+    million-vote item reduces before the exchange — then a per-item window
+    and a per-item aggregate, all partitioned on the SAME item hash (AQE
+    reuses the exchange). State per item is its distinct-label set, never
+    its vote list.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    votes = (
+        df.filter(F.col(label_col).isNotNull())
+        .groupBy(item_col, label_col)
+        .agg(F.sum(w).alias("__n"))
+    )
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy(item_col).orderBy(
+        F.col("__n").desc(), F.col(label_col).asc()
+    )
+    per_item = Window.partitionBy(item_col)
+    return (
+        votes.withColumn("__rn", F.row_number().over(rk))
+        .withColumn("n_votes", F.sum("__n").over(per_item).cast("bigint"))
+        .withColumn("n_labels", F.count(F.lit(1)).over(per_item).cast("bigint"))
+        .filter(F.col("__rn") == 1)
+        .select(
+            item_col,
+            F.col(label_col).alias("label"),
+            "n_votes",
+            F.col("__n").cast("bigint").alias("n_winner"),
+            F.expr("(__n * CAST(1000000 AS BIGINT)) div n_votes").alias(
+                "agreement_ppm"
+            ),
+            "n_labels",
+        )
+    )

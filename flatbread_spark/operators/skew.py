@@ -138,6 +138,73 @@ def skew_profile(
     )
 
 
+def join_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """EXACT pre-join cardinality and fanout profile: before running a
+    fact×fact join at 100 TB, learn its output size and which keys
+    dominate it — from two map-side-combining groupBys and a join of the
+    per-key COUNT tables (key-cardinality rows, never the inputs).
+
+    The output-size identity is exact, not an estimate-by-sampling:
+    ``|A ⋈ B| = Σ_k n_A(k) · n_B(k)``. A key with n_pairs = 10¹⁰ is a
+    blowup you want to see BEFORE the shuffle, when the fix (salting,
+    pre-aggregation, or questioning the join condition) is still cheap.
+    Companion to :func:`skew_profile`, which profiles one side; this
+    profiles the interaction.
+
+    Output, one row per top-``top_k`` key by (n_pairs desc, key asc):
+
+    - ``rank``, ``key`` (``'\\x1f'``-joined, nulls as ``'<NULL>'`` —
+      display only; counting groups by the REAL columns)
+    - ``n_left``/``n_right``  per-side multiplicities
+    - ``n_pairs``             n_left · n_right
+    - ``est_rows``            Σ n_pairs over ALL matching keys (same every
+                              row) — the exact inner-join output size
+    - ``n_matching_keys``     distinct keys present on both sides
+
+    All BIGINT; n_pairs overflows int64 only past ~3·10⁹ × 3·10⁹ on one
+    key — a join nobody should run, and Spark's ANSI mode fails loudly
+    rather than wrapping.
+    """
+    on = list(on)
+    if not on:
+        raise ValueError("on must be non-empty")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(*on).agg(F.count(F.lit(1)).alias(name))
+
+    both = counts(left, "n_left").join(counts(right, "n_right"), on)
+    key_str = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(k).cast("string"), F.lit("<NULL>")) for k in on]
+    )
+    per_key = both.select(
+        key_str.alias("key"),
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("n_pairs"),
+    )
+    totals = per_key.agg(
+        F.sum("n_pairs").alias("est_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+    )
+    top = (
+        per_key.orderBy(F.col("n_pairs").desc(), F.col("key").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("n_pairs").desc(), F.col("key").asc()))
+        .cast("bigint")
+        .alias("rank"),
+        "key", "n_left", "n_right", "n_pairs", "est_rows", "n_matching_keys",
+    )
+
+
 def salt_explode_join(
     fact: DataFrame,
     dim: DataFrame,

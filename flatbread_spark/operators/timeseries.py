@@ -102,3 +102,91 @@ def gap_fill(
         for name in fill:
             out = out.withColumn(name, F.last(name, ignorenulls=True).over(w))
     return out.withColumnRenamed("__b", "bucket_start")
+
+
+def rate_anomaly(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    step: int,
+    trailing: int = 4,
+    factor_x1000: int = 3000,
+    min_count: int = 4,
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Per-key rate-spike detection over the regularized grid: flag every
+    (key, bucket) whose event count exceeds ``factor_x1000/1000`` times the
+    mean of the ``trailing`` FULLY-OBSERVED preceding buckets — the crawl /
+    ingestion monitor ("this domain suddenly posts 5× its usual volume")
+    that runs as a batch audit over the same spine :func:`gap_fill` builds.
+
+    Built ON the gap-filled grid, not the raw observations — a key silent
+    for 6 buckets then bursting must compare against those empty buckets
+    (count 0), not against its last active ones; skipping regularization is
+    the classic false-negative in rate monitors. ``ts_col`` must be
+    integral (epoch ns/us/s or an ordinal) — the same contract as
+    :func:`gap_fill`; normalize timestamps with
+    ``functions.eventtime.ensure_epoch_ns`` at the load boundary.
+
+    The comparison is all-integer: ``n * trailing * 1000 >
+    factor_x1000 * trailing_sum`` (exact at any magnitude), and the first
+    ``trailing`` buckets of each key emit NULL ``ratio_x1000`` / no flag
+    (not enough history) rather than comparing against a partial window.
+    ``min_count`` suppresses the 1-vs-0 noise floor. ``ratio_x1000`` is
+    NULL when the trailing window is all-zero (infinite ratio — the flag
+    still fires when ``n >= min_count``).
+
+    Returns ``*keys, bucket_start, n, trailing_sum, ratio_x1000,
+    is_anomaly`` for every grid bucket with full history.
+
+    Scale: inherits gap_fill's shuffle discipline — every exchange is on
+    the key, the spine is aggregate-derived (never |events| rows), and the
+    trailing window is a bounded ROWS frame over the per-key ordered grid.
+    """
+    grid = gap_fill(
+        df,
+        keys,
+        ts_col,
+        step,
+        {"n": F.count(F.lit(1))},
+        fill=(),
+        max_buckets_per_key=max_buckets_per_key,
+    )
+    keys = list(keys)
+    n = F.coalesce(F.col("n"), F.lit(0)).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start")
+        .rowsBetween(-trailing, -1)
+    )
+    trailing_sum = F.sum(n).over(w)
+    n_prior = F.count(F.lit(1)).over(w)  # grid rows, so this counts buckets
+    full = n_prior == F.lit(trailing)
+    lhs = n * F.lit(int(trailing)) * F.lit(1000)
+    rhs = F.lit(int(factor_x1000)) * trailing_sum
+    flag = full & (n >= F.lit(int(min_count))) & (
+        (trailing_sum == 0) | (lhs > rhs)
+    )
+    # ratio via BIGINT div (exact); NULL when history short or all-zero
+    return (
+        grid.select(
+            *keys,
+            "bucket_start",
+            n.alias("n"),
+            F.when(full, trailing_sum).alias("trailing_sum"),
+            F.when(full & (trailing_sum > 0), lhs).alias("__lhs"),
+            flag.alias("is_anomaly"),
+        )
+        .withColumn(
+            "ratio_x1000",
+            F.when(
+                F.col("__lhs").isNotNull(),
+                F.expr("__lhs div trailing_sum"),
+            ),
+        )
+        .drop("__lhs")
+        .select(
+            *keys, "bucket_start", "n", "trailing_sum", "ratio_x1000",
+            "is_anomaly",
+        )
+    )

@@ -274,6 +274,20 @@ def main():
         "domain_cap_sample": lambda d, e: run_count(
             fb.sample_domain_capped(d, "doc_id", "source", 30_000)
         ),
+        # round-10 operators
+        "join_estimate": lambda d, e: run_count(
+            fb.join_estimate(d, d, ["lang"], top_k=10)
+        ),
+        "rate_anomaly": lambda d, e: run_count(
+            # doc_id as an ordinal clock, 64-id buckets per lang
+            fb.rate_anomaly(
+                d.select("lang", "doc_id"), ["lang"], "doc_id", 64,
+                trailing=3, factor_x1000=2000, min_count=4,
+            )
+        ),
+        "label_vote": lambda d, e: run_count(
+            fb.label_vote(d, "source", "lang")
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():
