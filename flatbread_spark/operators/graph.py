@@ -245,7 +245,12 @@ def pagerank_fixed(
         F.col(dst_col).cast("long").alias("d"),
     ).distinct()
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = e.join(deg, "s")
+    # materialize (edge, outdeg) ONCE: it feeds every iteration's join, and
+    # without the cut each iteration replans the full upstream (the caller's
+    # edge derivation — often a fact join — plus distinct + degree count).
+    # repartition on the join key first — LogicalRDD keeps outputPartitioning
+    # through the checkpoint, so the big side never re-shuffles per iteration
+    ed = e.join(deg, "s").repartition("s").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
