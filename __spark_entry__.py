@@ -2797,6 +2797,41 @@ def q_label_vote(spark, sf_dir):
     )
 
 
+def q_curriculum(spark, sf_dir):
+    """Curriculum training order (operators/ranking.py curriculum_order):
+    three n_chars quality tiers, deterministic md5 shuffle within each,
+    dense 1..n positions from the two-phase range-partitioned rank — the
+    'clean data first' corpus layout with no single-task window."""
+    from flatbread_spark.operators.ranking import curriculum_order
+
+    docs = _load(spark, sf_dir, "documents")
+    tier = (
+        F.when(F.col("n_chars") >= 800, 0)
+        .when(F.col("n_chars") >= 400, 1)
+        .otherwise(2)
+    )
+    out = curriculum_order(
+        docs.select("doc_id", "n_chars"), "doc_id", tier, salt=":cur0"
+    )
+    return out.select("doc_id", "tier", "train_pos").orderBy("train_pos")
+
+
+def q_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix (operators/dedup.py
+    dup_source_matrix): duplicate doc pairs per unordered source pair over
+    3-word-prefix fingerprints (the corpus has no full-text dups by
+    construction; prefix collisions exist and both engines replay the
+    same key). Only (fingerprint, source) count rows ever join."""
+    from flatbread_spark.operators.dedup import dup_source_matrix
+
+    docs = _load(spark, sf_dir, "documents")
+    pre = F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), " "), 1, 3))
+    keyed = docs.select("doc_id", "source", pre.alias("__pre"))
+    return dup_source_matrix(keyed, "doc_id", "__pre", "source").orderBy(
+        "src_a", "src_b"
+    )
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2913,6 +2948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_estimate": q_join_estimate,
         "rate_anomaly": q_rate_anomaly,
         "label_vote": q_label_vote,
+        "curriculum_order": q_curriculum,
+        "dup_source_matrix": q_dup_matrix,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -4991,6 +5028,38 @@ r AS (SELECT o_custkey, label, n,
 SELECT o_custkey, label, n_votes, n AS n_winner,
        CAST((n * 1000000) // n_votes AS BIGINT) AS agreement_ppm, n_labels
 FROM r WHERE rn = 1 ORDER BY o_custkey
+""",
+        # ---- round 11: curriculum ordering, cross-source dup matrix
+        "curriculum_order": """
+WITH t AS (SELECT doc_id, n_chars,
+             CASE WHEN n_chars >= 800 THEN 0
+                  WHEN n_chars >= 400 THEN 1 ELSE 2 END AS tier,
+             md5(CAST(doc_id AS VARCHAR) || ':cur0') AS shuf
+           FROM documents)
+SELECT doc_id, CAST(tier AS INTEGER) AS tier,
+       CAST(row_number() OVER (ORDER BY tier, shuf, doc_id) AS BIGINT)
+         AS train_pos
+FROM t ORDER BY train_pos
+""",
+        "dup_source_matrix": """
+WITH p AS (SELECT source AS g,
+                  md5(array_to_string(
+                        (string_split(trim(text), ' '))[1:3], ' '))
+                    AS fingerprint
+           FROM documents),
+c AS (SELECT fingerprint, g, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2),
+xp AS (SELECT a.g AS src_a, b.g AS src_b, a.fingerprint,
+              a.n * b.n AS np
+       FROM c a JOIN c b
+         ON a.fingerprint = b.fingerprint AND a.g < b.g),
+diag AS (SELECT g AS src_a, g AS src_b, fingerprint,
+                (n * (n - 1)) // 2 AS np
+         FROM c WHERE n >= 2),
+u AS (SELECT * FROM xp UNION ALL SELECT * FROM diag)
+SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(SUM(np) AS BIGINT) AS n_pairs
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }
 

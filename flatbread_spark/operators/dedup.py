@@ -835,3 +835,71 @@ def chunk_self_dedup(
     if keep_text:
         cols.append(F.concat_ws(" ", F.col("__kept")).alias("clean_text"))
     return staged2.select(*cols)
+
+
+def dup_source_matrix(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    group_col: str,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source pair
+    (a ≤ b), how many DOCUMENT PAIRS share a content fingerprint — the
+    ingestion diagnostic that answers "which feeds mirror which" (and
+    "how much does each feed copy itself") before anyone debates crawl
+    priorities. A large (src3, src7) cell means one of them is a mirror;
+    a large diagonal cell means the feed re-posts its own content.
+
+    Returns one row per pair with any shared content:
+
+    - ``src_a``/``src_b``  group labels, ``src_a <= src_b``
+    - ``n_fingerprints``   distinct contents behind the pair
+    - ``n_pairs``          duplicate doc pairs: Σ over fingerprints of
+                           n_a·n_b (a<b) or n·(n−1)/2 (diagonal)
+
+    Scale: only (fingerprint, group) rows shuffle — content never moves —
+    and the pair join runs on the per-(fingerprint, group) COUNT table
+    (bounded by duplicated fingerprints × groups, a tiny fraction of the
+    corpus). Within a fingerprint the work is quadratic in the number of
+    DISTINCT GROUPS touching it (≤ |sources|², never cluster size).
+    """
+    fp = (
+        fingerprint_md5(F.col(content_col))
+        if portable_hash
+        else F.xxhash64(content_col).cast("string")
+    )
+    counts = (
+        df.select(fp.alias("fingerprint"), F.col(group_col).alias("g"))
+        .groupBy("fingerprint", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.g") < F.col("b.g")),
+        )
+        .select(
+            F.col("a.g").alias("src_a"),
+            F.col("b.g").alias("src_b"),
+            F.col("a.fingerprint").alias("fingerprint"),
+            (F.col("a.n") * F.col("b.n")).alias("np"),
+        )
+    )
+    diag = counts.filter(F.col("n") >= 2).select(
+        F.col("g").alias("src_a"),
+        F.col("g").alias("src_b"),
+        "fingerprint",
+        # BIGINT div, not float /2: n·(n−1) is even, so this is exact
+        F.expr("(n * (n - 1)) div 2").alias("np"),
+    )
+    return (
+        cross.unionByName(diag)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum("np").cast("bigint").alias("n_pairs"),
+        )
+    )

@@ -167,3 +167,46 @@ def two_phase_decimal_cumsums(
             (F.col(f"{c}__lc__") + off).cast("decimal(28,12)"),
         ).drop(f"{c}__lc__")
     return out.drop("__pid__")
+
+
+def curriculum_order(
+    df: DataFrame,
+    key_col: str,
+    tier_of: Column,
+    salt: str = "",
+    out_tier: str = "tier",
+    out_pos: str = "train_pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Curriculum training order: documents grouped into quality TIERS
+    (tier 0 trains first), deterministically shuffled WITHIN each tier —
+    the "clean data first, tail last" corpus layout curriculum-training
+    recipes ask for, produced as one global position column.
+
+    ``tier_of`` is any integer Column (0 = first); thresholds over a
+    quality score are the typical shape::
+
+        tier_of = (F.when(F.col("q") >= 0.9, 0)
+                    .when(F.col("q") >= 0.5, 1).otherwise(2))
+
+    The within-tier shuffle is ``md5(key || salt)`` — reproducible across
+    runs, engines and partitionings, re-rollable via ``salt`` (the same
+    discipline as ``corpus_shuffle``). Positions are exactly 1..n dense
+    over (tier, shuffle-hash, key) via the two-phase range-partitioned
+    rank — no single-task window at any corpus size.
+
+    Returns ``df`` + ``out_tier`` (int) + ``out_pos`` (bigint).
+    """
+    shuf = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    with_tier = df.withColumn(out_tier, tier_of.cast("int")).withColumn(
+        "__shuf", shuf
+    )
+    ranked = scalable_pos(
+        with_tier,
+        [F.col(out_tier), F.col("__shuf"), F.col(key_col)],
+        out_col="__cpos",
+        num_partitions=num_partitions,
+    )
+    return ranked.withColumn(out_pos, F.col("__cpos").cast("bigint")).drop(
+        "__cpos", "__shuf"
+    )

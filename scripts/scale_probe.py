@@ -288,6 +288,31 @@ def main():
         "label_vote": lambda d, e: run_count(
             fb.label_vote(d, "source", "lang")
         ),
+        # round-11 operators
+        "curriculum_order": lambda d, e: run_count(
+            fb.curriculum_order(
+                d.select("doc_id", "n_chars"),
+                "doc_id",
+                F.when(F.col("n_chars") >= 800, 0)
+                .when(F.col("n_chars") >= 400, 1)
+                .otherwise(2),
+            )
+        ),
+        # prefix fingerprints so the 10x near-dup replicas collide by
+        # construction (full-text dups don't exist in this corpus)
+        "dup_source_matrix": lambda d, e: run_count(
+            fb.dup_source_matrix(
+                d.withColumn(
+                    "__pre",
+                    F.concat_ws(
+                        " ", F.slice(F.split(F.trim(F.col("text")), " "), 1, 3)
+                    ),
+                ),
+                "doc_id",
+                "__pre",
+                "source",
+            )
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():
