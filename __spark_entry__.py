@@ -2832,6 +2832,52 @@ def q_dup_matrix(spark, sf_dir):
     )
 
 
+def q_stream_rate_anomaly(spark, sf_dir):
+    """Streaming rate monitor (streaming/rate.py stream_rate_anomaly):
+    replay events through the REAL applyInPandasWithState operator —
+    per-key state is (open bucket, count, trailing closed counts), grid
+    zeros synthesized at close time — and drain. The drained replay must
+    equal the batch rate_anomaly restricted to closed, fully-historied
+    buckets (the oracle applies exactly that filter)."""
+    import tempfile
+
+    from flatbread_spark.functions.eventtime import ensure_epoch_ns
+    from flatbread_spark.streaming.rate import stream_rate_anomaly
+
+    DAY_NS = 86_400_000_000_000
+    _load(spark, sf_dir, "events")  # sets session confs (tz, nanosAsLong)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream_dir = tempfile.mkdtemp(prefix="fb_stream_rate_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+
+    for q in spark.streams.active:
+        if q.name == "fb_stream_rate":
+            q.stop()
+    raw = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    out = stream_rate_anomaly(
+        ensure_epoch_ns(raw, "ts"), "user_id", "ts", DAY_NS,
+        trailing=3, factor_x1000=3000, min_count=4,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fb_stream_rate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("fb_stream_rate")
+        .select(
+            F.col("k").alias("user_id"),
+            "bucket_start", "n", "trailing_sum", "ratio_x1000", "is_anomaly",
+        )
+        .orderBy("user_id", "bucket_start")
+    )
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2950,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_vote": q_label_vote,
         "curriculum_order": q_curriculum,
         "dup_source_matrix": q_dup_matrix,
+        "stream_rate_anomaly": q_stream_rate_anomaly,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5060,6 +5107,38 @@ u AS (SELECT * FROM xp UNION ALL SELECT * FROM diag)
 SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
        CAST(SUM(np) AS BIGINT) AS n_pairs
 FROM u GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # the drained stream equals the batch rate monitor restricted to
+        # closed (strictly before each key's last bucket), fully-historied
+        # grid buckets — the same filter the streaming operator's close-time
+        # evaluation implies
+        "stream_rate_anomaly": """
+WITH obs AS (
+  SELECT user_id,
+         epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY 1),
+spine AS (SELECT user_id, hi,
+                 unnest(generate_series(lo, hi,
+                        CAST(86400000000000 AS BIGINT))) AS b
+          FROM span),
+g AS (SELECT spine.user_id, spine.b, spine.hi, COALESCE(obs.n, 0) AS n
+      FROM spine LEFT JOIN obs
+        ON spine.user_id = obs.user_id AND spine.b = obs.b),
+w AS (SELECT user_id, b, hi, n,
+        SUM(n) OVER (PARTITION BY user_id ORDER BY b
+                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS tsum,
+        COUNT(*) OVER (PARTITION BY user_id ORDER BY b
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS nprior
+      FROM g)
+SELECT user_id, b AS bucket_start, n,
+       CAST(tsum AS BIGINT) AS trailing_sum,
+       CASE WHEN tsum > 0
+            THEN CAST((n * 3 * 1000) // tsum AS BIGINT) END AS ratio_x1000,
+       (n >= 4 AND (tsum = 0 OR n * 3 * 1000 > 3000 * tsum)) AS is_anomaly
+FROM w WHERE nprior = 3 AND b < hi
+ORDER BY user_id, bucket_start
 """,
     }
 

@@ -109,3 +109,119 @@ class TestDupSourceMatrix:
             .agg(F.sum("p")).first()[0]
         )
         assert matrix_total == per_fp
+
+
+# --------------------------------------------------------- stream_rate_anomaly
+class TestStreamRateAnomaly:
+    def test_drained_stream_equals_batch(self, spark, events, tmp_path):
+        """The streaming monitor's drained replay must equal the batch
+        rate_anomaly filtered to closed, fully-historied buckets."""
+        import os
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from flatbread_spark.functions.eventtime import ensure_epoch_ns
+        from flatbread_spark.operators.timeseries import rate_anomaly
+        from flatbread_spark.streaming.rate import stream_rate_anomaly
+        from tests.conftest import SF_DIR
+
+        DAY = 86_400_000_000_000
+        ev = ensure_epoch_ns(events, "ts")
+        batch = rate_anomaly(
+            ev, ["user_id"], "ts", DAY, trailing=3, factor_x1000=3000,
+            min_count=4,
+        )
+        mx = Window.partitionBy("user_id")
+        expect = {
+            (r["user_id"], r["bucket_start"]): (
+                r["n"], r["trailing_sum"], r["ratio_x1000"], r["is_anomaly"]
+            )
+            for r in batch.withColumn(
+                "__mx", F.max("bucket_start").over(mx)
+            )
+            .filter(
+                F.col("trailing_sum").isNotNull()
+                & (F.col("bucket_start") < F.col("__mx"))
+            )
+            .collect()
+        }
+
+        stream_dir = tmp_path / "events_rate"
+        stream_dir.mkdir()
+        os.symlink(
+            os.path.join(SF_DIR, "events.parquet"),
+            stream_dir / "events.parquet",
+        )
+        raw_schema = spark.read.parquet(
+            os.path.join(SF_DIR, "events.parquet")
+        ).schema
+        raw = spark.readStream.schema(raw_schema).parquet(str(stream_dir))
+        sdf = stream_rate_anomaly(
+            ensure_epoch_ns(raw, "ts"), "user_id", "ts", DAY,
+            trailing=3, factor_x1000=3000, min_count=4,
+        )
+        assert sdf.isStreaming
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("rate_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (int(r.k), int(r.bucket_start)): (
+                int(r.n),
+                int(r.trailing_sum),
+                None if r.ratio_x1000 is None or r.ratio_x1000 != r.ratio_x1000
+                else int(r.ratio_x1000),
+                bool(r.is_anomaly),
+            )
+            for r in spark.sql("SELECT * FROM rate_test").toPandas().itertuples()
+        }
+        assert got == expect
+        assert any(v[3] for v in got.values())  # at least one real anomaly
+
+    def test_late_rows_never_rewrite_verdicts(self, spark, tmp_path):
+        """A second batch carrying an already-closed bucket is absorbed
+        into n_late state, not re-emitted."""
+        import json
+        import os
+
+        from flatbread_spark.streaming.rate import stream_rate_anomaly
+
+        import time
+
+        d = tmp_path / "late_src"
+        d.mkdir()
+        # batch 1: buckets 0..4 for key 1 (bucket width 10)
+        rows1 = [{"k": 1, "ts": b * 10 + i} for b in range(5) for i in range(2)]
+        # batch 2: a late row for bucket 0 plus a new bucket 5
+        rows2 = [{"k": 1, "ts": 1}, {"k": 1, "ts": 55}]
+        with open(d / "b1.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows1))
+        time.sleep(1.1)  # file-source orders batches by mod time
+        with open(d / "b2.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows2))
+        raw = (
+            spark.readStream.schema("k long, ts long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        sdf = stream_rate_anomaly(raw, "k", "ts", 10, trailing=3,
+                                  factor_x1000=2000, min_count=4)
+        q = (
+            sdf.writeStream.format("memory").queryName("late_test")
+            .outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT bucket_start, n FROM late_test ORDER BY bucket_start"
+        ).collect()
+        # batch1 closes bucket 3 (hist 0,1,2 full), bucket 4 stays open;
+        # batch2 closes bucket 4 with its ORIGINAL count (2) — the late
+        # bucket-0 row was absorbed into n_late, not into any verdict
+        buckets = [(r[0], r[1]) for r in rows]
+        assert buckets == [(30, 2), (40, 2)]
