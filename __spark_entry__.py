@@ -2878,6 +2878,24 @@ def q_stream_rate_anomaly(spark, sf_dir):
     )
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup (operators/dedup.py minhash_probe): odd
+    doc_ids are today's batch, even doc_ids the existing corpus; find
+    each batch doc's near-duplicates IN THE CORPUS without any batch×
+    batch or corpus×corpus comparison. Same signature math / banding /
+    exact-Jaccard verify as minhash_pairs (md5 portable path)."""
+    from flatbread_spark.operators.dedup import minhash_probe
+
+    docs = _load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return minhash_probe(
+        batch, corpus, "doc_id", "text",
+        n=4, num_hashes=32, bands=8, threshold=0.5, seed=42,
+        portable_hash=True,
+    ).orderBy("id_a", "id_b")
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -2997,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum,
         "dup_source_matrix": q_dup_matrix,
         "stream_rate_anomaly": q_stream_rate_anomaly,
+        "minhash_incremental": q_minhash_incremental,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -4333,6 +4352,34 @@ inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
 SELECT id_a, id_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
 FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
 WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.5
+""",
+        # batch(odd)×corpus(even) banding — same signatures, directional
+        # candidates instead of a.doc_id < b.doc_id
+        "minhash_incremental": rf"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, u.s
+       FROM tok, UNNEST(list_transform(generate_series(1, greatest(len(t)-3,1)),
+                                       i -> array_to_string(t[i:i+3], ' '))) u(s)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+hp AS (SELECT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) % 2147483647 AS h FROM sh),
+co AS (SELECT * FROM (VALUES {coeff_values}) c(i, a, b)),
+sig AS (SELECT doc_id, co.i AS i, MIN((h * co.a + co.b) % 2147483647) AS m
+        FROM hp CROSS JOIN co GROUP BY 1, 2),
+bd AS (SELECT doc_id, i // 4 AS band,
+              string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+       FROM sig GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key
+         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.id_a
+          JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.5
+ORDER BY id_a, id_b
 """,
         # all-pairs popcount — equal to the Spark banded join by pigeonhole
         # (max_hamming 3 < bands 4), over the same 60-bit md5 signatures

@@ -72,6 +72,7 @@ from flatbread_spark.operators.dedup import (  # noqa: E402
     dedup_incremental,
     embedding_dup_pairs,
     minhash_lsh_pairs,
+    minhash_probe,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -193,6 +194,6 @@ __all__ = [
     "validate_constraints",
     "skew_profile", "salted_agg", "salt_explode_join", "join_estimate",
     "sample_domain_capped", "rate_anomaly", "label_vote",
-    "curriculum_order", "dup_source_matrix",
+    "curriculum_order", "dup_source_matrix", "minhash_probe",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

@@ -254,6 +254,166 @@ def contamination_pairs(
     )
 
 
+def _minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    portable_hash: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature/banding stage for the self-join (:func:
+    `minhash_lsh_pairs`) and batch-vs-corpus (:func:`minhash_probe`)
+    operators. Returns ``(base, bands_df)``: the persisted hashed-shingle
+    arrays ``(__id, __sh)`` and the slim band rows
+    ``(__id, __band, __key)``."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes, seed)
+
+    # everything downstream of shingling works on hashed shingles:
+    # verification arrays shuffle ~8 bytes per shingle instead of the n-word
+    # string (identical Jaccard modulo ~|S|²/2⁶⁴ collisions)
+    hash_one = portable_hash60 if portable_hash else F.xxhash64
+    base = (
+        with_shingles(df.select(F.col(id_col).alias("__id"), text_col), text_col, n)
+        .select("__id", F.transform("__sh", lambda s: hash_one(s)).alias("__sh"))
+        # signature branch + per-candidate verification branch both read the
+        # hashed shingle arrays — persist so shingling/hashing runs once
+        .transform(_pin)
+    )
+    # per-document Arrow kernel: the signature is a function of the doc's own
+    # shingles, so it needs no explode/shuffle/num_hashes-aggregate plan at
+    # all — one (n_shingles × num_hashes) numpy broadcast per doc. Persisted:
+    # the banded join reads signatures on both sides.
+    from flatbread_spark.functions._arrow_kernels import make_minhash_udf
+
+    sig_df = base.select(
+        "__id", make_minhash_udf(coeffs, _P)(F.col("__sh")).alias("__sig")
+    ).transform(_pin)
+
+    # band rows carry ONLY (id, band, key): exploding the (possibly large)
+    # shingle array `bands`-fold and shuffling it through the join would
+    # multiply shuffle bytes by `bands`; shingles are re-joined by id later,
+    # once per *candidate pair*, not per band row.
+    bands_df = sig_df.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws(",", *[
+                        F.element_at("__sig", i * r + j + 1).cast("string")
+                        for j in range(r)
+                    ]).alias("key"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"))
+    return base, bands_df
+
+
+def _verify_jaccard(
+    cands: DataFrame,
+    sh_a: DataFrame,
+    sh_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    the two sides' hashed-shingle arrays."""
+    cands = (
+        cands.join(sh_a.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh_b.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.withColumn("jaccard", F.round(inter.cast("double") / union.cast("double"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_probe(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    portable_hash: bool = False,
+    max_band_bucket: int | None = 10_000,
+) -> DataFrame:
+    """INCREMENTAL near-dup: which documents of today's ``batch`` are
+    near-duplicates of the existing ``corpus`` — the daily-ingest shape
+    (:func:`dedup_incremental` is the exact-hash version; this is the
+    MinHash one). Never compares batch×batch or corpus×corpus: candidates
+    come from batch band rows equi-joined to corpus band rows, so cost
+    follows |batch| + the collided buckets, not |corpus|².
+
+    Same signature math as :func:`minhash_lsh_pairs` (same coefficients,
+    same banding, same exact-Jaccard verification; ``portable_hash=True``
+    for the SQL-replayable md5 path). Returns ``(id_a, id_b, jaccard)``
+    with id_a = batch doc, id_b = corpus doc.
+
+    ``max_band_bucket`` caps degenerate CORPUS buckets (boilerplate
+    signatures shared by millions of docs): over-cap buckets match each
+    colliding batch doc against the bucket's min-id representative only —
+    the batch doc still links into the cluster when the star edge
+    verifies; direct pairs against other bucket members are left to
+    smaller buckets (same recall statement as the self-join operator).
+
+    At production scale the corpus side's band rows are a PERSISTED index
+    (write ``_minhash_bands``' output once, append per batch) — the
+    recompute here keeps the operator self-contained; the join shape is
+    identical either way.
+    """
+    base_b, bands_b = _minhash_bands(
+        batch, id_col, text_col, n, num_hashes, bands, seed, portable_hash
+    )
+    base_c, bands_c = _minhash_bands(
+        corpus, id_col, text_col, n, num_hashes, bands, seed, portable_hash
+    )
+    if max_band_bucket is not None:
+        over = (
+            bands_c.groupBy("__band", "__key")
+            .agg(F.count(F.lit(1)).alias("__m"), F.min("__id").alias("__min"))
+            .filter(F.col("__m") > max_band_bucket)
+            .drop("__m")
+            .transform(_pin)
+        )
+        small_c = bands_c.join(
+            F.broadcast(over.select("__band", "__key")),
+            ["__band", "__key"], "left_anti",
+        )
+        star = (
+            bands_b.join(F.broadcast(over), ["__band", "__key"])
+            .select(F.col("__id").alias("id_a"), F.col("__min").alias("id_b"))
+        )
+    else:
+        star, small_c = None, bands_c
+    b, c = bands_b.alias("b"), small_c.alias("c")
+    cands = (
+        b.join(
+            c,
+            (F.col("b.__band") == F.col("c.__band"))
+            & (F.col("b.__key") == F.col("c.__key")),
+        )
+        .filter(F.col("b.__id") != F.col("c.__id"))
+        .select(F.col("b.__id").alias("id_a"), F.col("c.__id").alias("id_b"))
+    )
+    if star is not None:
+        cands = cands.unionByName(star.filter(F.col("id_a") != F.col("id_b")))
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    return _verify_jaccard(cands, base_b, base_c, threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -289,50 +449,9 @@ def minhash_lsh_pairs(
     emit them); emitted pairs remain exact-Jaccard-verified. ``None``
     disables the cap (exact r2 behavior).
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    coeffs = minhash_coeffs(num_hashes, seed)
-
-    # everything downstream of shingling works on hashed shingles:
-    # verification arrays shuffle ~8 bytes per shingle instead of the n-word
-    # string (identical Jaccard modulo ~|S|²/2⁶⁴ collisions)
-    hash_one = portable_hash60 if portable_hash else F.xxhash64
-    base = (
-        with_shingles(df.select(F.col(id_col).alias("__id"), text_col), text_col, n)
-        .select("__id", F.transform("__sh", lambda s: hash_one(s)).alias("__sh"))
-        # signature branch + per-candidate verification branch both read the
-        # hashed shingle arrays — persist so shingling/hashing runs once
-        .transform(_pin)
+    base, bands_df = _minhash_bands(
+        df, id_col, text_col, n, num_hashes, bands, seed, portable_hash
     )
-    # per-document Arrow kernel: the signature is a function of the doc's own
-    # shingles, so it needs no explode/shuffle/num_hashes-aggregate plan at
-    # all — one (n_shingles × num_hashes) numpy broadcast per doc. Persisted:
-    # the banded self-join reads signatures on both sides.
-    from flatbread_spark.functions._arrow_kernels import make_minhash_udf
-
-    sig_df = base.select(
-        "__id", make_minhash_udf(coeffs, _P)(F.col("__sh")).alias("__sig")
-    ).transform(_pin)
-
-    # band rows carry ONLY (id, band, key): exploding the (possibly large)
-    # shingle array `bands`-fold and shuffling it through the self-join would
-    # multiply shuffle bytes by `bands`; shingles are re-joined by id below,
-    # once per *candidate pair*, not per band row.
-    bands_df = sig_df.select(
-        "__id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.concat_ws(",", *[
-                        F.element_at("__sig", i * r + j + 1).cast("string")
-                        for j in range(r)
-                    ]).alias("key"),
-                )
-                for i in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("__id", F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"))
 
     if max_band_bucket is not None:
         # one bucket-stats pass over the slim (id, band, key) rows, reduced
@@ -372,18 +491,7 @@ def minhash_lsh_pairs(
     if star is not None:
         cands = cands.unionByName(star)
     cands = cands.dropDuplicates(["id_a", "id_b"])
-    shingle_sets = base.select("__id", "__sh")
-    cands = (
-        cands.join(shingle_sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
-        .join(shingle_sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cands.withColumn("jaccard", F.round(inter.cast("double") / union.cast("double"), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(cands, base, base, threshold)
 
 
 def simhash64(text: Column, n: int = 2) -> Column:

@@ -313,6 +313,16 @@ def main():
                 "source",
             )
         ),
+        # batch = every 10th doc, corpus = the rest; the 10x replicas give
+        # every batch doc ~10 corpus near-dups — reduce-side candidate
+        # growth the banding must absorb
+        "minhash_probe": lambda d, e: run_count(
+            fb.minhash_probe(
+                d.filter(F.col("doc_id") % 10 == 0),
+                d.filter(F.col("doc_id") % 10 != 0),
+                "doc_id", "text", n=4, num_hashes=32, bands=8,
+            )
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():

@@ -225,3 +225,81 @@ class TestStreamRateAnomaly:
         # bucket-0 row was absorbed into n_late, not into any verdict
         buckets = [(r[0], r[1]) for r in rows]
         assert buckets == [(30, 2), (40, 2)]
+
+
+# --------------------------------------------------------------- minhash_probe
+class TestMinhashProbe:
+    def _corpus_and_batch(self, spark):
+        words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+        corpus, batch = [], []
+        for i in range(20):
+            text = " ".join(words[j % 10] + str((i * 7 + j) % 13) for j in range(30))
+            corpus.append((i * 2, text))
+        # batch docs 1, 3: near-dups of corpus docs 0 and 2 (one word changed)
+        batch.append((1, corpus[0][1].replace("alpha0", "alphaX", 1)))
+        batch.append((3, corpus[1][1].replace("beta", "betaX", 1)))
+        # batch docs 5, 7: near-dups OF EACH OTHER but of nothing in corpus
+        novel = " ".join(f"nov{j}" for j in range(30))
+        batch.append((5, novel))
+        batch.append((7, novel.replace("nov3", "novX", 1)))
+        return (
+            spark.createDataFrame(corpus, "doc_id bigint, text string"),
+            spark.createDataFrame(batch, "doc_id bigint, text string"),
+        )
+
+    def test_finds_corpus_dups_never_batch_pairs(self, spark):
+        from flatbread_spark.operators.dedup import minhash_probe
+
+        corpus, batch = self._corpus_and_batch(spark)
+        out = minhash_probe(
+            batch, corpus, "doc_id", "text", n=3, num_hashes=32, bands=16,
+            threshold=0.5,
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in out}
+        assert (1, 0) in got and (3, 2) in got
+        # 5-7 are near-dups of each other but batch×batch is out of scope
+        assert not any(a in (5, 7) or b in (5, 7) for a, b in got)
+        assert all(r["jaccard"] >= 0.5 for r in out)
+
+    def test_matches_bruteforce_jaccard(self, spark):
+        """Every emitted pair's jaccard equals the exact set Jaccard of the
+        two docs' shingle sets (python re-derivation)."""
+        from flatbread_spark.operators.dedup import minhash_probe
+
+        corpus, batch = self._corpus_and_batch(spark)
+        out = minhash_probe(
+            batch, corpus, "doc_id", "text", n=3, num_hashes=32, bands=16,
+            threshold=0.3,
+        ).collect()
+        ctexts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+        btexts = {r["doc_id"]: r["text"] for r in batch.collect()}
+
+        def shingles(t, n=3):
+            w = t.split()
+            if len(w) <= n:
+                return {" ".join(w)}
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+        for r in out:
+            a, b = shingles(btexts[r["id_a"]]), shingles(ctexts[r["id_b"]])
+            true_j = round(len(a & b) / len(a | b), 6)
+            assert abs(r["jaccard"] - true_j) < 1e-9
+
+    def test_star_cap_links_batch_to_bucket_min(self, spark):
+        from flatbread_spark.operators.dedup import minhash_probe
+
+        text = " ".join(f"w{j}" for j in range(20))
+        corpus = spark.createDataFrame(
+            [(i, text) for i in range(10, 20)], "doc_id bigint, text string"
+        )
+        batch = spark.createDataFrame(
+            [(1, text)], "doc_id bigint, text string"
+        )
+        out = minhash_probe(
+            batch, corpus, "doc_id", "text", n=3, num_hashes=16, bands=4,
+            threshold=0.5, max_band_bucket=3,
+        ).collect()
+        # every corpus bucket is over-cap -> the batch doc links to the
+        # bucket min (id 10) via the star edge, jaccard 1.0
+        assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 10)}
+        assert out[0]["jaccard"] == 1.0
