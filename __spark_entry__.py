@@ -2896,6 +2896,20 @@ def q_minhash_incremental(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_quantile_buckets(spark, sf_dir):
+    """Exact equi-depth deciles (operators/ranking.py quantile_bucketize):
+    every document's global n_chars decile, positions from the two-phase
+    rank (no single-task window), bucket arithmetic all-BIGINT. Oracle
+    replays the identical (pos-1)*k div n + 1 formula over row_number."""
+    from flatbread_spark.operators.ranking import quantile_bucketize
+
+    docs = _load(spark, sf_dir, "documents")
+    out = quantile_bucketize(
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id", 10
+    )
+    return out.select("doc_id", "n_chars", "bucket").orderBy("doc_id")
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -3001,10 +3015,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quality_gate": q_stream_quality_gate,
         "knn_ivf_sweep": q_knn_ivf_sweep,
         # ---- tail (positions 51+): sacrificed first if the driver's
-        # ---- grading window is shorter. The round-9 operators lead the
-        # ---- tail (graded first if the window ever exceeds 50), then
-        # ---- r3-stale leftovers (the rotated-out family variants first),
-        # ---- then everything graded green in r4, heavy similarity last.
+        # ---- grading window is shorter. The THIRTEEN round-9..12
+        # ---- operators lead the tail (all pass the local DuckDB gate;
+        # ---- graded first if the window ever exceeds 50, otherwise next
+        # ---- round's rotation candidates), then r3-stale leftovers (the
+        # ---- rotated-out family variants first), then everything graded
+        # ---- green in r4, heavy similarity last.
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
         "skew_profile": q_skew_profile,
@@ -3016,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_source_matrix": q_dup_matrix,
         "stream_rate_anomaly": q_stream_rate_anomaly,
         "minhash_incremental": q_minhash_incremental,
+        "quantile_buckets": q_quantile_buckets,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5186,6 +5203,16 @@ SELECT user_id, b AS bucket_start, n,
        (n >= 4 AND (tsum = 0 OR n * 3 * 1000 > 3000 * tsum)) AS is_anomaly
 FROM w WHERE nprior = 3 AND b < hi
 ORDER BY user_id, bucket_start
+""",
+        "quantile_buckets": """
+WITH r AS (SELECT doc_id, n_chars,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS pos,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+           FROM documents)
+SELECT doc_id, n_chars,
+       CAST((pos - 1) * 10 // n + 1 AS BIGINT) AS bucket
+FROM r ORDER BY doc_id
 """,
     }
 

@@ -155,7 +155,10 @@ from flatbread_spark.operators.skew import (  # noqa: E402
 )
 from flatbread_spark.operators.timeseries import rate_anomaly  # noqa: E402
 from flatbread_spark.operators.curation import label_vote  # noqa: E402
-from flatbread_spark.operators.ranking import curriculum_order  # noqa: E402
+from flatbread_spark.operators.ranking import (  # noqa: E402
+    curriculum_order,
+    quantile_bucketize,
+)
 from flatbread_spark.operators.dedup import dup_source_matrix  # noqa: E402
 from flatbread_spark.operators.sampling import sample_domain_capped  # noqa: E402
 from flatbread_spark.functions.urls import (  # noqa: E402
@@ -195,5 +198,6 @@ __all__ = [
     "skew_profile", "salted_agg", "salt_explode_join", "join_estimate",
     "sample_domain_capped", "rate_anomaly", "label_vote",
     "curriculum_order", "dup_source_matrix", "minhash_probe",
+    "quantile_bucketize",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

@@ -210,3 +210,47 @@ def curriculum_order(
     return ranked.withColumn(out_pos, F.col("__cpos").cast("bigint")).drop(
         "__cpos", "__shuf"
     )
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    order_col: "str | Column",
+    key_col: str,
+    k: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT equi-depth bucketing: assign every row its global k-quantile
+    bucket (1..k) over ``order_col`` — "split the corpus into length
+    deciles" when the thresholds are NOT known up front (the complement of
+    :func:`curriculum_order`'s explicit-threshold tiers).
+
+    ``bucket = (pos - 1) * k div n + 1`` over the dense global position —
+    bucket sizes differ by at most one row, boundaries are data-derived,
+    and the assignment is deterministic under any partitioning via the
+    (order, key) total order. BIGINT arithmetic throughout (exact past
+    2^53 rows). This is NOT Spark's ``ntile`` remainder layout (ntile
+    front-loads the remainder; this formula spreads it) — but unlike
+    ``ntile`` it needs no unpartitioned window: positions come from the
+    two-phase range-partitioned rank, and ``n`` from a 1-row broadcast.
+
+    approxQuantile-based binning is the cheap alternative when ±ε bucket
+    sizes are fine; this operator is the exact path (rebuild-safe corpus
+    tiers, fairness splits, calibration bins).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    ranked = scalable_pos(df, [order, F.col(key_col)], out_col="__qpos")
+    totals = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__qn")))
+    return (
+        ranked.crossJoin(totals)
+        .withColumn(
+            out_col,
+            F.expr(
+                f"(CAST(__qpos AS BIGINT) - 1) * {int(k)} div __qn"
+            ).cast("bigint")
+            + F.lit(1).cast("bigint"),
+        )
+        .drop("__qpos", "__qn")
+    )

@@ -303,3 +303,47 @@ class TestMinhashProbe:
         # bucket min (id 10) via the star edge, jaccard 1.0
         assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 10)}
         assert out[0]["jaccard"] == 1.0
+
+
+# ----------------------------------------------------------- quantile_bucketize
+class TestQuantileBucketize:
+    def test_exact_equi_depth(self, spark):
+        from flatbread_spark.operators.ranking import quantile_bucketize
+
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 101) for i in range(103)], "id bigint, v bigint"
+        )
+        out = quantile_bucketize(df, "v", "id", 10).collect()
+        sizes = {}
+        for r in out:
+            sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+        assert set(sizes) == set(range(1, 11))
+        assert max(sizes.values()) - min(sizes.values()) <= 1  # equi-depth ±1
+        # order-respecting: every bucket-b value <= every bucket-(b+1) value
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r["bucket"], []).append(r["v"])
+        for b in range(1, 10):
+            assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+
+    def test_matches_formula(self, spark):
+        from flatbread_spark.operators.ranking import quantile_bucketize
+
+        rows = [(i, (i * 7) % 13) for i in range(40)]
+        df = spark.createDataFrame(rows, "id bigint, v bigint")
+        got = {
+            r["id"]: r["bucket"]
+            for r in quantile_bucketize(df, "v", "id", 4).collect()
+        }
+        order = sorted(rows, key=lambda r: (r[1], r[0]))
+        for pos, (i, v) in enumerate(order, start=1):
+            assert got[i] == (pos - 1) * 4 // 40 + 1
+
+    def test_k_validation(self, spark):
+        import pytest
+
+        from flatbread_spark.operators.ranking import quantile_bucketize
+
+        df = spark.createDataFrame([(1, 1)], "id bigint, v bigint")
+        with pytest.raises(ValueError):
+            quantile_bucketize(df, "v", "id", 0)
