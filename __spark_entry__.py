@@ -2910,6 +2910,118 @@ def q_quantile_buckets(spark, sf_dir):
     return out.select("doc_id", "n_chars", "bucket").orderBy("doc_id")
 
 
+def q_exact_percentiles(spark, sf_dir):
+    """Exact nearest-rank percentiles of document length
+    (operators/ranking.py exact_percentiles): p1/p25/p50/p75/p99 as
+    parts-per-million, target position = ceil(q*n/1e6) in pure BIGINT,
+    positions from the two-phase rank. The length-filter calibration
+    companion to quantile_buckets."""
+    from flatbread_spark.operators.ranking import exact_percentiles
+
+    docs = _load(spark, sf_dir, "documents")
+    out = exact_percentiles(
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id",
+        [10_000, 250_000, 500_000, 750_000, 990_000],
+    )
+    return out.select(
+        "q_ppm", "pos", "n", F.col("n_chars").alias("value")
+    ).orderBy("q_ppm")
+
+
+# the synthetic per-source boilerplate prefix: rpad to a FIXED 48 chars so
+# every doc of a source shares byte-identical first-48; planted on every
+# third doc. The SQL twin below replays the same literals.
+_BP_LEN = 48
+
+
+def _synth_boiler(docs):
+    pre = F.concat(
+        F.rpad(
+            F.concat(F.lit("SUBSCRIBE TO THE "), F.col("source"),
+                     F.lit(" NEWSLETTER")),
+            _BP_LEN - 3, "*",
+        ),
+        F.lit(" | "),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(pre, F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+_BP_CTE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 3 = 0
+      THEN rpad('SUBSCRIBE TO THE ' || source || ' NEWSLETTER', {_BP_LEN - 3}, '*')
+           || ' | ' || text
+      ELSE text END AS text
+  FROM documents),
+flags AS (
+  SELECT source, substr(text, 1, {_BP_LEN}) AS pk, COUNT(*) AS n
+  FROM t WHERE length(text) > {_BP_LEN}
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+o AS (
+  SELECT t.doc_id,
+    (f.pk IS NOT NULL) AS is_boilerplate,
+    CASE WHEN f.pk IS NOT NULL
+      THEN ltrim(substr(t.text, {_BP_LEN + 1})) ELSE t.text END AS ct
+  FROM t LEFT JOIN flags f
+    ON f.source = t.source AND length(t.text) > {_BP_LEN}
+   AND substr(t.text, 1, {_BP_LEN}) = f.pk)
+"""
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    """Per-source boilerplate-prefix stripping
+    (operators/boilerplate.py strip_boilerplate_prefix): a fixed 48-char
+    newsletter banner planted on every third document, detected by
+    (source, first-48-chars) counting — one hash-pair shuffle, broadcast
+    flag set, text never moves — and stripped row-locally. Output pins
+    the flag, the cleaned length and the cleaned head per document."""
+    from flatbread_spark.operators.boilerplate import strip_boilerplate_prefix
+
+    docs = _synth_boiler(_load(spark, sf_dir, "documents"))
+    out = strip_boilerplate_prefix(
+        docs, "source", "text", prefix_len=_BP_LEN, min_docs=3
+    )
+    return out.select(
+        "doc_id",
+        "is_boilerplate",
+        F.length("clean_text").cast("bigint").alias("n_clean"),
+        F.substring("clean_text", 1, 20).alias("head"),
+    ).orderBy("doc_id")
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document 5-gram novelty (operators/spans.py ngram_novelty):
+    ppm of each doc's distinct word 5-grams appearing in no other
+    document — the diversity/memorization dual of hot_spans coverage.
+    Distinct pairs reduced row-locally, one vocabulary-bounded shuffle,
+    all-BIGINT ppm."""
+    from flatbread_spark.operators.spans import ngram_novelty
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=5).orderBy("doc_id")
+
+
+def q_knn_quantized(spark, sf_dir):
+    """Int8-quantized top-k (operators/similarity.py knn_quantized):
+    shortlist by the EXACT integer code dot product (byte-identical
+    across engines — the candidate set is replayable, not just the
+    final ranks), exact-decimal cosine re-rank on the original floats.
+    The 4x-smaller-scan approximate path next to knn_bruteforce."""
+    from flatbread_spark.operators.similarity import knn_quantized
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return knn_quantized(emb, queries_df, k=5, shortlist=20).orderBy(
+        "query_id", "rank"
+    )
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -3033,6 +3145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rate_anomaly": q_stream_rate_anomaly,
         "minhash_incremental": q_minhash_incremental,
         "quantile_buckets": q_quantile_buckets,
+        "exact_percentiles": q_exact_percentiles,
+        "strip_boilerplate": q_strip_boilerplate,
+        "ngram_novelty": q_ngram_novelty,
+        "knn_quantized": q_knn_quantized,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5213,6 +5329,73 @@ WITH r AS (SELECT doc_id, n_chars,
 SELECT doc_id, n_chars,
        CAST((pos - 1) * 10 // n + 1 AS BIGINT) AS bucket
 FROM r ORDER BY doc_id
+""",
+        "exact_percentiles": """
+WITH r AS (SELECT n_chars,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS pos,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+           FROM documents),
+q AS (SELECT CAST(unnest([10000, 250000, 500000, 750000, 990000]) AS BIGINT)
+        AS q_ppm)
+SELECT q.q_ppm, r.pos, r.n, r.n_chars AS value
+FROM q JOIN r
+  ON r.pos = greatest(CAST(1 AS BIGINT), (q.q_ppm * r.n + 999999) // 1000000)
+ORDER BY q_ppm
+""",
+        "strip_boilerplate": _BP_CTE + """
+SELECT doc_id, is_boilerplate,
+       CAST(length(ct) AS BIGINT) AS n_clean,
+       substr(ct, 1, 20) AS head
+FROM o ORDER BY doc_id
+""",
+        "ngram_novelty": r"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+g AS (SELECT DISTINCT doc_id, u.s
+      FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 4),
+                                      i -> array_to_string(t[i:i+4], ' '))) u(s)
+      WHERE len(t) >= 5),
+c AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nd FROM g GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY doc_id
+""",
+        "knn_quantized": f"""
+WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+s AS (SELECT vec_id, e,
+        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+c AS (SELECT vec_id, e,
+        CASE WHEN scale > 0
+          THEN list_transform(e, x -> CAST(floor(x/scale + 0.5) AS BIGINT))
+          ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS codes
+      FROM s),
+q AS (SELECT * FROM c WHERE vec_id < 5),
+p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        q.e AS qe, n.e AS ne,
+        (SELECT CAST(SUM(q.codes[i] * n.codes[i]) AS BIGINT)
+         FROM generate_series(1,64) t(i)) AS qdot
+      FROM q, c n WHERE q.vec_id <> n.vec_id),
+short AS (SELECT query_id, neighbor_id, qdot, qe, ne,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdot DESC, neighbor_id ASC) AS srank
+          FROM p QUALIFY srank <= 20),
+sc AS (SELECT query_id, neighbor_id, qdot,
+         round({_DOT.format(a='qe', b='ne')}
+               / (sqrt({_DOT.format(a='qe', b='qe')})
+                  * sqrt({_DOT.format(a='ne', b='ne')})), 6) AS cos
+       FROM short)
+SELECT query_id, neighbor_id, qdot, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS INTEGER)
+         AS rank
+FROM sc QUALIFY rank <= 5
+ORDER BY query_id, rank
 """,
     }
 

@@ -157,8 +157,15 @@ from flatbread_spark.operators.timeseries import rate_anomaly  # noqa: E402
 from flatbread_spark.operators.curation import label_vote  # noqa: E402
 from flatbread_spark.operators.ranking import (  # noqa: E402
     curriculum_order,
+    exact_percentiles,
     quantile_bucketize,
 )
+from flatbread_spark.operators.boilerplate import (  # noqa: E402
+    boilerplate_prefixes,
+    strip_boilerplate_prefix,
+)
+from flatbread_spark.operators.spans import ngram_novelty  # noqa: E402
+from flatbread_spark.operators.similarity import knn_quantized  # noqa: E402
 from flatbread_spark.operators.dedup import dup_source_matrix  # noqa: E402
 from flatbread_spark.operators.sampling import sample_domain_capped  # noqa: E402
 from flatbread_spark.functions.urls import (  # noqa: E402
@@ -198,6 +205,7 @@ __all__ = [
     "skew_profile", "salted_agg", "salt_explode_join", "join_estimate",
     "sample_domain_capped", "rate_anomaly", "label_vote",
     "curriculum_order", "dup_source_matrix", "minhash_probe",
-    "quantile_bucketize",
+    "quantile_bucketize", "exact_percentiles", "boilerplate_prefixes",
+    "strip_boilerplate_prefix", "ngram_novelty", "knn_quantized",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

@@ -169,6 +169,61 @@ def two_phase_decimal_cumsums(
     return out.drop("__pid__")
 
 
+def exact_percentiles(
+    df: DataFrame,
+    value_col: "str | Column",
+    key_col: str,
+    q_ppm: Sequence[int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT nearest-rank percentiles of ``value_col`` — the calibration
+    companion to :func:`quantile_bucketize` (that op labels every row; this
+    one returns just the k threshold VALUES, e.g. "what are p50/p95/p99
+    document lengths" for length-filter tuning or SLA reporting).
+
+    Quantiles are integer parts-per-million (``500_000`` = median) so the
+    target position ``ceil(q·n / 1e6)`` is all-BIGINT: byte-identical
+    across engines and partitionings, no libm. Nearest-rank (SQL's
+    ``PERCENTILE_DISC``) rather than interpolated: the answer is always a
+    value that EXISTS in the data. Positions come from the two-phase
+    range-partitioned rank — no unpartitioned window — and only the k
+    matched rows survive the position filter, so nothing data-sized ever
+    reaches the driver (``n`` itself is a 1-number action against the
+    checkpointed ranking).
+
+    ``approxQuantile`` is the ±ε one-pass alternative; this is the exact
+    path. Returns one row per requested quantile:
+    ``(q_ppm BIGINT, pos BIGINT, n BIGINT, <value_col>)``.
+    """
+    qs = sorted({int(q) for q in q_ppm})
+    if not qs or qs[0] < 1 or qs[-1] > 1_000_000:
+        raise ValueError(f"q_ppm must be within [1, 1_000_000], got {q_ppm}")
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    vname = value_col if isinstance(value_col, str) else "value"
+    ranked = scalable_pos(
+        df, [value, F.col(key_col)], out_col="__xpos",
+        num_partitions=num_partitions,
+    ).withColumn("__xpos", F.col("__xpos").cast("bigint"))
+    n = ranked.count()  # 1-number action against the checkpointed ranking
+    spark = df.sparkSession
+    targets = [
+        (q, max(1, (q * n + 999_999) // 1_000_000)) for q in qs
+    ]
+    tdf = spark.createDataFrame(targets, "q_ppm bigint, __xpos bigint")
+    return (
+        ranked.filter(
+            F.col("__xpos").isin([p for _, p in targets])
+        )
+        .join(F.broadcast(tdf), "__xpos")
+        .select(
+            "q_ppm",
+            F.col("__xpos").alias("pos"),
+            F.lit(n).cast("bigint").alias("n"),
+            F.col(vname) if isinstance(value_col, str) else value.alias(vname),
+        )
+    )
+
+
 def curriculum_order(
     df: DataFrame,
     key_col: str,

@@ -251,6 +251,78 @@ def knn_ivf(
     )
 
 
+def knn_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Approximate top-k over INT8-quantized vectors — the memory/IO scale
+    path (codes are 4× smaller than float32; the corpus-side scan reads
+    codes, not floats). Two-phase:
+
+    1. SHORTLIST by the integer code dot product ``Σ qcᵢ·ccᵢ`` — all-BIGINT
+       (codes are in [-127,127], so 64-dim dots fit in 21 bits; no
+       overflow until ~2^40 dims), hence byte-identical across engines and
+       partitionings: the candidate set an oracle replays is EXACTLY this
+       engine's. Raw code-dot ranking ignores the per-vector scales —
+       unbiased for (near-)unit-norm embeddings, the common corpus case;
+       for wildly varying norms compose with IVF cells instead.
+    2. exact-decimal cosine on the ORIGINAL floats re-ranks the shortlist
+       and decides the output values (same discipline as
+       ``knn_bruteforce``) — quantization error can only cost shortlist
+       recall, never corrupt a returned score.
+
+    At open-corpus scale the all-pairs candidate join here is replaced by
+    any bucketed candidate source (:func:`ivf_candidates` /
+    :func:`knn_lsh`) feeding the same two phases; this operator is the
+    quantized-scoring building block plus the small-query-set search.
+    Returns ``(query_id, neighbor_id, qdot, cos, rank)``.
+    """
+    from flatbread_spark.functions.vectors import int8_codes, int8_scale
+
+    if shortlist is None:
+        shortlist = max(4 * k, k + 20)
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+
+    def staged(df, prefix):
+        scale = int8_scale(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"__{prefix}v"),
+            int8_codes(F.col(vec_col), scale).alias(f"__{prefix}c"),
+        )
+
+    c = staged(corpus, "neighbor")
+    q = staged(queries, "query")
+    qdot = F.aggregate(
+        F.zip_with(F.col("__queryc"), F.col("__neighborc"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("qdot"), F.asc("neighbor_id")
+    )
+    short = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__queryv", "__neighborv",
+                qdot.alias("qdot"))
+        .withColumn("__srank", F.row_number().over(ws))
+        .filter(F.col("__srank") <= shortlist)
+    )
+    cos = cosine_exact(F.col("__queryv"), F.col("__neighborv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        short.select("query_id", "neighbor_id", "qdot",
+                     F.round(cos, 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def mine_contrastive_negatives(
     corpus: DataFrame,
     anchors: DataFrame | None = None,

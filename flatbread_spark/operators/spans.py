@@ -170,3 +170,62 @@ def mask_hot_ngrams(
         .withColumn(out_col, F.concat_ws(" ", F.transform(kept, lambda s: s["w"])))
         .drop("__cov__")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: what fraction (ppm) of a document's
+    DISTINCT n-grams appear in no other document — the diversity /
+    memorization-risk score dual to :func:`hot_ngram_coverage` (coverage
+    asks "how much of this doc is repeated material"; novelty asks "how
+    much of this doc exists nowhere else"). Low-novelty documents are
+    near-verbatim recombinations of corpus material even when no single
+    pair-wise dedup fires; high-novelty documents carry unique content
+    worth keeping under a token budget.
+
+    Dataflow: distinct (doc, gram-hash) pairs — deduplicated ROW-LOCALLY
+    with ``array_distinct`` before the explode, so a gram repeated inside
+    one document costs one wire row; document count per gram is then a
+    plain ``count`` over the distinct pairs (one vocabulary-bounded
+    partial-aggregated shuffle); the join back carries (id, 8-byte hash)
+    pairs — content never moves. All counting is BIGINT;
+    ``novelty_ppm = n_unique * 1_000_000 div n_grams`` is byte-identical
+    across engines. Documents with fewer than ``n`` tokens have no
+    n-grams and are omitted (score undefined, not zero).
+
+    Returns ``(id_col, n_grams, n_unique, novelty_ppm)`` — all BIGINT.
+    """
+    words = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col), words.alias("__w__")).filter(
+        F.size("__w__") >= n
+    )
+    ghs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w__") - (n - 1)),
+            lambda s: _gram_hash(F.col("__w__"), s, n),
+        )
+    )
+    pairs = base.select(id_col, F.explode(ghs).alias("gh"))
+    gram_docs = pairs.groupBy("gh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        pairs.join(gram_docs, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("n_docs") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("n_unique * CAST(1000000 AS BIGINT) div n_grams").cast(
+                "bigint"
+            ),
+        )
+    )

@@ -1,0 +1,193 @@
+"""Round-12 operators: exact nearest-rank percentiles, boilerplate-prefix
+stripping, n-gram novelty, int8-quantized knn. Each checked against an
+independent pure-Python re-derivation of its documented formula."""
+import pytest
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------- exact_percentiles
+class TestExactPercentiles:
+    def test_nearest_rank_formula(self, spark):
+        from flatbread_spark.operators.ranking import exact_percentiles
+
+        vals = [(i, (i * 37) % 101) for i in range(103)]
+        df = spark.createDataFrame(vals, "id bigint, v bigint")
+        qs = [10_000, 250_000, 500_000, 750_000, 990_000, 1_000_000]
+        got = {
+            r["q_ppm"]: (r["pos"], r["n"], r["v"])
+            for r in exact_percentiles(df, "v", "id", qs).collect()
+        }
+        ordered = sorted(vals, key=lambda r: (r[1], r[0]))
+        n = len(ordered)
+        for q in qs:
+            pos = max(1, (q * n + 999_999) // 1_000_000)
+            assert got[q] == (pos, n, ordered[pos - 1][1]), q
+
+    def test_median_of_even(self, spark):
+        from flatbread_spark.operators.ranking import exact_percentiles
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, 40)], "id bigint, v bigint"
+        )
+        [r] = exact_percentiles(df, "v", "id", [500_000]).collect()
+        # nearest-rank median of 4 = element at ceil(0.5*4)=2
+        assert (r["pos"], r["v"]) == (2, 20)
+
+    def test_rejects_bad_q(self, spark):
+        from flatbread_spark.operators.ranking import exact_percentiles
+
+        df = spark.createDataFrame([(1, 1)], "id bigint, v bigint")
+        with pytest.raises(ValueError):
+            exact_percentiles(df, "v", "id", [0])
+        with pytest.raises(ValueError):
+            exact_percentiles(df, "v", "id", [1_000_001])
+
+
+# ----------------------------------------------------- strip_boilerplate_prefix
+class TestBoilerplate:
+    PREFIX = "SUBSCRIBE TO OUR NEWSLETTER | COOKIE OK | "  # 42 chars
+
+    def _df(self, spark):
+        rows = []
+        for i in range(20):
+            body = f"unique article body number {i} with words " * 3
+            text = (self.PREFIX + body) if i % 2 == 0 else body
+            rows.append((i, "siteA" if i < 16 else "siteB", text))
+        return spark.createDataFrame(rows, "doc_id bigint, src string, text string")
+
+    def test_strips_only_flagged_groups(self, spark):
+        from flatbread_spark.operators.boilerplate import strip_boilerplate_prefix
+
+        out = strip_boilerplate_prefix(
+            self._df(spark), "src", "text", prefix_len=len(self.PREFIX), min_docs=3
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        for i in range(20):
+            r = by_id[i]
+            if i % 2 == 0 and i < 16:  # siteA has 8 prefixed docs >= min_docs
+                assert r["is_boilerplate"] is True
+                assert not r["clean_text"].startswith(self.PREFIX)
+                assert r["clean_text"].startswith("unique article body")
+            else:  # siteB has only 2 prefixed docs: below min_docs, kept
+                assert r["is_boilerplate"] is False
+                assert r["clean_text"] == r["text"]
+
+    def test_short_docs_exempt(self, spark):
+        from flatbread_spark.operators.boilerplate import strip_boilerplate_prefix
+
+        # every doc IS the shared prefix — shorter than prefix_len+1, exempt
+        df = spark.createDataFrame(
+            [(i, "s", "same text") for i in range(10)],
+            "doc_id bigint, src string, text string",
+        )
+        out = strip_boilerplate_prefix(df, "src", "text", 20, 3).collect()
+        assert all(r["is_boilerplate"] is False for r in out)
+        assert all(r["clean_text"] == "same text" for r in out)
+
+    def test_rejects_bad_params(self, spark):
+        from flatbread_spark.operators.boilerplate import boilerplate_prefixes
+
+        df = spark.createDataFrame([(1, "s", "t")], "id bigint, src string, text string")
+        with pytest.raises(ValueError):
+            boilerplate_prefixes(df, "src", "text", prefix_len=0)
+        with pytest.raises(ValueError):
+            boilerplate_prefixes(df, "src", "text", min_docs=1)
+
+
+# ------------------------------------------------------------- ngram_novelty
+class TestNgramNovelty:
+    def test_counts_match_python(self, spark):
+        from flatbread_spark.operators.spans import ngram_novelty
+
+        texts = {
+            1: "a b c d e f",      # shares "a b c" start with doc 2
+            2: "a b c x y z",
+            3: "p q r s t u",      # fully unique
+            4: "a b",              # too short for n=3: omitted
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r for r in ngram_novelty(df, "doc_id", "text", n=3).collect()}
+
+        def grams(t):
+            w = t.split()
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        from collections import Counter
+
+        gc = Counter(g for i in (1, 2, 3) for g in grams(texts[i]))
+        assert set(out) == {1, 2, 3}
+        for i in (1, 2, 3):
+            gs = grams(texts[i])
+            uniq = sum(1 for g in gs if gc[g] == 1)
+            r = out[i]
+            assert (r["n_grams"], r["n_unique"]) == (len(gs), uniq)
+            assert r["novelty_ppm"] == uniq * 1_000_000 // len(gs)
+
+    def test_within_doc_repeat_counts_once(self, spark):
+        from flatbread_spark.operators.spans import ngram_novelty
+
+        # "a b c" occurs twice inside doc 1 but in no other doc -> unique
+        df = spark.createDataFrame(
+            [(1, "a b c d a b c"), (2, "x y z w")],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in ngram_novelty(df, "doc_id", "text", n=3).collect()}
+        assert out[1]["n_unique"] == out[1]["n_grams"]  # all distinct grams unique
+        assert out[1]["novelty_ppm"] == 1_000_000
+
+
+# ------------------------------------------------------------- knn_quantized
+class TestKnnQuantized:
+    def test_matches_python_reference(self, spark, embeddings):
+        import math
+
+        from flatbread_spark.operators.similarity import knn_quantized
+
+        corpus = embeddings.limit(80)
+        queries = corpus.filter(F.col("vec_id") < 3)
+        out = knn_quantized(corpus, queries, k=5, shortlist=20).collect()
+
+        rows = corpus.collect()
+        vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+        def codes(v):
+            s = max(abs(x) for x in v) / 127.0
+            if s <= 0:
+                return [0] * len(v)
+            return [math.floor(x / s + 0.5) for x in v]
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append(r)
+        for qid in (0, 1, 2):
+            qc = codes(vecs[qid])
+            scored = sorted(
+                (
+                    (-sum(x * y for x, y in zip(qc, codes(v))), nid)
+                    for nid, v in vecs.items()
+                    if nid != qid
+                ),
+            )[:20]
+            short = {nid for _, nid in scored}
+            top = sorted(
+                ((-round(cos(vecs[qid], vecs[nid]), 6), nid) for nid in short)
+            )[:5]
+            want = [nid for _, nid in top]
+            rs = sorted(got[qid], key=lambda r: r["rank"])
+            assert [r["neighbor_id"] for r in rs] == want, qid
+            # qdot is the exact integer dot of codes
+            for r in rs:
+                qd = sum(x * y for x, y in zip(qc, codes(vecs[r["neighbor_id"]])))
+                assert r["qdot"] == qd
+
+    def test_rejects_small_shortlist(self, spark, embeddings):
+        from flatbread_spark.operators.similarity import knn_quantized
+
+        with pytest.raises(ValueError):
+            knn_quantized(embeddings, embeddings, k=10, shortlist=5)
