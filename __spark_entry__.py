@@ -3007,6 +3007,42 @@ def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(docs, "doc_id", "text", n=5).orderBy("doc_id")
 
 
+def q_sample_mix(spark, sf_dir):
+    """Exact target-mix downsampling (operators/sampling.py sample_to_mix):
+    force the kept corpus to 60% en / 20% de / 20% fr, keeping the maximum
+    total the binding group allows — all-BIGINT share math, stable-hash
+    within-group order, byte-identical kept set. Oracle replays the
+    identical M / keep_g / rank formulas."""
+    from flatbread_spark.operators.sampling import sample_to_mix
+
+    docs = _load(spark, sf_dir, "documents")
+    out = sample_to_mix(
+        docs.select("doc_id", "lang"),
+        "doc_id", "lang",
+        {"en": 600_000, "de": 200_000, "fr": 200_000},
+        salt="mix5",
+    )
+    return out.select("doc_id", "lang", "mix_pos").orderBy("doc_id")
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization (operators/ranking.py
+    quantile_normalize): each document's n_chars replaced by the global
+    length at its within-source percentile — per-source score
+    distributions become comparable. Midpoint-ppm and nearest-rank
+    formulas all-BIGINT; global positions from the two-phase rank."""
+    from flatbread_spark.operators.ranking import quantile_normalize
+
+    docs = _load(spark, sf_dir, "documents")
+    out = quantile_normalize(
+        docs.select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id",
+    )
+    return out.select(
+        "doc_id", "source", "n_chars", "ppm", "norm_score"
+    ).orderBy("doc_id")
+
+
 def q_knn_quantized(spark, sf_dir):
     """Int8-quantized top-k (operators/similarity.py knn_quantized):
     shortlist by the EXACT integer code dot product (byte-identical
@@ -3149,6 +3185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "ngram_novelty": q_ngram_novelty,
         "knn_quantized": q_knn_quantized,
+        "sample_mix": q_sample_mix,
+        "quantile_normalize": q_quantile_normalize,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5363,6 +5401,41 @@ SELECT doc_id,
        CAST(CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
             * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
 FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY doc_id
+""",
+        "sample_mix": """
+WITH t(lang, tp) AS (VALUES ('en', 600000), ('de', 200000), ('fr', 200000)),
+b AS (SELECT doc_id, lang,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix5'), 1, 15)
+             AS BIGINT) % 1000000 AS bucket
+      FROM documents WHERE lang IN (SELECT lang FROM t)),
+n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ng FROM b GROUP BY 1),
+m AS (SELECT CAST(MIN(ng * 1000000 // tp) AS BIGINT) AS m
+      FROM n JOIN t USING (lang)),
+r AS (SELECT doc_id, lang,
+        CAST(row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id)
+             AS BIGINT) AS mix_pos
+      FROM b)
+SELECT r.doc_id, r.lang, r.mix_pos
+FROM r JOIN t USING (lang) CROSS JOIN m
+WHERE r.mix_pos <= CAST(tp AS BIGINT) * m.m // 1000000
+ORDER BY doc_id
+""",
+        "quantile_normalize": """
+WITH b AS (SELECT doc_id, source, n_chars,
+        CAST((2 * row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) - 1)
+             AS BIGINT) * 1000000
+          // (2 * CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)) AS ppm
+      FROM documents),
+g AS (SELECT n_chars AS gv,
+        CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS pos,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM documents)
+SELECT b.doc_id, b.source, b.n_chars, CAST(b.ppm AS BIGINT) AS ppm,
+       g.gv AS norm_score
+FROM b JOIN g
+  ON g.pos = greatest(CAST(1 AS BIGINT), (b.ppm * g.n + 999999) // 1000000)
+ORDER BY doc_id
 """,
         "knn_quantized": f"""
 WITH v AS (SELECT vec_id,

@@ -159,6 +159,7 @@ from flatbread_spark.operators.ranking import (  # noqa: E402
     curriculum_order,
     exact_percentiles,
     quantile_bucketize,
+    quantile_normalize,
 )
 from flatbread_spark.operators.boilerplate import (  # noqa: E402
     boilerplate_prefixes,
@@ -167,7 +168,10 @@ from flatbread_spark.operators.boilerplate import (  # noqa: E402
 from flatbread_spark.operators.spans import ngram_novelty  # noqa: E402
 from flatbread_spark.operators.similarity import knn_quantized  # noqa: E402
 from flatbread_spark.operators.dedup import dup_source_matrix  # noqa: E402
-from flatbread_spark.operators.sampling import sample_domain_capped  # noqa: E402
+from flatbread_spark.operators.sampling import (  # noqa: E402
+    sample_domain_capped,
+    sample_to_mix,
+)
 from flatbread_spark.functions.urls import (  # noqa: E402
     canonical_url,
     dedup_by_url,
@@ -203,9 +207,10 @@ __all__ = [
     "gap_fill", "fuzzy_match_pairs", "canonicalize_names",
     "validate_constraints",
     "skew_profile", "salted_agg", "salt_explode_join", "join_estimate",
-    "sample_domain_capped", "rate_anomaly", "label_vote",
+    "sample_domain_capped", "sample_to_mix", "rate_anomaly", "label_vote",
     "curriculum_order", "dup_source_matrix", "minhash_probe",
     "quantile_bucketize", "exact_percentiles", "boilerplate_prefixes",
     "strip_boilerplate_prefix", "ngram_novelty", "knn_quantized",
+    "quantile_normalize",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

@@ -224,6 +224,63 @@ def exact_percentiles(
     )
 
 
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    key_col: str,
+    out_col: str = "norm_score",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cross-group quantile normalization of a score column: replace each
+    row's score with the GLOBAL score value at the row's within-group
+    percentile. This is how per-source quality scores become comparable —
+    a classifier that systematically over-scores one source stops
+    distorting the corpus-wide ranking, because only each row's RANK
+    within its own source survives.
+
+    All-integer plumbing (byte-identical across engines/partitionings):
+    within-group midpoint percentile ``ppm = (2r−1)·1e6 div 2n_g``; the
+    global reference value is the nearest-rank global quantile at that
+    ppm, ``gpos = max(1, ceil(ppm·N/1e6))`` over the (score, key) total
+    order — the same formula family as :func:`exact_percentiles`.
+
+    Scale shape: the within-group rank is one per-group window (bounded
+    by the largest group, as any per-stratum statistic); the global rank
+    rides the two-phase range-partitioned rank; the final equi-join on
+    the target position shuffles (position, score) pairs against the
+    caller's PROJECTION — pass only the columns you need normalized
+    alongside, not document payloads. Appends ``ppm`` (BIGINT) and
+    ``out_col`` (the global score value at that quantile).
+    """
+    # the div chain is spelled in SQL so everything stays BIGINT end-to-end
+    staged = df.withColumn(
+        "ppm",
+        F.expr(
+            f"(2 * CAST(row_number() OVER (PARTITION BY {group_col} "
+            f"ORDER BY {score_col}, {key_col}) AS BIGINT) - 1) * 1000000 "
+            f"div (2 * CAST(count(1) OVER (PARTITION BY {group_col}) AS BIGINT))"
+        ).cast("bigint"),
+    )
+    ranked = scalable_pos(
+        df.select(F.col(score_col), F.col(key_col)),
+        [F.col(score_col), F.col(key_col)],
+        out_col="__gpos",
+        num_partitions=num_partitions,
+    ).select(
+        F.col("__gpos").cast("bigint").alias("__gpos"),
+        F.col(score_col).alias(out_col),
+    )
+    n = ranked.count()  # 1-number action against the checkpointed ranking
+    target = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(f"(ppm * CAST({n} AS BIGINT) + 999999) div 1000000"),
+    )
+    return staged.withColumn("__tpos", target).join(
+        ranked, F.col("__tpos") == F.col("__gpos")
+    ).drop("__tpos", "__gpos")
+
+
 def curriculum_order(
     df: DataFrame,
     key_col: str,

@@ -244,3 +244,67 @@ def sample_weighted(
             .drop("__rk")
         )
     return out.drop("__pri")
+
+
+def sample_to_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    targets_ppm: dict[str, int],
+    salt: str = "",
+) -> DataFrame:
+    """Downsample to an EXACT target group mix — the data-mixing step where
+    a corpus recipe says "the result must be 60% en / 20% de / 20% fr" and
+    the raw pool has whatever it has. Keeps as much data as possible:
+    the achievable total is ``M = min over groups of n_g·1e6 div t_g``
+    (the group that RUNS OUT first under its target share is the binding
+    constraint), and each group keeps its first ``t_g·M div 1e6`` rows in
+    stable hash order — all-BIGINT, so the kept set is byte-identical
+    across runs, engines and partitionings, and re-rollable via ``salt``.
+
+    ``targets_ppm`` maps group value → parts-per-million of the OUTPUT;
+    entries must be positive and sum to ≤ 1e6 (a slack remainder means
+    "and nothing else": unlisted groups are dropped). A targeted group
+    with no rows raises — a recipe demanding a share of data that does
+    not exist is a pipeline bug, not a quiet empty result.
+
+    Scale shape: one group-bounded count (driver holds |groups| numbers),
+    one per-group rank window ordered by (hash, key) — the same
+    per-stratum shuffle bound as :func:`sample_token_budget`. Appends
+    ``mix_pos`` (BIGINT rank within the group's kept order).
+    """
+    from pyspark.sql import Window
+
+    if not targets_ppm:
+        raise ValueError("targets_ppm must not be empty")
+    bad = {g: t for g, t in targets_ppm.items() if int(t) <= 0}
+    if bad:
+        raise ValueError(f"targets must be positive ppm, got {bad}")
+    total = sum(int(t) for t in targets_ppm.values())
+    if total > _MOD:
+        raise ValueError(f"targets sum to {total} ppm > 1e6")
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(group_col).isin(list(targets_ppm)))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)))
+        .collect()
+    }
+    missing = sorted(set(targets_ppm) - set(counts))
+    if missing:
+        raise ValueError(f"targeted groups absent from data: {missing}")
+    m = min(counts[g] * _MOD // int(t) for g, t in targets_ppm.items())
+    keep = F.lit(0).cast("bigint")
+    for g, t in targets_ppm.items():
+        keep = F.when(
+            F.col(group_col) == F.lit(g),
+            F.lit(int(t) * m // _MOD).cast("bigint"),
+        ).otherwise(keep)
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(group_col).isin(list(targets_ppm)))
+        .withColumn("mix_pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("mix_pos") <= keep)
+    )

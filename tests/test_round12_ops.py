@@ -191,3 +191,96 @@ class TestKnnQuantized:
 
         with pytest.raises(ValueError):
             knn_quantized(embeddings, embeddings, k=10, shortlist=5)
+
+
+# -------------------------------------------------------------- sample_to_mix
+class TestSampleToMix:
+    def _df(self, spark):
+        rows = [(i, ["en", "de", "fr"][i % 3] if i < 90 else "zh") for i in range(100)]
+        return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+    def test_exact_mix_and_determinism(self, spark):
+        from flatbread_spark.operators.sampling import sample_to_mix
+
+        df = self._df(spark)
+        targets = {"en": 600_000, "de": 200_000, "fr": 200_000}
+        out = sample_to_mix(df, "doc_id", "lang", targets, salt="x").collect()
+        from collections import Counter
+
+        got = Counter(r["lang"] for r in out)
+        # en has 30 rows -> M = 30*1e6//600000 = 50; keep en=30, de=10, fr=10
+        assert got == {"en": 30, "de": 10, "fr": 10}
+        assert not any(r["lang"] == "zh" for r in out)
+        # determinism: rerun picks the same keys
+        again = sample_to_mix(df, "doc_id", "lang", targets, salt="x").collect()
+        assert {r["doc_id"] for r in out} == {r["doc_id"] for r in again}
+        # a different salt picks a different (valid) subset of de
+        other = sample_to_mix(df, "doc_id", "lang", targets, salt="y").collect()
+        assert Counter(r["lang"] for r in other) == got
+
+    def test_matches_python_hash_order(self, spark):
+        import hashlib
+
+        from flatbread_spark.operators.sampling import sample_to_mix
+
+        df = self._df(spark)
+        out = sample_to_mix(df, "doc_id", "lang", {"de": 1_000_000}, salt="s")
+        got = sorted(r["doc_id"] for r in out.collect())
+        # de alone: M = n_de * 1e6 // 1e6 = n_de -> keeps ALL de rows
+        want = sorted(i for i in range(90) if i % 3 == 1)
+        assert got == want
+
+    def test_loud_failures(self, spark):
+        from flatbread_spark.operators.sampling import sample_to_mix
+
+        df = self._df(spark)
+        with pytest.raises(ValueError):
+            sample_to_mix(df, "doc_id", "lang", {})
+        with pytest.raises(ValueError):
+            sample_to_mix(df, "doc_id", "lang", {"en": 0})
+        with pytest.raises(ValueError):
+            sample_to_mix(df, "doc_id", "lang", {"en": 700_000, "de": 400_000})
+        with pytest.raises(ValueError):
+            sample_to_mix(df, "doc_id", "lang", {"nl": 500_000})
+
+
+# --------------------------------------------------------- quantile_normalize
+class TestQuantileNormalize:
+    def test_matches_python_formula(self, spark):
+        from flatbread_spark.operators.ranking import quantile_normalize
+
+        # two sources with shifted score distributions
+        rows = [(i, "a", 100 + (i * 7) % 50) for i in range(40)]
+        rows += [(100 + i, "b", 300 + (i * 11) % 80) for i in range(60)]
+        df = spark.createDataFrame(rows, "id bigint, src string, score bigint")
+        out = {r["id"]: r for r in quantile_normalize(df, "src", "score", "id").collect()}
+
+        ordered = sorted(rows, key=lambda r: (r[2], r[0]))
+        n = len(ordered)
+        by_src = {}
+        for r in sorted(rows, key=lambda t: (t[2], t[0])):
+            by_src.setdefault(r[1], []).append(r)
+        for src, members in by_src.items():
+            ng = len(members)
+            for rank, (rid, _, _) in enumerate(members, start=1):
+                ppm = (2 * rank - 1) * 1_000_000 // (2 * ng)
+                gpos = max(1, (ppm * n + 999_999) // 1_000_000)
+                assert out[rid]["ppm"] == ppm, rid
+                assert out[rid]["norm_score"] == ordered[gpos - 1][2], rid
+
+    def test_equalizes_shifted_sources(self, spark):
+        from flatbread_spark.operators.ranking import quantile_normalize
+
+        # same shape, source b shifted +1000: after normalization the
+        # per-source medians coincide
+        rows = [(i, "a", i) for i in range(50)]
+        rows += [(100 + i, "b", 1000 + i) for i in range(50)]
+        df = spark.createDataFrame(rows, "id bigint, src string, score bigint")
+        out = quantile_normalize(df, "src", "score", "id")
+        meds = {
+            r["src"]: r["m"]
+            for r in out.groupBy("src").agg(
+                F.expr("percentile(norm_score, 0.5)").alias("m")
+            ).collect()
+        }
+        assert meds["a"] == meds["b"]
