@@ -323,6 +323,47 @@ def main():
                 "doc_id", "text", n=4, num_hashes=32, bands=8,
             )
         ),
+        # round-12 operators
+        "quantile_bucketize": lambda d, e: run_count(
+            fb.quantile_bucketize(
+                d.select("doc_id", "n_chars"), "n_chars", "doc_id", 10
+            )
+        ),
+        "exact_percentiles": lambda d, e: run_count(
+            fb.exact_percentiles(
+                d.select("doc_id", "n_chars"), "n_chars", "doc_id",
+                [10_000, 500_000, 990_000],
+            )
+        ),
+        # the 10x pad-prefix replicas make every replica family share a
+        # source and a first-40-chars key only within the same pad count,
+        # so flag-set growth tracks DISTINCT prefixes — the claimed bound
+        "strip_boilerplate": lambda d, e: run_count(
+            fb.strip_boilerplate_prefix(d, "source", "text", 40, 5)
+        ),
+        # NOTE: like hot_ngram_coverage, the 10x near-dup corpus is
+        # adversarial — replicas share almost all grams, so n_unique
+        # collapses; cost must still follow the gram vocabulary
+        "ngram_novelty": lambda d, e: run_count(
+            fb.ngram_novelty(d, "doc_id", "text", n=5)
+        ),
+        "knn_quantized": lambda d, e: run_count(
+            fb.knn_quantized(
+                e, e.filter(F.col("vec_id") % 1000 == 0), k=5, shortlist=20
+            )
+        ),
+        "sample_to_mix": lambda d, e: run_count(
+            fb.sample_to_mix(
+                d.select("doc_id", "lang"), "doc_id", "lang",
+                {"en": 600_000, "de": 200_000, "fr": 200_000},
+            )
+        ),
+        "quantile_normalize": lambda d, e: run_count(
+            fb.quantile_normalize(
+                d.select("doc_id", "source", "n_chars"),
+                "source", "n_chars", "doc_id",
+            )
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():
