@@ -360,3 +360,138 @@ def test_two_phase_decimal_cumsum_matches_window(spark, vals, nparts):
     assert set(ranged) == set(window)
     for k in window:
         assert Decimal(ranged[k]) == Decimal(window[k]), (k, ranged[k], window[k])
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    k=st.integers(1, 12),
+    nparts=st.integers(2, 5),
+)
+@settings(**SET)
+def test_quantile_bucketize_properties(spark, vals, k, nparts):
+    """Equi-depth invariants for random values (ties included) under any
+    partition count: every bucket size within ±1 of every other, buckets
+    cover exactly 1..min(k, n), and bucket boundaries respect the
+    (value, key) total order."""
+    from pyspark.sql import functions as F
+
+    from flatbread_spark.operators.ranking import quantile_bucketize
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    out = quantile_bucketize(df, "v", "id", k, num_partitions=nparts).collect()
+    n = len(rows)
+    sizes = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    if k <= n:
+        # k full buckets, sizes within +-1 of each other
+        assert set(sizes) == set(range(1, k + 1))
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    else:
+        # more buckets than rows: every row gets its own bucket, spread
+        # (not packed) across 1..k by the same formula
+        assert len(sizes) == n and set(sizes.values()) == {1}
+        assert min(sizes) == 1 and max(sizes) <= k
+    order = {r[0]: pos for pos, r in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))}
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(order[r["id"]])
+    present = sorted(by_bucket)
+    for lo, hi in zip(present, present[1:]):
+        assert max(by_bucket[lo]) < min(by_bucket[hi])
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    qs=st.lists(st.integers(1, 1_000_000), min_size=1, max_size=6, unique=True),
+)
+@settings(**SET)
+def test_exact_percentiles_matches_sorted_list(spark, vals, qs):
+    """Nearest-rank percentile == the ceil(q·n/1e6)-th element of the
+    sorted list, for arbitrary ppm points and tied values."""
+    from flatbread_spark.operators.ranking import exact_percentiles
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    got = {
+        r["q_ppm"]: (r["pos"], r["v"])
+        for r in exact_percentiles(df, "v", "id", qs).collect()
+    }
+    ordered = sorted(vals)
+    n = len(ordered)
+    for q in qs:
+        pos = max(1, (q * n + 999_999) // 1_000_000)
+        assert got[q] == (pos, ordered[pos - 1]), q
+
+
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(1, 40),
+        min_size=1,
+        max_size=3,
+    ),
+    targets=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(1, 500_000),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(**SET)
+def test_sample_to_mix_share_invariants(spark, groups, targets):
+    """For any pool and any valid recipe over present groups: each kept
+    group count equals t_g·M div 1e6 for the binding M, no kept count
+    exceeds the pool, and kept shares never exceed targets by more than
+    the integer-floor slack (1 row per group)."""
+    from flatbread_spark.operators.sampling import sample_to_mix
+
+    targets = {g: t for g, t in targets.items() if g in groups}
+    if not targets or sum(targets.values()) > 1_000_000:
+        return
+    rows = []
+    i = 0
+    for g, cnt in groups.items():
+        for _ in range(cnt):
+            rows.append((i, g))
+            i += 1
+    df = spark.createDataFrame(rows, "id bigint, g string")
+    out = sample_to_mix(df, "id", "g", targets).collect()
+    from collections import Counter
+
+    kept = Counter(r["g"] for r in out)
+    m = min(groups[g] * 1_000_000 // t for g, t in targets.items())
+    for g, t in targets.items():
+        assert kept.get(g, 0) == t * m // 1_000_000, g
+        assert kept.get(g, 0) <= groups[g]
+    assert set(kept) <= set(targets)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 50)),
+        min_size=2,
+        max_size=40,
+    ),
+)
+@settings(**SET)
+def test_quantile_normalize_rank_preserving_within_group(spark, rows):
+    """Normalization is rank-preserving within each group (monotone in the
+    original score), and every normalized value is a value that EXISTS in
+    the global score multiset (nearest-rank discipline)."""
+    from flatbread_spark.operators.ranking import quantile_normalize
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id bigint, g string, v bigint")
+    out = quantile_normalize(df, "g", "v", "id").collect()
+    allvals = {v for _, _, v in data}
+    for r in out:
+        assert r["norm_score"] in allvals
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    for g, members in by_g.items():
+        members.sort(key=lambda r: (r["v"], r["id"]))
+        norms = [m["norm_score"] for m in members]
+        assert norms == sorted(norms), g
