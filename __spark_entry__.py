@@ -3058,6 +3058,72 @@ def q_knn_quantized(spark, sf_dir):
     )
 
 
+# mojibake fixture: artifact suffixes planted deterministically; the SQL
+# twin embeds the IDENTICAL literals (built from the same Python strings,
+# so oracle and engine cannot drift)
+
+
+def _mojibake_oracle() -> str:
+    """DuckDB replay of with_mojibake over the planted-artifact corpus,
+    assembled from the SAME marker constants the operator uses (the
+    artifact characters enter the SQL text via Python string interpolation
+    — no hand-typed invisible characters to drift)."""
+    from flatbread_spark.functions.text import _MOJI_C1, _MOJI_DOUBLE
+
+    rep = "\N{REPLACEMENT CHARACTER}"
+    dbl = " + ".join(
+        f"(length(t) - length(replace(t, '{m}', ''))) // {len(m)}"
+        for m in _MOJI_DOUBLE
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 7 = 0 THEN '{_MOJI_7}' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN '{_MOJI_11}' ELSE '' END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(length(t) - length(translate(t, '{rep}', '')) AS BIGINT)
+      AS n_replacement,
+    CAST(length(t) - length(translate(t, '{_MOJI_C1}', '')) AS BIGINT)
+      AS n_c1,
+    CAST({dbl} AS BIGINT) AS n_double_enc,
+    CAST(greatest(length(t), 1) AS BIGINT) AS len
+  FROM d)
+SELECT doc_id, n_replacement, n_c1, n_double_enc,
+       CAST((n_replacement + n_c1 + n_double_enc) * 10000 // len AS BIGINT)
+         AS mojibake_per_10k
+FROM c ORDER BY doc_id
+"""
+
+
+_MOJI_7 = " cafÃ© â€œquoteâ€"
+_MOJI_11 = " �\x85x"  # U+FFFD + C1 NEL + x
+
+
+def q_mojibake_scores(spark, sf_dir):
+    """Encoding-artifact scoring (functions/text.py with_mojibake):
+    explicit marker-list counts — U+FFFD, raw C1 controls,
+    UTF-8-read-as-cp1252 double-encoding signatures — and the per-10k
+    BIGINT score, over documents with planted artifacts on every 7th
+    (double-enc) and 11th (replacement + C1) row. Pure
+    translate/replace/length codegen: one scan, zero shuffles."""
+    from flatbread_spark.functions.text import with_mojibake
+
+    docs = _load(spark, sf_dir, "documents")
+    dirty = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_MOJI_7)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(_MOJI_11)).otherwise(F.lit("")),
+        ),
+    )
+    return with_mojibake(dirty.select("doc_id", "text"), "text").select(
+        "doc_id", "n_replacement", "n_c1", "n_double_enc", "mojibake_per_10k"
+    ).orderBy("doc_id")
+
+
 # =============================================================== the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pivot → margins → percentage block on sf0.001."""
@@ -3187,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_quantized": q_knn_quantized,
         "sample_mix": q_sample_mix,
         "quantile_normalize": q_quantile_normalize,
+        "mojibake_scores": q_mojibake_scores,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5402,6 +5469,7 @@ SELECT doc_id,
             * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
 FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY doc_id
 """,
+        "mojibake_scores": _mojibake_oracle(),
         "sample_mix": """
 WITH t(lang, tp) AS (VALUES ('en', 600000), ('de', 200000), ('fr', 200000)),
 b AS (SELECT doc_id, lang,

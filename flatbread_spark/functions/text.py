@@ -557,3 +557,65 @@ def with_stripped_html(df, text_col: str, out_col: str | None = None):
     """Apply :func:`strip_html`, replacing ``text_col`` in place unless
     ``out_col`` names a new column."""
     return df.withColumn(out_col or text_col, strip_html(F.col(text_col)))
+
+
+# ------------------------------------------------------- encoding diagnostics
+# Explicit marker lists (same philosophy as _NORM_DROP: characters, not
+# \p{...} classes, so a SQL oracle replays the exact counts). The
+# double-encoding markers are the classic UTF-8-bytes-read-as-cp1252
+# signatures: 'A-tilde'/'A-circumflex' lead bytes and the 'a-circumflex +
+# euro' curly-quote family. Heuristic by nature — a capitalized
+# Portuguese "SAO" in clean text can contain one marker — so this is a
+# SCORER for filtering decisions, not a transform.
+_MOJI_C1 = "".join(map(chr, range(0x80, 0xA0)))
+_MOJI_REPLACEMENT = "\ufffd"
+_MOJI_DOUBLE = ("\u00c3", "\u00c2", "\u00e2\u20ac", "\u00ef\u00bf\u00bd")
+
+
+def _char_count(text: Column, chars: str) -> Column:
+    return (
+        F.length(text) - F.length(F.translate(text, chars, ""))
+    ).cast("bigint")
+
+
+def _marker_count(text: Column, marker: str) -> Column:
+    gone = F.replace(text, F.lit(marker), F.lit(""))
+    return (
+        (F.length(text) - F.length(gone)) / F.lit(len(marker))
+    ).cast("bigint")
+
+
+def mojibake_counts(text: Column) -> dict[str, Column]:
+    """Encoding-artifact marker counts: ``n_replacement`` (U+FFFD),
+    ``n_c1`` (raw C1 controls 0x80-0x9F — cp1252 text mis-decoded as
+    Latin-1), ``n_double_enc`` (UTF-8-read-as-cp1252 signatures,
+    multi-char markers counted once per occurrence)."""
+    double = None
+    for m in _MOJI_DOUBLE:
+        c = _marker_count(text, m)
+        double = c if double is None else double + c
+    return {
+        "n_replacement": _char_count(text, _MOJI_REPLACEMENT),
+        "n_c1": _char_count(text, _MOJI_C1),
+        "n_double_enc": double,
+    }
+
+
+def with_mojibake(df, text_col: str):
+    """Append the :func:`mojibake_counts` columns plus
+    ``mojibake_per_10k`` — total markers per 10k characters, BIGINT
+    (``total*10000 div max(length,1)``), the filter-threshold score.
+    Pure codegen expressions (translate/replace/length): one scan, zero
+    shuffles, zero Python — the 100 TB sweep cost is the read itself."""
+    counts = mojibake_counts(F.col(text_col))
+    out = df
+    for name, c in counts.items():
+        out = out.withColumn(name, c)
+    return out.withColumn(
+        "mojibake_per_10k",
+        F.expr(
+            "({t}) * CAST(10000 AS BIGINT) div greatest(length({c}), 1)".format(
+                t=" + ".join(counts), c=text_col
+            )
+        ).cast("bigint"),
+    )
