@@ -3058,6 +3058,18 @@ def q_knn_quantized(spark, sf_dir):
     )
 
 
+def q_field_association(spark, sf_dir):
+    """Metadata contingency audit (operators/skew.py field_association):
+    lang × source joint counts, marginals and the exact lift_ppm
+    observed/expected ratio — DECIMAL(38,0) product so the formula can't
+    overflow BIGINT at any corpus size. One vocabulary-bounded shuffle;
+    marginals are windows over the count table, never the corpus."""
+    from flatbread_spark.operators.skew import field_association
+
+    docs = _load(spark, sf_dir, "documents")
+    return field_association(docs, "lang", "source").orderBy("lang", "source")
+
+
 # mojibake fixture: artifact suffixes planted deterministically; the SQL
 # twin embeds the IDENTICAL literals (built from the same Python strings,
 # so oracle and engine cannot drift)
@@ -3254,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix": q_sample_mix,
         "quantile_normalize": q_quantile_normalize,
         "mojibake_scores": q_mojibake_scores,
+        "field_association": q_field_association,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5470,6 +5483,18 @@ SELECT doc_id,
 FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY doc_id
 """,
         "mojibake_scores": _mojibake_oracle(),
+        "field_association": """
+WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+a AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_a FROM c GROUP BY 1),
+b AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_b FROM c GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT c.lang, c.source, c.n, a.n_a, b.n_b, t.total,
+       CAST(CAST(c.n AS HUGEINT) * t.total * 1000000
+            // (CAST(a.n_a AS HUGEINT) * b.n_b) AS BIGINT) AS lift_ppm
+FROM c JOIN a USING (lang) JOIN b USING (source) CROSS JOIN t
+ORDER BY lang, source
+""",
         "sample_mix": """
 WITH t(lang, tp) AS (VALUES ('en', 600000), ('de', 200000), ('fr', 200000)),
 b AS (SELECT doc_id, lang,

@@ -148,6 +148,7 @@ from flatbread_spark.operators.linkage import (  # noqa: E402
 )
 from flatbread_spark.operators.validate import validate_constraints  # noqa: E402
 from flatbread_spark.operators.skew import (  # noqa: E402
+    field_association,
     join_estimate,
     salt_explode_join,
     salted_agg,
@@ -207,6 +208,7 @@ __all__ = [
     "gap_fill", "fuzzy_match_pairs", "canonicalize_names",
     "validate_constraints",
     "skew_profile", "salted_agg", "salt_explode_join", "join_estimate",
+    "field_association",
     "sample_domain_capped", "sample_to_mix", "rate_anomaly", "label_vote",
     "curriculum_order", "dup_source_matrix", "minhash_probe",
     "quantile_bucketize", "exact_percentiles", "boilerplate_prefixes",

@@ -221,3 +221,46 @@ def salt_explode_join(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn(SALT, F.col(SALT).cast("int"))
     return f.join(d, on + [SALT], how).drop(SALT)
+
+
+def field_association(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Contingency audit between two metadata fields — "is lang entangled
+    with source?" — the check that catches stratification bugs (a sampler
+    that accidentally made one source all-English) and tells you whether
+    per-group statistics can be interpreted independently.
+
+    Per observed (a, b) pair: the joint count, both marginals, the corpus
+    total, and ``lift_ppm = n·N·1e6 div (n_a·n_b)`` — the observed/expected
+    ratio in parts-per-million (1e6 = independent, >1e6 = the pair
+    co-occurs more than its marginals predict). The product rides
+    DECIMAL(38,0) so the formula cannot overflow BIGINT mid-expression at
+    any corpus size; the result is exact integral division, byte-identical
+    across engines.
+
+    Scale shape: ONE partial-aggregated shuffle bounded by the distinct
+    (a, b) vocabulary; marginals and the total are windows OVER THE COUNT
+    TABLE (model-sized), never over the corpus.
+    """
+    counts = df.groupBy(col_a, col_b).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wt = Window.partitionBy()
+    out = (
+        counts.withColumn("n_a", F.sum("n").over(wa).cast("bigint"))
+        .withColumn("n_b", F.sum("n").over(wb).cast("bigint"))
+        .withColumn("total", F.sum("n").over(wt).cast("bigint"))
+    )
+    dec = "decimal(38,0)"
+    return out.withColumn(
+        "lift_ppm",
+        F.expr(
+            f"CAST(n AS {dec}) * CAST(total AS {dec}) * 1000000 "
+            f"div (CAST(n_a AS {dec}) * CAST(n_b AS {dec}))"
+        ).cast("bigint"),
+    )

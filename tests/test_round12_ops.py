@@ -284,3 +284,33 @@ class TestQuantileNormalize:
             ).collect()
         }
         assert meds["a"] == meds["b"]
+
+
+# ----------------------------------------------------------- field_association
+class TestFieldAssociation:
+    def test_matches_python_contingency(self, spark):
+        from collections import Counter
+
+        from flatbread_spark.operators.skew import field_association
+
+        rows = [(i, ["en", "de"][i % 2], f"s{i % 3}") for i in range(60)]
+        rows += [(100 + i, "en", "s0") for i in range(20)]  # entangle en/s0
+        df = spark.createDataFrame(rows, "id bigint, lang string, src string")
+        out = {
+            (r["lang"], r["src"]): r
+            for r in field_association(df, "lang", "src").collect()
+        }
+        joint = Counter((l, s) for _, l, s in rows)
+        na = Counter(l for _, l, _ in rows)
+        nb = Counter(s for _, _, s in rows)
+        total = len(rows)
+        assert set(out) == set(joint)
+        for (l, s), n in joint.items():
+            r = out[(l, s)]
+            assert (r["n"], r["n_a"], r["n_b"], r["total"]) == (
+                n, na[l], nb[s], total,
+            )
+            assert r["lift_ppm"] == n * total * 1_000_000 // (na[l] * nb[s])
+        # the entangled pair is overrepresented; its complement is under
+        assert out[("en", "s0")]["lift_ppm"] > 1_000_000
+        assert out[("de", "s0")]["lift_ppm"] < 1_000_000
