@@ -3058,6 +3058,21 @@ def q_knn_quantized(spark, sf_dir):
     )
 
 
+def q_winsorize_lengths(spark, sf_dir):
+    """Exact-percentile winsorization (operators/ranking.py winsorize):
+    document lengths clamped to their [p5, p95] nearest-rank values —
+    robust-statistics pre-pass for heavy-tailed metrics. Bounds ride
+    exact_percentiles (all-BIGINT positions, two-phase rank); the clamp
+    is one row-local expression against a broadcast 1-row bounds frame."""
+    from flatbread_spark.operators.ranking import winsorize
+
+    docs = _load(spark, sf_dir, "documents")
+    return winsorize(
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id",
+        50_000, 950_000,
+    ).orderBy("doc_id")
+
+
 def q_field_association(spark, sf_dir):
     """Metadata contingency audit (operators/skew.py field_association):
     lang × source joint counts, marginals and the exact lift_ppm
@@ -3271,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "mojibake_scores": q_mojibake_scores,
         "field_association": q_field_association,
+        "winsorize_lengths": q_winsorize_lengths,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5487,6 +5503,24 @@ SELECT doc_id,
 FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY doc_id
 """,
         "mojibake_scores": _mojibake_oracle(),
+        "winsorize_lengths": """
+WITH r AS (SELECT n_chars,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS pos,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+           FROM documents),
+b AS (SELECT
+        MIN(CASE WHEN pos = greatest(CAST(1 AS BIGINT),
+                                     (50000 * n + 999999) // 1000000)
+                 THEN n_chars END) AS lo,
+        MAX(CASE WHEN pos = greatest(CAST(1 AS BIGINT),
+                                     (950000 * n + 999999) // 1000000)
+                 THEN n_chars END) AS hi
+      FROM r)
+SELECT doc_id, n_chars,
+       greatest(b.lo, least(b.hi, n_chars)) AS n_chars_wins
+FROM documents CROSS JOIN b ORDER BY doc_id
+""",
         "field_association": """
 WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
            FROM documents GROUP BY 1, 2),

@@ -160,6 +160,7 @@ from flatbread_spark.operators.ranking import (  # noqa: E402
     curriculum_order,
     exact_percentiles,
     quantile_bucketize,
+    winsorize,
     quantile_normalize,
 )
 from flatbread_spark.operators.boilerplate import (  # noqa: E402
@@ -213,6 +214,6 @@ __all__ = [
     "curriculum_order", "dup_source_matrix", "minhash_probe",
     "quantile_bucketize", "exact_percentiles", "boilerplate_prefixes",
     "strip_boilerplate_prefix", "ngram_novelty", "knn_quantized",
-    "quantile_normalize",
+    "quantile_normalize", "winsorize",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

@@ -224,6 +224,56 @@ def exact_percentiles(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    lo_ppm: int = 10_000,
+    hi_ppm: int = 990_000,
+    out_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Clamp a column to its EXACT [lo, hi] nearest-rank percentiles —
+    robust-statistics winsorization for heavy-tailed corpus metrics
+    (document lengths, token counts, quality scores) before means/
+    variances are computed or before a scorer is trained on them.
+
+    Bounds come from :func:`exact_percentiles` (integer ppm, nearest-rank
+    — both bounds are values that EXIST in the data, byte-identical
+    across engines); the clamp itself is ``greatest(lo, least(hi, v))``
+    against a broadcast 1-row bounds frame — one row-local expression
+    over the corpus, no shuffle beyond the percentile ranking. Appends
+    ``out_col`` (default ``<value_col>_wins``), original column kept.
+    """
+    if not (1 <= int(lo_ppm) <= int(hi_ppm) <= 1_000_000):
+        raise ValueError(
+            f"need 1 <= lo_ppm <= hi_ppm <= 1e6, got {lo_ppm}, {hi_ppm}"
+        )
+    out_col = out_col or f"{value_col}_wins"
+    pts = exact_percentiles(
+        df, value_col, key_col, [int(lo_ppm), int(hi_ppm)],
+        num_partitions=num_partitions,
+    )
+    bounds = pts.agg(
+        F.min(
+            F.when(F.col("q_ppm") == int(lo_ppm), F.col(value_col))
+        ).alias("__wlo"),
+        F.max(
+            F.when(F.col("q_ppm") == int(hi_ppm), F.col(value_col))
+        ).alias("__whi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.greatest(
+                F.col("__wlo"), F.least(F.col("__whi"), F.col(value_col))
+            ),
+        )
+        .drop("__wlo", "__whi")
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     group_col: str,

@@ -314,3 +314,31 @@ class TestFieldAssociation:
         # the entangled pair is overrepresented; its complement is under
         assert out[("en", "s0")]["lift_ppm"] > 1_000_000
         assert out[("de", "s0")]["lift_ppm"] < 1_000_000
+
+
+# ------------------------------------------------------------------ winsorize
+class TestWinsorize:
+    def test_matches_python_clamp(self, spark):
+        from flatbread_spark.operators.ranking import winsorize
+
+        vals = [(i, (i * 37) % 101) for i in range(103)]
+        df = spark.createDataFrame(vals, "id bigint, v bigint")
+        out = {r["id"]: r["v_wins"]
+               for r in winsorize(df, "v", "id", 100_000, 900_000).collect()}
+        ordered = sorted(v for _, v in vals)
+        n = len(ordered)
+        lo = ordered[max(1, (100_000 * n + 999_999) // 1_000_000) - 1]
+        hi = ordered[max(1, (900_000 * n + 999_999) // 1_000_000) - 1]
+        for i, v in vals:
+            assert out[i] == max(lo, min(hi, v)), (i, v)
+        # clamping actually fired on both tails for this distribution
+        assert any(v < lo for _, v in vals) and any(v > hi for _, v in vals)
+
+    def test_rejects_bad_bounds(self, spark):
+        from flatbread_spark.operators.ranking import winsorize
+
+        df = spark.createDataFrame([(1, 1)], "id bigint, v bigint")
+        with pytest.raises(ValueError):
+            winsorize(df, "v", "id", 900_000, 100_000)
+        with pytest.raises(ValueError):
+            winsorize(df, "v", "id", 0, 500_000)
