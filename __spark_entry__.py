@@ -3058,6 +3058,35 @@ def q_knn_quantized(spark, sf_dir):
     )
 
 
+# code-switch fixture: a 40-token German marker block appended to every
+# 5th document (two full 20-token segments) — same literal in the oracle
+_CS_PLANT = ("der die das und ein " * 8).strip()
+
+
+def q_lang_segments(spark, sf_dir):
+    """Code-switch audit (functions/text.py with_lang_segments): 20-token
+    segments language-ID'd with the lang_id marker argmax; majority
+    language, minority ppm and adjacent-segment switch counts — all
+    row-local array HOFs, ZERO shuffle. German blocks planted on every
+    5th doc so switches actually fire."""
+    from flatbread_spark.functions.text import with_lang_segments
+
+    docs = _load(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _CS_PLANT)),
+        ).otherwise(F.col("text")),
+    )
+    return with_lang_segments(
+        planted.select("doc_id", "text"), "doc_id", "text", 20
+    ).select(
+        "doc_id", "n_segments", "majority_lang", "n_majority",
+        "minority_ppm", "n_switches",
+    ).orderBy("doc_id")
+
+
 def q_winsorize_lengths(spark, sf_dir):
     """Exact-percentile winsorization (operators/ranking.py winsorize):
     document lengths clamped to their [p5, p95] nearest-rank values —
@@ -3287,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_scores": q_mojibake_scores,
         "field_association": q_field_association,
         "winsorize_lengths": q_winsorize_lengths,
+        "lang_segments": q_lang_segments,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -3474,6 +3504,64 @@ sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
                 conds.append(f"{scores_sql[lang]} >= {scores_sql[l2]}")
         pred += f"WHEN {' AND '.join(conds) if conds else 'TRUE'} THEN '{lang}' "
     pred += "END"
+
+    # the same argmax over a SEGMENT token slice (st) — for lang_segments
+    seg_score = lambda words: (  # noqa: E731
+        "len(list_filter(st, x -> x IN ("
+        + ",".join(f"'{w}'" for w in words) + ")))"
+    )
+    seg_scores = {lang: seg_score(ws) for lang, ws in LANG_MARKERS.items()}
+    seg_pred = (
+        f"CASE WHEN greatest({','.join(seg_scores[l] for l in langs)}) = 0 "
+        "THEN 'und' "
+    )
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, l2 in enumerate(langs):
+            if j < i:
+                conds.append(f"{seg_scores[lang]} > {seg_scores[l2]}")
+            elif j > i:
+                conds.append(f"{seg_scores[lang]} >= {seg_scores[l2]}")
+        seg_pred += (
+            f"WHEN {' AND '.join(conds) if conds else 'TRUE'} THEN '{lang}' "
+        )
+    seg_pred += "END"
+    lang_segments_sql = rf"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text || ' {_CS_PLANT}' ELSE text END AS text
+  FROM documents),
+tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM d),
+seg AS (SELECT doc_id, i AS seg_idx, t[(i-1)*20+1 : i*20] AS st
+        FROM tok,
+        UNNEST(generate_series(1, greatest((len(t) + 19) // 20, 1))) u(i)),
+lab AS (SELECT doc_id, seg_idx, {seg_pred} AS lg FROM seg),
+cnt AS (SELECT doc_id, lg, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lab GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments
+        FROM lab GROUP BY 1),
+maj AS (SELECT doc_id, lg AS majority_lang, c AS n_majority,
+          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lg DESC)
+            AS rn
+        FROM cnt),
+sw AS (SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND lg <> prev
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_switches
+       FROM (SELECT doc_id, lg,
+               lag(lg) OVER (PARTITION BY doc_id ORDER BY seg_idx) AS prev
+             FROM lab)
+       GROUP BY 1)
+SELECT t.doc_id, t.n_segments, m.majority_lang, m.n_majority,
+       CAST((t.n_segments - m.n_majority) * 1000000 // t.n_segments
+            AS BIGINT) AS minority_ppm,
+       s.n_switches
+FROM tot t
+JOIN maj m ON m.doc_id = t.doc_id AND m.rn = 1
+JOIN sw s ON s.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
 
     return {
         # Display-contract pin: the spec is built over the SF-invariant
@@ -5503,6 +5591,7 @@ SELECT doc_id,
 FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY doc_id
 """,
         "mojibake_scores": _mojibake_oracle(),
+        "lang_segments": lang_segments_sql,
         "winsorize_lengths": """
 WITH r AS (SELECT n_chars,
              CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)

@@ -619,3 +619,88 @@ def with_mojibake(df, text_col: str):
             )
         ).cast("bigint"),
     )
+
+
+# --------------------------------------------------------- code-switch audit
+def _seg_lang(arr: Column) -> Column:
+    """lang_id's argmax over an already-tokenized (lowercased) array —
+    same scores, same earliest-lang tie-break, zero hits → 'und'."""
+    entries = [
+        F.struct(
+            F.size(F.filter(arr, lambda t: t.isin(markers)))
+            .cast("bigint")
+            .alias("s"),
+            F.lit(-i).alias("no"),
+            F.lit(lang).alias("l"),
+        )
+        for i, (lang, markers) in enumerate(LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def with_lang_segments(df, id_col: str, text_col: str, window_words: int = 20):
+    """Code-switching audit: split each document into consecutive
+    ``window_words``-token segments, language-ID each segment (the same
+    marker-word argmax as :func:`lang_id`), and report per document:
+    ``n_segments``, ``majority_lang`` (most frequent segment language,
+    ties to the lexicographically LARGEST language — deterministic and
+    SQL-replayable), ``n_majority``, ``minority_ppm`` (segments not in
+    the majority language, parts-per-million, BIGINT), and ``n_switches``
+    (adjacent segment-language changes — 0 for monolingual documents).
+
+    Everything is row-local array HOFs over the document's own token
+    array — ZERO shuffle at any corpus size; the sweep cost is the scan.
+    'und' segments (no marker hits) count as a language of their own.
+    Documents with no tokens get one 'und' segment rather than vanishing.
+    """
+    if window_words < 1:
+        raise ValueError(f"window_words must be >= 1, got {window_words}")
+    w = int(window_words)
+    # materialize the token array as a real column BEFORE the per-segment
+    # lambda: an outer expression referenced inside transform() re-evaluates
+    # per element, which would re-split the full text once per segment
+    toked = df.withColumn("__toks", tokens(F.lower(F.col(text_col))))
+    nseg = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(f"CAST(size(__toks) + {w - 1} AS BIGINT) div {w}"),
+    )
+    langs = F.transform(
+        F.sequence(F.lit(1).cast("bigint"), nseg),
+        lambda i: _seg_lang(F.slice(F.col("__toks"), (i - 1) * w + 1, w)),
+    )
+    staged = toked.withColumn("__langs", langs).drop("__toks")
+    ls = F.col("__langs")
+    counts = F.transform(
+        F.array_distinct(ls),
+        lambda lg: F.struct(
+            F.size(F.filter(ls, lambda x: x == lg)).cast("bigint").alias("n"),
+            lg.alias("l"),
+        ),
+    )
+    staged = staged.withColumn("__best", F.array_max(counts))
+    best = F.col("__best")
+    n = F.size(ls).cast("bigint")
+    # guard: sequence(2, 1) would DESCEND in Spark, so single-segment
+    # documents must short-circuit to zero switches
+    switches = F.when(
+        F.size(ls) > 1,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(2), F.size(ls)),
+                lambda i: F.element_at(ls, i) != F.element_at(ls, i - 1),
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("bigint")
+    return (
+        staged.withColumn("n_segments", n)
+        .withColumn("majority_lang", best["l"])
+        .withColumn("n_majority", best["n"])
+        .withColumn(
+            "minority_ppm",
+            F.expr("(n_segments - n_majority) * CAST(1000000 AS BIGINT) "
+                   "div n_segments"),
+        )
+        .withColumn("n_switches", switches)
+        .drop("__langs", "__best")
+    )
