@@ -3058,6 +3058,21 @@ def q_knn_quantized(spark, sf_dir):
     )
 
 
+def q_group_percentiles(spark, sf_dir):
+    """Per-group exact percentiles (operators/ranking.py
+    group_percentiles): p5/p50/p95/p99 document length PER LANGUAGE —
+    nearest-rank targets matched by pure-BIGINT interval comparison
+    inside one per-group window pass, no driver action, no division."""
+    from flatbread_spark.operators.ranking import group_percentiles
+
+    docs = _load(spark, sf_dir, "documents")
+    return group_percentiles(
+        docs.select("doc_id", "lang", "n_chars"), "lang", "n_chars",
+        "doc_id", [50_000, 500_000, 950_000, 990_000],
+    ).select("lang", "q_ppm", "pos", "n", F.col("n_chars").alias("value")
+    ).orderBy("lang", "q_ppm")
+
+
 # code-switch fixture: a 40-token German marker block appended to every
 # 5th document (two full 20-token segments) — same literal in the oracle
 _CS_PLANT = ("der die das und ein " * 8).strip()
@@ -3317,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_association": q_field_association,
         "winsorize_lengths": q_winsorize_lengths,
         "lang_segments": q_lang_segments,
+        "group_percentiles": q_group_percentiles,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5592,6 +5608,21 @@ FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY doc_id
 """,
         "mojibake_scores": _mojibake_oracle(),
         "lang_segments": lang_segments_sql,
+        "group_percentiles": """
+WITH r AS (SELECT lang, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n_chars, doc_id) AS BIGINT)
+               AS pos,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+           FROM documents),
+q AS (SELECT CAST(unnest([50000, 500000, 950000, 990000]) AS BIGINT)
+        AS q_ppm)
+SELECT r.lang, q.q_ppm, r.pos, r.n, r.n_chars AS value
+FROM r JOIN q
+  ON (r.pos - 1) * 1000000 < q.q_ppm * r.n
+ AND q.q_ppm * r.n <= r.pos * 1000000
+ORDER BY lang, q_ppm
+""",
         "winsorize_lengths": """
 WITH r AS (SELECT n_chars,
              CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)

@@ -159,6 +159,7 @@ from flatbread_spark.operators.curation import label_vote  # noqa: E402
 from flatbread_spark.operators.ranking import (  # noqa: E402
     curriculum_order,
     exact_percentiles,
+    group_percentiles,
     quantile_bucketize,
     winsorize,
     quantile_normalize,
@@ -214,6 +215,6 @@ __all__ = [
     "curriculum_order", "dup_source_matrix", "minhash_probe",
     "quantile_bucketize", "exact_percentiles", "boilerplate_prefixes",
     "strip_boilerplate_prefix", "ngram_novelty", "knn_quantized",
-    "quantile_normalize", "winsorize",
+    "quantile_normalize", "winsorize", "group_percentiles",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

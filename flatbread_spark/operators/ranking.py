@@ -224,6 +224,61 @@ def exact_percentiles(
     )
 
 
+def group_percentiles(
+    df: DataFrame,
+    group_cols: "Sequence[str] | str",
+    value_col: str,
+    key_col: str,
+    q_ppm: Sequence[int],
+) -> DataFrame:
+    """PER-GROUP exact nearest-rank percentiles — "p50/p95/p99 document
+    length per language" — the stratified sibling of
+    :func:`exact_percentiles`. Same integer contract (quantiles as ppm,
+    target position ``ceil(q·n_g/1e6)`` all-BIGINT, nearest-rank so every
+    answer exists in the data) but the group size is a window aggregate,
+    so there is NO driver action at all: one per-group window pass
+    (bounded by the largest group, like any per-stratum statistic), then
+    a row-local match of each row's rank against every requested target.
+
+    A row matching several quantiles (small groups) emits one output row
+    per matched ``q_ppm``. Returns
+    ``(<group_cols...>, q_ppm, pos, n, <value_col>)``.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    qs = sorted({int(q) for q in q_ppm})
+    if not qs or qs[0] < 1 or qs[-1] > 1_000_000:
+        raise ValueError(f"q_ppm must be within [1, 1_000_000], got {q_ppm}")
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(*groups)
+    r = F.row_number().over(wg.orderBy(F.col(value_col), F.col(key_col)))
+    ng = F.count(F.lit(1)).over(wg).cast("bigint")
+    staged = df.withColumn("pos", r.cast("bigint")).withColumn("n", ng)
+    # pos == ceil(q·n/1e6)  ⟺  (pos-1)·1e6 < q·n ≤ pos·1e6 — pure BIGINT
+    # products and comparisons, so the match is expressible inside the
+    # array lambda without any division at all (q ≥ 1, n ≥ 1 make the
+    # ceil ≥ 1 automatically — no clamp needed)
+    m = F.lit(1_000_000).cast("bigint")
+    staged = staged.withColumn(
+        "__qs",
+        F.filter(
+            F.array(*[F.lit(q).cast("bigint") for q in qs]),
+            lambda q: ((F.col("pos") - 1) * m < q * F.col("n"))
+            & (q * F.col("n") <= F.col("pos") * m),
+        ),
+    )
+    return (
+        staged.filter(F.size("__qs") > 0)
+        .select(
+            *groups,
+            F.explode("__qs").alias("q_ppm"),
+            "pos",
+            "n",
+            value_col,
+        )
+    )
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

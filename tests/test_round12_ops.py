@@ -342,3 +342,58 @@ class TestWinsorize:
             winsorize(df, "v", "id", 900_000, 100_000)
         with pytest.raises(ValueError):
             winsorize(df, "v", "id", 0, 500_000)
+
+
+# ---------------------------------------------------------- group_percentiles
+class TestGroupPercentiles:
+    def test_matches_python_per_group(self, spark):
+        from flatbread_spark.operators.ranking import group_percentiles
+
+        rows = [(i, ["a", "b", "c"][i % 3], (i * 37) % 101) for i in range(90)]
+        rows += [(1000, "d", 5)]  # singleton group: every q maps to pos 1
+        df = spark.createDataFrame(rows, "id bigint, g string, v bigint")
+        qs = [10_000, 500_000, 990_000]
+        out = {}
+        for r in group_percentiles(df, "g", "v", "id", qs).collect():
+            out[(r["g"], r["q_ppm"])] = (r["pos"], r["n"], r["v"])
+        by_g = {}
+        for _id, g, v in rows:
+            by_g.setdefault(g, []).append((v, _id))
+        expect = {}
+        for g, members in by_g.items():
+            members.sort()
+            n = len(members)
+            for q in qs:
+                pos = (q * n + 999_999) // 1_000_000
+                expect[(g, q)] = (pos, n, members[pos - 1][0])
+        assert out == expect
+        # singleton group answered every quantile with its only value
+        assert out[("d", 10_000)] == (1, 1, 5)
+
+    def test_agrees_with_global_on_one_group(self, spark):
+        from flatbread_spark.operators.ranking import (
+            exact_percentiles,
+            group_percentiles,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "only", (i * 7) % 50) for i in range(40)],
+            "id bigint, g string, v bigint",
+        )
+        qs = [250_000, 750_000]
+        per_group = {
+            r["q_ppm"]: (r["pos"], r["n"], r["v"])
+            for r in group_percentiles(df, "g", "v", "id", qs).collect()
+        }
+        global_ = {
+            r["q_ppm"]: (r["pos"], r["n"], r["v"])
+            for r in exact_percentiles(df, "v", "id", qs).collect()
+        }
+        assert per_group == global_
+
+    def test_rejects_bad_q(self, spark):
+        from flatbread_spark.operators.ranking import group_percentiles
+
+        df = spark.createDataFrame([(1, "g", 1)], "id bigint, g string, v bigint")
+        with pytest.raises(ValueError):
+            group_percentiles(df, "g", "v", "id", [])
