@@ -364,6 +364,32 @@ def main():
                 "source", "n_chars", "doc_id",
             )
         ),
+        # round-13 operators
+        "mojibake": lambda d, e: run_count(
+            __import__(
+                "flatbread_spark.functions.text", fromlist=["with_mojibake"]
+            ).with_mojibake(d.select("doc_id", "text"), "text")
+        ),
+        "field_association": lambda d, e: run_count(
+            fb.field_association(d, "lang", "source")
+        ),
+        "winsorize": lambda d, e: run_count(
+            fb.winsorize(
+                d.select("doc_id", "n_chars"), "n_chars", "doc_id",
+                50_000, 950_000,
+            )
+        ),
+        "lang_segments": lambda d, e: run_count(
+            __import__(
+                "flatbread_spark.functions.text", fromlist=["with_lang_segments"]
+            ).with_lang_segments(d.select("doc_id", "text"), "doc_id", "text", 20)
+        ),
+        "group_percentiles": lambda d, e: run_count(
+            fb.group_percentiles(
+                d.select("doc_id", "lang", "n_chars"), "lang", "n_chars",
+                "doc_id", [50_000, 500_000, 990_000],
+            )
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():
