@@ -3058,6 +3058,21 @@ def q_knn_quantized(spark, sf_dir):
     )
 
 
+def q_standardize(spark, sf_dir):
+    """Per-group z-scores (operators/curation.py standardize): document
+    length standardized within each language — decimal-exact per-group
+    moments (associative accumulation, byte-identical under any
+    partitioning), fixed double expression shape rounded to 6, the
+    proven covariance-oracle pattern. One group-bounded shuffle; the
+    moments broadcast back."""
+    from flatbread_spark.operators.curation import standardize
+
+    docs = _load(spark, sf_dir, "documents")
+    return standardize(
+        docs.select("doc_id", "lang", "n_chars"), "lang", "n_chars"
+    ).orderBy("doc_id")
+
+
 def q_group_percentiles(spark, sf_dir):
     """Per-group exact percentiles (operators/ranking.py
     group_percentiles): p5/p50/p95/p99 document length PER LANGUAGE —
@@ -3333,6 +3348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_lengths": q_winsorize_lengths,
         "lang_segments": q_lang_segments,
         "group_percentiles": q_group_percentiles,
+        "standardize": q_standardize,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5608,6 +5624,23 @@ FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY doc_id
 """,
         "mojibake_scores": _mojibake_oracle(),
         "lang_segments": lang_segments_sql,
+        "standardize": """
+WITH m AS (
+  SELECT lang,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(round(CAST(n_chars AS DOUBLE), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS s,
+    CAST(SUM(CAST(round(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM documents GROUP BY 1)
+SELECT d.doc_id, d.lang, d.n_chars,
+  CASE WHEN sqrt(m.ss / m.n - (m.s / m.n) * (m.s / m.n)) > 0
+    THEN round((CAST(d.n_chars AS DOUBLE) - m.s / m.n)
+               / sqrt(m.ss / m.n - (m.s / m.n) * (m.s / m.n)), 6)
+  END AS zscore
+FROM documents d JOIN m USING (lang)
+ORDER BY d.doc_id
+""",
         "group_percentiles": """
 WITH r AS (SELECT lang, n_chars,
              CAST(row_number() OVER (PARTITION BY lang

@@ -91,6 +91,7 @@ from flatbread_spark.operators.graph import (  # noqa: E402
 from flatbread_spark.operators.curation import (  # noqa: E402
     curation_funnel,
     robust_outlier_gate,
+    standardize,
 )
 from flatbread_spark.operators.kmeans import kmeans_lloyd  # noqa: E402
 from flatbread_spark.operators.layout import cluster_by_zorder, zorder_key  # noqa: E402
@@ -215,6 +216,6 @@ __all__ = [
     "curriculum_order", "dup_source_matrix", "minhash_probe",
     "quantile_bucketize", "exact_percentiles", "boilerplate_prefixes",
     "strip_boilerplate_prefix", "ngram_novelty", "knn_quantized",
-    "quantile_normalize", "winsorize", "group_percentiles",
+    "quantile_normalize", "winsorize", "group_percentiles", "standardize",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

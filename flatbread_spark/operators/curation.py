@@ -235,3 +235,57 @@ def label_vote(
             "n_labels",
         )
     )
+
+
+def standardize(
+    df: DataFrame,
+    group_cols: "Sequence[str] | str",
+    value_col: str,
+    out_col: str = "zscore",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group z-score standardization — the moment-based sibling of
+    :func:`robust_outlier_gate` (use THAT for gating heavy tails; use
+    this when a downstream model wants mean-0/std-1 features per
+    stratum). ``z = (v − mean_g) / std_g`` with POPULATION variance
+    ``ss/n − (s/n)²`` — the same formula family as
+    ``pca.covariance_matrix``.
+
+    Determinism discipline: the per-group sums ``Σv`` and ``Σv²``
+    accumulate 12-decimal-rounded values in DECIMAL(38,12) — decimal
+    addition is associative, so the moments are byte-identical under any
+    partitioning and engine; the final mean/std/z arithmetic is a fixed
+    double expression shape rounded to ``ndigits`` (the proven
+    covariance-oracle pattern). Zero-variance groups emit NULL z.
+
+    Scale shape: ONE group-bounded aggregation shuffle; the moments table
+    (one row per group) broadcasts back, so the corpus itself never
+    re-shuffles. Appends ``out_col``.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    dec = "decimal(38,12)"
+    v = F.round(F.col(value_col).cast("double"), 12).cast(dec)
+    moments = df.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("double").alias("__zn"),
+        F.sum(v).cast("double").alias("__zs"),
+        F.sum(
+            F.round(
+                F.col(value_col).cast("double") * F.col(value_col).cast("double"),
+                12,
+            ).cast(dec)
+        ).cast("double").alias("__zss"),
+    )
+    mean = F.col("__zs") / F.col("__zn")
+    var = F.col("__zss") / F.col("__zn") - mean * mean
+    std = F.sqrt(var)
+    return (
+        df.join(F.broadcast(moments), groups)
+        .withColumn(
+            out_col,
+            F.when(
+                std > 0,
+                F.round((F.col(value_col).cast("double") - mean) / std, ndigits),
+            ),
+        )
+        .drop("__zn", "__zs", "__zss")
+    )

@@ -397,3 +397,37 @@ class TestGroupPercentiles:
         df = spark.createDataFrame([(1, "g", 1)], "id bigint, g string, v bigint")
         with pytest.raises(ValueError):
             group_percentiles(df, "g", "v", "id", [])
+
+
+# ---------------------------------------------------------------- standardize
+class TestStandardize:
+    def test_matches_python_moments(self, spark):
+        import math
+
+        from flatbread_spark.operators.curation import standardize
+
+        rows = [(i, ["a", "b"][i % 2], float((i * 37) % 101)) for i in range(80)]
+        df = spark.createDataFrame(rows, "id bigint, g string, v double")
+        out = {r["id"]: r["zscore"] for r in standardize(df, "g", "v").collect()}
+        by_g = {}
+        for _id, g, v in rows:
+            by_g.setdefault(g, []).append((_id, v))
+        for g, members in by_g.items():
+            n = len(members)
+            s = sum(round(v, 12) for _, v in members)
+            ss = sum(round(v * v, 12) for _, v in members)
+            mean = s / n
+            std = math.sqrt(ss / n - mean * mean)
+            for _id, v in members:
+                assert out[_id] == round((v - mean) / std, 6), (_id, g)
+
+    def test_zero_variance_group_nulls(self, spark):
+        from flatbread_spark.operators.curation import standardize
+
+        df = spark.createDataFrame(
+            [(1, "z", 5.0), (2, "z", 5.0), (3, "y", 1.0), (4, "y", 3.0)],
+            "id bigint, g string, v double",
+        )
+        out = {r["id"]: r["zscore"] for r in standardize(df, "g", "v").collect()}
+        assert out[1] is None and out[2] is None
+        assert out[3] == -1.0 and out[4] == 1.0
