@@ -1829,6 +1829,20 @@ def q_knn_ivf(spark, sf_dir):
     return _knn_recall(ivf, _bf_shared(spark, sf_dir), k=5)
 
 
+def q_knn_quantized_recall(spark, sf_dir):
+    """Int8-quantized ANN measured as recall-vs-bruteforce: how much
+    top-5 quality the 4×-smaller code scan costs at shortlist=20. The
+    shortlist key is the exact BIGINT code dot, so recall is a
+    deterministic function of the data — the oracle pins it (same
+    discipline as knn_lsh/knn_ivf)."""
+    from flatbread_spark.operators.similarity import knn_quantized
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    kq = knn_quantized(emb, queries_df, k=5, shortlist=20)
+    return _knn_recall(kq, _bf_shared(spark, sf_dir), k=5)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Symmetric int8 scalar quantization of the embedding column — the
     standard storage/serving compression for vector corpora (4× smaller,
@@ -3350,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_segments": q_lang_segments,
         "group_percentiles": q_group_percentiles,
         "standardize": q_standardize,
+        "knn_quantized_recall": q_knn_quantized_recall,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5625,6 +5640,17 @@ FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY doc_id
 """,
         "mojibake_scores": _mojibake_oracle(),
         "lang_segments": lang_segments_sql,
+        # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
+        # recall a deterministic function of the data — int8 @ shortlist=20
+        # recovers the exact top-5 perfectly on this corpus
+        "knn_quantized_recall": """
+SELECT CAST(query_id AS INTEGER) AS query_id,
+       CAST(n_hits AS INTEGER) AS n_hits,
+       CAST(recall AS DOUBLE) AS recall
+FROM (VALUES (0, 5, 1.0), (1, 5, 1.0), (2, 5, 1.0), (3, 5, 1.0),
+             (4, 5, 1.0))
+  t(query_id, n_hits, recall)
+""",
         "standardize": """
 WITH m AS (
   SELECT lang,
