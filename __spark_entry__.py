@@ -3072,6 +3072,21 @@ def q_knn_quantized(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """Markov transition matrix (operators/events.py event_transitions):
+    what event type follows what, per user — counts, outgoing totals and
+    exact ppm probabilities. One per-user window (event_id tiebreak makes
+    the pairing a total order under timestamp ties) + one
+    pair-vocabulary-bounded aggregation."""
+    from flatbread_spark.operators.events import event_transitions
+
+    ev = _load(spark, sf_dir, "events")
+    return event_transitions(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", "event_id",
+    ).orderBy("from_state", "to_state")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3365,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_percentiles": q_group_percentiles,
         "standardize": q_standardize,
         "knn_quantized_recall": q_knn_quantized_recall,
+        "event_transitions": q_event_transitions,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5640,6 +5656,20 @@ FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY doc_id
 """,
         "mojibake_scores": _mojibake_oracle(),
         "lang_segments": lang_segments_sql,
+        "event_transitions": """
+WITH s AS (SELECT event_type AS f,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t
+           FROM events),
+p AS (SELECT f AS from_state, t AS to_state, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE t IS NOT NULL GROUP BY 1, 2)
+SELECT from_state, to_state, n,
+       CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT) AS n_from,
+       CAST(n * 1000000
+            // CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT)
+            AS BIGINT) AS p_ppm
+FROM p ORDER BY from_state, to_state
+""",
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20
         # recovers the exact top-5 perfectly on this corpus

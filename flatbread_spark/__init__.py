@@ -88,6 +88,7 @@ from flatbread_spark.operators.graph import (  # noqa: E402
     dedup_clusters,
     pagerank_fixed,
 )
+from flatbread_spark.operators.events import event_transitions  # noqa: E402
 from flatbread_spark.operators.curation import (  # noqa: E402
     curation_funnel,
     robust_outlier_gate,
@@ -216,6 +217,6 @@ __all__ = [
     "curriculum_order", "dup_source_matrix", "minhash_probe",
     "quantile_bucketize", "exact_percentiles", "boilerplate_prefixes",
     "strip_boilerplate_prefix", "ngram_novelty", "knn_quantized",
-    "quantile_normalize", "winsorize", "group_percentiles", "standardize",
+    "quantile_normalize", "winsorize", "group_percentiles", "standardize", "event_transitions",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

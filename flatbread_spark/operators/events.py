@@ -136,3 +136,53 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order (Markov) transition matrix over per-key event
+    sequences: for every observed ``(from_state, to_state)`` pair of
+    CONSECUTIVE events within a key, the transition count, the from-state
+    outgoing total, and the exact probability
+    ``p_ppm = n·1e6 div n_from`` — the third classic batch
+    sequence-analytics operator next to :func:`funnel` and
+    :func:`cohort_retention` (what follows what: navigation flows,
+    session drop-off structure, crawler behavior signatures).
+
+    Consecutiveness is per key over ``(order_col, tiebreak_col)`` —
+    pass a unique tiebreaker (the event id) when timestamps can collide,
+    or the pairing is not a total order. Keys with one event contribute
+    nothing. One per-key window (the same per-stratum bound funnel has,
+    and the same bot-user skew note) + one pair-vocabulary-bounded
+    aggregation; probabilities are windows over the PAIR table, never
+    the corpus. All-BIGINT.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(F.col(state_col)).over(w)
+    pairs = (
+        df.withColumn("__to", nxt)
+        .filter(F.col("__to").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"),
+            F.col("__to").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wf = Window.partitionBy("from_state")
+    return (
+        pairs.withColumn("n_from", F.sum("n").over(wf).cast("bigint"))
+        .withColumn(
+            "p_ppm",
+            F.expr("n * CAST(1000000 AS BIGINT) div n_from").cast("bigint"),
+        )
+    )

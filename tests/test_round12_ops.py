@@ -431,3 +431,53 @@ class TestStandardize:
         out = {r["id"]: r["zscore"] for r in standardize(df, "g", "v").collect()}
         assert out[1] is None and out[2] is None
         assert out[3] == -1.0 and out[4] == 1.0
+
+
+# ----------------------------------------------------------- event_transitions
+class TestEventTransitions:
+    def test_matches_python_chains(self, spark):
+        from collections import Counter
+
+        from flatbread_spark.operators.events import event_transitions
+
+        # user 1: a->b->a->c ; user 2: b->b->a ; user 3: c (no transitions)
+        rows = [
+            (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"), (4, 1, 40, "c"),
+            (5, 2, 10, "b"), (6, 2, 20, "b"), (7, 2, 30, "a"),
+            (8, 3, 10, "c"),
+        ]
+        df = spark.createDataFrame(rows, "eid bigint, u bigint, t bigint, s string")
+        out = {
+            (r["from_state"], r["to_state"]): (r["n"], r["n_from"], r["p_ppm"])
+            for r in event_transitions(df, "u", "t", "s", "eid").collect()
+        }
+        chains = {1: "abac", 2: "bba", 3: "c"}
+        pairs = Counter()
+        for seq in chains.values():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += 1
+        from_tot = Counter()
+        for (a, _), n in pairs.items():
+            from_tot[a] += n
+        assert set(out) == set(pairs)
+        for (a, b), n in pairs.items():
+            assert out[(a, b)] == (
+                n, from_tot[a], n * 1_000_000 // from_tot[a]
+            ), (a, b)
+
+    def test_probabilities_sum_per_from_state(self, spark):
+        from flatbread_spark.operators.events import event_transitions
+
+        rows = [(i, i % 7, i, ["x", "y", "z"][i % 3]) for i in range(200)]
+        df = spark.createDataFrame(rows, "eid bigint, u bigint, t bigint, s string")
+        out = event_transitions(df, "u", "t", "s", "eid").collect()
+        from collections import defaultdict
+
+        sums = defaultdict(int)
+        ns = defaultdict(int)
+        for r in out:
+            sums[r["from_state"]] += r["p_ppm"]
+            ns[r["from_state"]] += 1
+        # floor division: sum within (1e6 - n_pairs, 1e6]
+        for s, tot in sums.items():
+            assert 1_000_000 - ns[s] < tot <= 1_000_000, s
