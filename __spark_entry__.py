@@ -3087,6 +3087,22 @@ def q_event_transitions(spark, sf_dir):
     ).orderBy("from_state", "to_state")
 
 
+def q_session_paths(spark, sf_dir):
+    """First-k ordered event paths (operators/events.py session_paths):
+    the onboarding-flow report — each user's first 3 event types joined
+    into one path string, counted across users with exact ppm shares.
+    Rank-filter BEFORE collect bounds every per-user list at k (bot
+    users can't balloon the state); the share denominator is a 1-row
+    broadcast. All-BIGINT share arithmetic replays byte-identically."""
+    from flatbread_spark.operators.events import session_paths
+
+    ev = _load(spark, sf_dir, "events")
+    return session_paths(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", k=3, tiebreak_col="event_id",
+    ).orderBy("path")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3381,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize": q_standardize,
         "knn_quantized_recall": q_knn_quantized_recall,
         "event_transitions": q_event_transitions,
+        "session_paths": q_session_paths,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5669,6 +5686,19 @@ SELECT from_state, to_state, n,
             // CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT)
             AS BIGINT) AS p_ppm
 FROM p ORDER BY from_state, to_state
+""",
+        "session_paths": """
+WITH r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+           FROM events),
+pk AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       FROM r WHERE rn <= 3 GROUP BY user_id),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM pk)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(CAST(COUNT(*) AS BIGINT) * 1000000 // (SELECT total FROM t)
+            AS BIGINT) AS share_ppm
+FROM pk GROUP BY path ORDER BY path
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

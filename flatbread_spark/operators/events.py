@@ -186,3 +186,81 @@ def event_transitions(
             F.expr("n * CAST(1000000 AS BIGINT) div n_from").cast("bigint"),
         )
     )
+
+
+def session_paths(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    k: int = 5,
+    tiebreak_col: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Ordered first-``k`` event-path frequency table: for each key the
+    first ``k`` states in ``(order_col, tiebreak_col)`` order are joined
+    into one ``sep``-delimited path string, then paths are counted across
+    keys — the onboarding-flow / navigation-prefix report that completes
+    the batch sequence family (:func:`funnel` is unordered-milestone,
+    :func:`event_transitions` is pairwise; this is the full ordered
+    prefix).
+
+    Dataflow: one per-key window ranks events (same per-key bound and
+    bot-user skew note as :func:`funnel`); rows with rank > ``k`` are
+    DROPPED BEFORE the collect, so the per-key list is bounded by ``k``
+    regardless of how many events a key has — the collect can never
+    balloon on a bot user. Path assembly sorts the (rank, state) structs
+    row-locally (rank is unique within a key, so the order is total);
+    the share denominator is a 1-row scalar frame (broadcast corner, the
+    sanctioned shape). ``share_ppm = n_keys * 1e6 div total_keys`` is
+    all-BIGINT and byte-identical across engines.
+
+    Returns ``(path, n_keys, share_ppm)`` — one row per distinct path.
+
+    Pass a unique ``tiebreak_col`` (the event id) when ``order_col`` can
+    collide, or the prefix is not deterministic.
+    """
+    if k < 1:
+        raise ValueError("session_paths requires k >= 1")
+    from pyspark.sql import Window
+
+    order = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    per_key = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(key_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__rn").alias("rn"),
+                                F.col(state_col).alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias("path")
+        )
+    )
+    total = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__total")
+    )
+    return (
+        per_key.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "share_ppm",
+            F.expr("n_keys * CAST(1000000 AS BIGINT) div __total").cast(
+                "bigint"
+            ),
+        )
+        .drop("__total")
+    )

@@ -390,6 +390,19 @@ def main():
                 "doc_id", [50_000, 500_000, 990_000],
             )
         ),
+        "standardize": lambda d, e: run_count(
+            fb.standardize(
+                d.select("doc_id", "lang", "n_chars"), "lang", "n_chars"
+            )
+        ),
+        # documents stand in for events: per-source doc stream ordered by
+        # doc_id, state = lang — same shape (per-key window + pair agg)
+        "event_transitions": lambda d, e: run_count(
+            fb.event_transitions(
+                d.select("source", "doc_id", "lang"),
+                "source", "doc_id", "lang",
+            )
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():

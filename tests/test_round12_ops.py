@@ -481,3 +481,75 @@ class TestEventTransitions:
         # floor division: sum within (1e6 - n_pairs, 1e6]
         for s, tot in sums.items():
             assert 1_000_000 - ns[s] < tot <= 1_000_000, s
+
+
+# --------------------------------------------------------------- session_paths
+class TestSessionPaths:
+    def _events(self, spark):
+        # user 1: a,b,a,c ; user 2: b,b,a ; user 3: c
+        rows = [
+            (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"), (4, 1, 40, "c"),
+            (5, 2, 10, "b"), (6, 2, 20, "b"), (7, 2, 30, "a"),
+            (8, 3, 10, "c"),
+        ]
+        return spark.createDataFrame(
+            rows, "eid bigint, u bigint, t bigint, s string"
+        )
+
+    def test_matches_python_prefixes(self, spark):
+        from collections import Counter
+
+        from flatbread_spark.operators.events import session_paths
+
+        df = self._events(spark)
+        out = {
+            r["path"]: (r["n_keys"], r["share_ppm"])
+            for r in session_paths(df, "u", "t", "s", k=3, tiebreak_col="eid")
+            .collect()
+        }
+        chains = {1: "abac", 2: "bba", 3: "c"}
+        expect = Counter(">".join(seq[:3]) for seq in chains.values())
+        total = len(chains)
+        assert set(out) == set(expect)
+        for path, n in expect.items():
+            assert out[path] == (n, n * 1_000_000 // total), path
+
+    def test_prefix_bounded_by_k(self, spark):
+        from flatbread_spark.operators.events import session_paths
+
+        # one bot user with 1000 events: the path is still only k long
+        rows = [(i, 1, i, "x") for i in range(1000)]
+        df = spark.createDataFrame(rows, "eid bigint, u bigint, t bigint, s string")
+        out = session_paths(df, "u", "t", "s", k=4, tiebreak_col="eid").collect()
+        assert len(out) == 1
+        assert out[0]["path"] == "x>x>x>x"
+        assert out[0]["n_keys"] == 1
+        assert out[0]["share_ppm"] == 1_000_000
+
+    def test_tiebreak_makes_order_total(self, spark):
+        from flatbread_spark.operators.events import session_paths
+
+        # all timestamps collide: eid is the only order
+        rows = [(i, 7, 0, chr(ord("a") + i)) for i in range(5)]
+        df = spark.createDataFrame(rows, "eid bigint, u bigint, t bigint, s string")
+        out = session_paths(df, "u", "t", "s", k=5, tiebreak_col="eid").collect()
+        assert out[0]["path"] == "a>b>c>d>e"
+
+    def test_short_keys_keep_short_paths(self, spark):
+        from flatbread_spark.operators.events import session_paths
+
+        df = self._events(spark)
+        out = {
+            r["path"]: r["n_keys"]
+            for r in session_paths(df, "u", "t", "s", k=10, tiebreak_col="eid")
+            .collect()
+        }
+        assert out == {"a>b>a>c": 1, "b>b>a": 1, "c": 1}
+
+    def test_k_validation(self, spark):
+        import pytest
+
+        from flatbread_spark.operators.events import session_paths
+
+        with pytest.raises(ValueError):
+            session_paths(self._events(spark), "u", "t", "s", k=0)
