@@ -3103,6 +3103,63 @@ def q_session_paths(spark, sf_dir):
     ).orderBy("path")
 
 
+def q_conversion_lag(spark, sf_dir):
+    """Time-to-convert percentiles (operators/events.py conversion_lag):
+    first view -> first purchase lag per user, exact nearest-rank
+    p25/p50/p75/p90/p99 via the two-phase range-partitioned rank — one
+    conditional-min groupBy then the established exact_percentiles
+    machinery; all-BIGINT lags and integer ppm targets."""
+    from flatbread_spark.operators.events import conversion_lag
+
+    ev = _load(spark, sf_dir, "events")
+    return conversion_lag(
+        ev.select("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", "view", "purchase",
+    ).orderBy("q_ppm")
+
+
+def q_rolling_counts(spark, sf_dir):
+    """Per-user trailing-hour sliding aggregate (operators/events.py
+    rolling_counts): exact per-event count + decimal-exact value sum over
+    the inclusive [ts-1h, ts] window. One RANGE frame partitioned by the
+    user — per-key bounded state, no grid quantization (events_hourly is
+    the tumbling view; rate_anomaly the gridded one)."""
+    from flatbread_spark.operators.events import rolling_counts
+
+    ev = _load(spark, sf_dir, "events")
+    return (
+        rolling_counts(
+            ev.select("event_id", "user_id", "ts", "value"),
+            "user_id", "ts", window=3_600_000_000_000, value_col="value",
+        )
+        .select("event_id", "user_id", "n_win", "sum_win")
+        .orderBy("event_id")
+    )
+
+
+def q_vocab_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary Jaccard (operators/curation.py
+    vocab_overlap): distinct (source, token) pairs — bounded by vocabulary,
+    never corpus size — hash-joined on the token, exact BIGINT ppm."""
+    from flatbread_spark.operators.curation import vocab_overlap
+
+    docs = _load(spark, sf_dir, "documents")
+    return vocab_overlap(docs, "source", "text").orderBy("grp_a", "grp_b")
+
+
+def q_gini_concentration(spark, sf_dir):
+    """Exact per-source Gini of document length (operators/curation.py
+    gini_concentration): the value-mass inequality audit via the sorted-rank
+    identity, DECIMAL(38,0) products, integral ppm division — byte-identical
+    replay, no libm."""
+    from flatbread_spark.operators.curation import gini_concentration
+
+    docs = _load(spark, sf_dir, "documents")
+    return gini_concentration(docs, "source", "n_chars", "doc_id").orderBy(
+        "source"
+    )
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3398,6 +3455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_quantized_recall": q_knn_quantized_recall,
         "event_transitions": q_event_transitions,
         "session_paths": q_session_paths,
+        "conversion_lag": q_conversion_lag,
+        "rolling_counts": q_rolling_counts,
+        "vocab_overlap": q_vocab_overlap,
+        "gini_concentration": q_gini_concentration,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5699,6 +5760,69 @@ SELECT path, CAST(COUNT(*) AS BIGINT) AS n_keys,
        CAST(CAST(COUNT(*) AS BIGINT) * 1000000 // (SELECT total FROM t)
             AS BIGINT) AS share_ppm
 FROM pk GROUP BY path ORDER BY path
+""",
+        "conversion_lag": """
+WITH f AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS ta,
+    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS tb
+  FROM events GROUP BY 1),
+l AS (SELECT user_id, CAST(tb - ta AS BIGINT) AS lag
+      FROM f WHERE ta IS NOT NULL AND tb IS NOT NULL AND tb >= ta),
+r AS (SELECT user_id, lag,
+        CAST(row_number() OVER (ORDER BY lag, user_id) AS BIGINT) AS pos,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM l)
+SELECT CAST(q.q_ppm AS BIGINT) AS q_ppm, r.pos, r.n, r.lag
+FROM r JOIN (VALUES (250000), (500000), (750000), (900000), (990000))
+         q(q_ppm)
+  ON (r.pos - 1) * 1000000 < q.q_ppm * r.n
+ AND q.q_ppm * r.n <= r.pos * 1000000
+ORDER BY q_ppm
+""",
+        "rolling_counts": """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_win
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+        "vocab_overlap": r"""
+WITH toks AS (
+  SELECT DISTINCT source AS grp, tok
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+sizes AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_vocab
+          FROM toks GROUP BY 1),
+inter AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM toks a JOIN toks b ON a.tok = b.tok
+          WHERE a.grp < b.grp GROUP BY 1, 2)
+SELECT grp_a, grp_b, sa.n_vocab AS n_a, sb.n_vocab AS n_b, n_common,
+       CAST(n_common * 1000000 // (sa.n_vocab + sb.n_vocab - n_common)
+            AS BIGINT) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.grp = inter.grp_a
+JOIN sizes sb ON sb.grp = inter.grp_b
+ORDER BY grp_a, grp_b
+""",
+        "gini_concentration": """
+WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS BIGINT) AS i
+           FROM documents),
+a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        SUM(CAST(x AS HUGEINT)) AS s0,
+        SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS s1
+      FROM r GROUP BY 1)
+SELECT source, n_docs, CAST(s0 AS BIGINT) AS total,
+       CAST((2 * s1 - (CAST(n_docs AS HUGEINT) + 1) * s0) * 1000000
+            // (CAST(n_docs AS HUGEINT) * s0) AS BIGINT) AS gini_ppm
+FROM a ORDER BY source
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

@@ -88,11 +88,18 @@ from flatbread_spark.operators.graph import (  # noqa: E402
     dedup_clusters,
     pagerank_fixed,
 )
-from flatbread_spark.operators.events import event_transitions  # noqa: E402
+from flatbread_spark.operators.events import (  # noqa: E402
+    conversion_lag,
+    event_transitions,
+    rolling_counts,
+    session_paths,
+)
 from flatbread_spark.operators.curation import (  # noqa: E402
     curation_funnel,
+    gini_concentration,
     robust_outlier_gate,
     standardize,
+    vocab_overlap,
 )
 from flatbread_spark.operators.kmeans import kmeans_lloyd  # noqa: E402
 from flatbread_spark.operators.layout import cluster_by_zorder, zorder_key  # noqa: E402
@@ -218,5 +225,7 @@ __all__ = [
     "quantile_bucketize", "exact_percentiles", "boilerplate_prefixes",
     "strip_boilerplate_prefix", "ngram_novelty", "knn_quantized",
     "quantile_normalize", "winsorize", "group_percentiles", "standardize", "event_transitions",
+    "session_paths", "conversion_lag", "rolling_counts", "vocab_overlap",
+    "gini_concentration",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

@@ -289,3 +289,144 @@ def standardize(
         )
         .drop("__zn", "__zs", "__zss")
     )
+
+
+def vocab_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups (sources, dumps,
+    languages): for every unordered group pair (a < b), the distinct-token
+    intersection, both vocabulary sizes, and
+    ``jaccard_ppm = |A∩B| · 1e6 div (|A| + |B| - |A∩B|)`` — the corpus
+    diagnostic behind "are these two feeds the same register?" that runs
+    long before any document-level dedup. Sits beside
+    ``dedup.chunk_overlap`` (shared duplicated CONTENT) and
+    ``dedup.dup_source_matrix`` (shared document fingerprints): this one
+    compares the LEXICONS, so two sources with zero copied text still show
+    high overlap when they write about the same things.
+
+    Scale shape: tokens distinct BEFORE anything moves — the shuffled
+    relation is (group, token) distinct pairs, bounded by
+    #groups × vocabulary, never corpus size. The pair join is a
+    hash equi-join on the token (each token contributes only its own
+    group list — no all-pairs of documents anywhere); per-group sizes
+    join back on the group (broadcast — the group table is tiny by
+    definition). All-BIGINT ppm arithmetic, byte-identical replay.
+
+    Returns ``(grp_a, grp_b, n_a, n_b, n_common, jaccard_ppm)``.
+    """
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    toks = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.trim(text), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    from flatbread_spark.operators.dedup import _pin
+
+    toks = _pin(toks)
+    sizes = toks.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab")
+    )
+    a = toks.select(F.col("tok"), F.col("grp").alias("grp_a"))
+    b = toks.select(F.col("tok"), F.col("grp").alias("grp_b"))
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("grp").alias("grp_a"), F.col("n_vocab").alias("n_a")
+                )
+            ),
+            "grp_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("grp").alias("grp_b"), F.col("n_vocab").alias("n_b")
+                )
+            ),
+            "grp_b",
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "n_common * CAST(1000000 AS BIGINT) "
+                "div (n_a + n_b - n_common)"
+            ).cast("bigint").alias("jaccard_ppm"),
+        )
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+) -> DataFrame:
+    """EXACT per-group Gini coefficient of a non-negative integral metric
+    (document lengths, token counts, domain volumes) — the one-number
+    inequality audit: 0 = every document identical, →1 = a few giants
+    hold all the mass. The standard corpus-skew report ("is this source
+    three mega-pages and noise?") next to :func:`standardize` (which
+    scores individual rows) and ``skew.skew_profile`` (key-frequency
+    skew; this is VALUE-mass skew).
+
+    Uses the sorted-rank identity ``G = (2·Σ i·x_i − (n+1)·Σ x_i) /
+    (n·Σ x_i)`` with ranks from one per-group window (bounded by the
+    largest group — the accepted per-stratum pattern, same as
+    ``ranking.group_percentiles``; ``key_col`` makes the rank total, and
+    the identity is permutation-invariant across equal values so the
+    tiebreak never changes the result). Every product rides DECIMAL(38,0)
+    — ``i ≤ n`` times ``x`` summed ``n`` times cannot overflow BIGINT
+    mid-expression at any corpus size — and the result is integral
+    division to ``gini_ppm``: byte-identical across engines, no libm.
+
+    Returns ``(<group_col>, n_docs, total, gini_ppm)``.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    wg = Window.partitionBy(group_col)
+    r = F.row_number().over(
+        wg.orderBy(F.col(value_col), F.col(key_col))
+    ).cast("bigint")
+    staged = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("bigint").alias("__x"),
+        r.alias("__i"),
+    )
+    agg = staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("__x").cast(dec)).cast(dec).alias("__s0"),
+        F.sum((F.col("__i").cast(dec) * F.col("__x").cast(dec)))
+        .cast(dec)
+        .alias("__s1"),
+    )
+    return agg.select(
+        F.col(group_col),
+        "n_docs",
+        F.col("__s0").cast("bigint").alias("total"),
+        F.expr(
+            f"(CAST(2 AS {dec}) * __s1 "
+            f"- (CAST(n_docs AS {dec}) + CAST(1 AS {dec})) * __s0) "
+            f"* CAST(1000000 AS {dec}) "
+            f"div (CAST(n_docs AS {dec}) * __s0)"
+        ).cast("bigint").alias("gini_ppm"),
+    )

@@ -249,6 +249,11 @@ def session_paths(
             ).alias("path")
         )
     )
+    # the denominator branch and the path-count branch both consume the
+    # per-key frame: pin it so the window+groupBy run once, not twice
+    from flatbread_spark.operators.dedup import _pin
+
+    per_key = _pin(per_key)
     total = per_key.agg(
         F.count(F.lit(1)).cast("bigint").alias("__total")
     )
@@ -264,3 +269,110 @@ def session_paths(
         )
         .drop("__total")
     )
+
+
+def conversion_lag(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    from_state: str,
+    to_state: str,
+    q_ppm: "tuple[int, ...]" = (250_000, 500_000, 750_000, 900_000, 990_000),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Time-to-convert distribution: per key, the lag between the FIRST
+    ``from_state`` event and the FIRST ``to_state`` event, summarized as
+    EXACT nearest-rank percentiles — "how long from first view to first
+    purchase, p50/p95/p99" (product analytics) or "first crawl to first
+    re-crawl" (ingestion freshness). Completes the event family: funnel
+    answers *whether* users convert, this answers *how fast*.
+
+    Dataflow: ONE conditional-min groupBy on the key (two ``min(when)``
+    aggregates — a single shuffle, map-side partial); keys missing either
+    endpoint or converting "backwards" (to before from) are dropped; the
+    lag frame (one BIGINT row per converting key) feeds
+    :func:`flatbread_spark.operators.ranking.exact_percentiles` — the
+    two-phase range-partitioned rank, so no unpartitioned window even
+    when billions of keys convert. All-BIGINT lag arithmetic and integer
+    ppm targets replay byte-identically across engines.
+
+    ``order_col`` must be integral (epoch ns via
+    ``functions.eventtime.ensure_epoch_ns`` at the load boundary, or an
+    ordinal). Returns one row per requested quantile:
+    ``(q_ppm, pos, n, lag)``.
+    """
+    from flatbread_spark.operators.ranking import exact_percentiles
+
+    firsts = df.groupBy(key_col).agg(
+        F.min(
+            F.when(F.col(state_col) == from_state, F.col(order_col))
+        ).alias("__ta"),
+        F.min(
+            F.when(F.col(state_col) == to_state, F.col(order_col))
+        ).alias("__tb"),
+    )
+    lags = (
+        firsts.filter(
+            F.col("__ta").isNotNull()
+            & F.col("__tb").isNotNull()
+            & (F.col("__tb") >= F.col("__ta"))
+        )
+        .select(
+            F.col(key_col),
+            (F.col("__tb") - F.col("__ta")).cast("bigint").alias("lag"),
+        )
+    )
+    return exact_percentiles(
+        lags, "lag", key_col, q_ppm, num_partitions=num_partitions
+    )
+
+
+def rolling_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-key TRAILING-window aggregate at event granularity: for every
+    event, how many events the same key produced in the inclusive
+    ``[ts - window, ts]`` interval (and the decimal-exact sum of
+    ``value_col`` over that interval when given) — the sliding-window
+    burst profile. Complements the two existing rate views: tumbling
+    buckets (``streaming/windows.py`` rollup, ``events_hourly``) snap to
+    a grid and :func:`rate_anomaly` compares gridded buckets; this is the
+    exact per-event trailing count with no grid quantization.
+
+    One RANGE window partitioned by the key — state is bounded per key
+    (the frame holds only events inside ``window``), billions of keys
+    parallelize, and Spark's range frame is streaming within the
+    partition (no per-key materialization beyond the frame). Duplicate
+    timestamps are frame PEERS — every row with equal ts gets the same
+    inclusive count, so the result is deterministic without a tiebreak.
+    ``ts_col`` must be integral (epoch ns at the load boundary); the
+    count is BIGINT and the optional sum rides DECIMAL(27,6) before the
+    final double cast — the established cross-engine-exact shape.
+
+    Returns the input keys plus ``(n_win[, sum_win])``, one row per event.
+    """
+    if window <= 0:
+        raise ValueError("rolling_counts requires a positive window")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col))
+        .rangeBetween(-int(window), 0)
+    )
+    out = df.withColumn(
+        "n_win", F.count(F.lit(1)).over(w).cast("bigint")
+    )
+    if value_col is not None:
+        out = out.withColumn(
+            "sum_win",
+            F.sum(F.col(value_col).cast("decimal(27,6)"))
+            .over(w)
+            .cast("double"),
+        )
+    return out

@@ -403,6 +403,41 @@ def main():
                 "source", "doc_id", "lang",
             )
         ),
+        "session_paths": lambda d, e: run_count(
+            fb.session_paths(
+                d.select("source", "doc_id", "lang"),
+                "source", "doc_id", "lang", k=3,
+            )
+        ),
+        # key = doc_id div 10 gives many small "users" (the scale shape:
+        # key count grows with input, per-key state stays bounded)
+        "conversion_lag": lambda d, e: run_count(
+            fb.conversion_lag(
+                d.select(
+                    (F.col("doc_id") / 10).cast("bigint").alias("k"),
+                    "doc_id", "lang",
+                ),
+                "k", "doc_id", "lang", "en", "de",
+            )
+        ),
+        "rolling_counts": lambda d, e: run_count(
+            fb.rolling_counts(
+                d.select(
+                    (F.col("doc_id") % 1000).alias("k"),
+                    "doc_id", "n_chars",
+                ),
+                "k", "doc_id", window=5000, value_col="n_chars",
+            )
+        ),
+        "vocab_overlap": lambda d, e: run_count(
+            fb.vocab_overlap(d.select("source", "text"), "source", "text")
+        ),
+        "gini_concentration": lambda d, e: run_count(
+            fb.gini_concentration(
+                d.select("source", "doc_id", "n_chars"),
+                "source", "n_chars", "doc_id",
+            )
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():

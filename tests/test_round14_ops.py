@@ -1,0 +1,190 @@
+"""Round-14 operators: conversion_lag, rolling_counts, vocab_overlap,
+gini_concentration — each checked against a pure-Python reference on
+adversarial shapes (ties, dropped keys, empty intersections, constant and
+single-giant distributions)."""
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- conversion_lag
+class TestConversionLag:
+    def _events(self, spark):
+        rows = [
+            (1, 10, "view"), (1, 25, "purchase"),          # lag 15
+            (2, 5, "view"), (2, 105, "purchase"),          # lag 100
+            (3, 50, "purchase"), (3, 60, "view"),          # backwards: dropped
+            (4, 7, "view"),                                 # no purchase: dropped
+            (5, 0, "view"), (5, 1, "purchase"), (5, 9, "purchase"),  # lag 1
+        ]
+        return spark.createDataFrame(rows, "u bigint, t bigint, s string")
+
+    def test_exact_nearest_rank(self, spark):
+        from flatbread_spark.operators.events import conversion_lag
+
+        out = (
+            conversion_lag(
+                self._events(spark), "u", "t", "s", "view", "purchase",
+                q_ppm=(250_000, 500_000, 1_000_000),
+            )
+            .orderBy("q_ppm")
+            .collect()
+        )
+        # converting lags sorted: [1, 15, 100]; ceil(q*n/1e6) positions
+        assert [(r["q_ppm"], r["pos"], r["n"], r["lag"]) for r in out] == [
+            (250_000, 1, 3, 1),
+            (500_000, 2, 3, 15),
+            (1_000_000, 3, 3, 100),
+        ]
+
+    def test_first_occurrence_not_any(self, spark):
+        from flatbread_spark.operators.events import conversion_lag
+
+        # user converts, then views again much later: lag uses FIRST view
+        rows = [(1, 10, "view"), (1, 20, "purchase"), (1, 1000, "view")]
+        df = spark.createDataFrame(rows, "u bigint, t bigint, s string")
+        out = conversion_lag(df, "u", "t", "s", "view", "purchase",
+                             q_ppm=(1_000_000,)).collect()
+        assert out[0]["lag"] == 10
+
+    def test_same_instant_counts(self, spark):
+        from flatbread_spark.operators.events import conversion_lag
+
+        rows = [(1, 10, "view"), (1, 10, "purchase")]
+        df = spark.createDataFrame(rows, "u bigint, t bigint, s string")
+        out = conversion_lag(df, "u", "t", "s", "view", "purchase",
+                             q_ppm=(1_000_000,)).collect()
+        assert out[0]["lag"] == 0 and out[0]["n"] == 1
+
+
+# --------------------------------------------------------------- rolling_counts
+class TestRollingCounts:
+    def test_matches_python_bruteforce(self, spark):
+        from flatbread_spark.operators.events import rolling_counts
+
+        rows = [
+            (i, i % 3, (i * 37) % 50, float(i % 7))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "eid bigint, u bigint, t bigint, v double")
+        W = 10
+        out = {
+            r["eid"]: (r["n_win"], r["sum_win"])
+            for r in rolling_counts(df, "u", "t", window=W, value_col="v")
+            .collect()
+        }
+        for eid, u, t, _ in rows:
+            in_win = [(e, uu, tt, vv) for e, uu, tt, vv in rows
+                      if uu == u and t - W <= tt <= t]
+            assert out[eid][0] == len(in_win), eid
+            assert out[eid][1] == pytest.approx(sum(x[3] for x in in_win))
+
+    def test_duplicate_ts_are_peers(self, spark):
+        from flatbread_spark.operators.events import rolling_counts
+
+        rows = [(1, 1, 10), (2, 1, 10), (3, 1, 10)]
+        df = spark.createDataFrame(rows, "eid bigint, u bigint, t bigint")
+        out = rolling_counts(df, "u", "t", window=5).collect()
+        assert [r["n_win"] for r in out] == [3, 3, 3]
+
+    def test_window_validation(self, spark):
+        from flatbread_spark.operators.events import rolling_counts
+
+        df = spark.createDataFrame([(1, 1, 1)], "eid bigint, u bigint, t bigint")
+        with pytest.raises(ValueError):
+            rolling_counts(df, "u", "t", window=0)
+
+
+# ---------------------------------------------------------------- vocab_overlap
+class TestVocabOverlap:
+    def test_matches_python_sets(self, spark):
+        from flatbread_spark.operators.curation import vocab_overlap
+
+        corpora = {
+            "s1": ["a b c", "c C a"],
+            "s2": ["b c d", "d e"],
+            "s3": ["x y", "y z"],
+            "s4": ["a b c d e x y z"],
+        }
+        rows = [
+            (i, text, src)
+            for i, (src, texts) in enumerate(
+                (s, t) for s, ts in sorted(corpora.items()) for t in [ts]
+            )
+            for text in texts
+        ]
+        df = spark.createDataFrame(rows, "id bigint, text string, src string")
+        out = {
+            (r["grp_a"], r["grp_b"]): (r["n_a"], r["n_b"], r["n_common"],
+                                       r["jaccard_ppm"])
+            for r in vocab_overlap(df, "src", "text").collect()
+        }
+        vocab = {
+            s: set(w for t in ts for w in t.lower().split())
+            for s, ts in corpora.items()
+        }
+        names = sorted(corpora)
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                inter = len(vocab[a] & vocab[b])
+                if inter == 0:
+                    assert (a, b) not in out, (a, b)
+                    continue
+                union = len(vocab[a] | vocab[b])
+                assert out[(a, b)] == (
+                    len(vocab[a]), len(vocab[b]), inter,
+                    inter * 1_000_000 // union,
+                ), (a, b)
+
+    def test_case_sensitive_mode(self, spark):
+        from flatbread_spark.operators.curation import vocab_overlap
+
+        rows = [(1, "A b", "s1"), (2, "a b", "s2")]
+        df = spark.createDataFrame(rows, "id bigint, text string, src string")
+        out = vocab_overlap(df, "src", "text", lowercase=False).collect()
+        # only "b" is shared when case matters
+        assert out[0]["n_common"] == 1 and out[0]["jaccard_ppm"] == 333_333
+
+
+# ----------------------------------------------------------- gini_concentration
+class TestGini:
+    @staticmethod
+    def _gini_ppm(xs):
+        xs = sorted(xs)
+        n, s0 = len(xs), sum(xs)
+        s1 = sum((i + 1) * x for i, x in enumerate(xs))
+        return (2 * s1 - (n + 1) * s0) * 1_000_000 // (n * s0)
+
+    def test_matches_python(self, spark):
+        from flatbread_spark.operators.curation import gini_concentration
+
+        groups = {
+            "flat": [5, 5, 5, 5],                 # gini 0
+            "giant": [1, 1, 98],                  # one doc holds the mass
+            "ramp": list(range(1, 11)),
+            "ties": [3, 3, 7, 7, 7, 100],
+        }
+        rows = [
+            (src, i, x)
+            for src, xs in groups.items()
+            for i, x in enumerate(xs)
+        ]
+        df = spark.createDataFrame(rows, "src string, id bigint, x bigint")
+        out = {
+            r["src"]: (r["n_docs"], r["total"], r["gini_ppm"])
+            for r in gini_concentration(df, "src", "x", "id").collect()
+        }
+        for src, xs in groups.items():
+            assert out[src] == (len(xs), sum(xs), self._gini_ppm(xs)), src
+
+    def test_tiebreak_invariant(self, spark):
+        """Equal values in any rank order give the same Gini (the identity
+        is permutation-invariant across equal x), so key choice is free."""
+        from flatbread_spark.operators.curation import gini_concentration
+
+        rows_a = [("s", i, 7) for i in range(5)] + [("s", 10, 2)]
+        rows_b = [("s", 100 - i, 7) for i in range(5)] + [("s", 0, 2)]
+        for rows in (rows_a, rows_b):
+            df = spark.createDataFrame(rows, "src string, id bigint, x bigint")
+            out = gini_concentration(df, "src", "x", "id").collect()
+            assert out[0]["gini_ppm"] == self._gini_ppm([7] * 5 + [2])
