@@ -188,3 +188,92 @@ class TestGini:
             df = spark.createDataFrame(rows, "src string, id bigint, x bigint")
             out = gini_concentration(df, "src", "x", "id").collect()
             assert out[0]["gini_ppm"] == self._gini_ppm([7] * 5 + [2])
+
+
+# ------------------------------------------------------ hypothesis properties
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+HSET = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 4),        # key
+            st.integers(0, 60),       # ts
+            st.floats(0, 10, allow_nan=False, width=16),
+        ),
+        min_size=1, max_size=40,
+    ),
+    window=st.integers(1, 20),
+)
+@settings(**HSET)
+def test_rolling_counts_matches_bruteforce(spark, rows, window):
+    from flatbread_spark.operators.events import rolling_counts
+
+    data = [(i, k, t, float(v)) for i, (k, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "eid bigint, u bigint, t bigint, v double")
+    out = {
+        r["eid"]: r["n_win"]
+        for r in rolling_counts(df, "u", "t", window=window).collect()
+    }
+    for eid, k, t, _ in data:
+        expect = sum(
+            1 for _, kk, tt, _ in data if kk == k and t - window <= tt <= t
+        )
+        assert out[eid] == expect, (eid, window)
+
+
+@given(
+    xs=st.lists(st.integers(0, 10_000), min_size=1, max_size=30).filter(
+        lambda v: sum(v) > 0
+    ),
+    c=st.integers(1, 1000),
+)
+@settings(**HSET)
+def test_gini_scale_invariant_and_bounded(spark, xs, c):
+    """Gini is invariant under x -> c*x and lives in [0, 1e6)."""
+    from flatbread_spark.operators.curation import gini_concentration
+
+    rows = [("s", i, x) for i, x in enumerate(xs)] + [
+        ("sc", i, x * c) for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "src string, id bigint, x bigint")
+    out = {
+        r["src"]: r["gini_ppm"]
+        for r in gini_concentration(df, "src", "x", "id").collect()
+    }
+    assert out["s"] == out["sc"]
+    assert 0 <= out["s"] < 1_000_000
+
+
+@given(
+    lags=st.lists(st.integers(0, 1_000_000), min_size=1, max_size=25),
+    qs=st.lists(st.integers(1, 1_000_000), min_size=1, max_size=4,
+                unique=True),
+)
+@settings(**HSET)
+def test_conversion_lag_is_nearest_rank_of_sorted_lags(spark, lags, qs):
+    from flatbread_spark.operators.events import conversion_lag
+
+    rows = []
+    for i, lag in enumerate(lags):
+        rows.append((i, 0, "a"))
+        rows.append((i, lag, "b"))
+    df = spark.createDataFrame(rows, "u bigint, t bigint, s string")
+    out = {
+        r["q_ppm"]: r["lag"]
+        for r in conversion_lag(
+            df, "u", "t", "s", "a", "b", q_ppm=tuple(qs)
+        ).collect()
+    }
+    ordered = sorted(lags)
+    n = len(ordered)
+    for q in qs:
+        pos = max(1, -(-q * n // 1_000_000))  # ceil
+        assert out[q] == ordered[pos - 1], q
