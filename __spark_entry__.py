@@ -3160,6 +3160,32 @@ def q_gini_concentration(spark, sf_dir):
     )
 
 
+def q_characteristic_terms(spark, sf_dir):
+    """Per-source distinctive vocabulary (operators/vocabulary.py
+    characteristic_terms): top-5 tokens by exact integer lift (observed /
+    expected in ppm, DECIMAL(38,0) products) with min_count=5 hapax
+    suppression — the log-free TF-IDF-keyword analog. Count-table
+    algebra bounded by #groups x vocabulary; deterministic
+    (lift desc, term) rank."""
+    from flatbread_spark.operators.vocabulary import characteristic_terms
+
+    docs = _load(spark, sf_dir, "documents")
+    return characteristic_terms(
+        docs, "source", "text", k=5, min_count=5
+    ).orderBy("source", "rank")
+
+
+def q_doc_freq_spectrum(spark, sf_dir):
+    """Document-frequency Zipf spectrum (operators/vocabulary.py
+    doc_freq_spectrum): distinct tokens per power-of-2 DF bucket +
+    posting mass. Bucket exponent is integer bit-length via bin() —
+    identical builtin semantics in Spark and DuckDB, no libm."""
+    from flatbread_spark.operators.vocabulary import doc_freq_spectrum
+
+    docs = _load(spark, sf_dir, "documents")
+    return doc_freq_spectrum(docs, "doc_id", "text").orderBy("bucket_lo")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3459,6 +3485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_counts": q_rolling_counts,
         "vocab_overlap": q_vocab_overlap,
         "gini_concentration": q_gini_concentration,
+        "characteristic_terms": q_characteristic_terms,
+        "doc_freq_spectrum": q_doc_freq_spectrum,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5823,6 +5851,42 @@ SELECT source, n_docs, CAST(s0 AS BIGINT) AS total,
        CAST((2 * s1 - (CAST(n_docs AS HUGEINT) + 1) * s0) * 1000000
             // (CAST(n_docs AS HUGEINT) * s0) AS BIGINT) AS gini_ppm
 FROM a ORDER BY source
+""",
+        "characteristic_terms": r"""
+WITH c AS (SELECT source AS grp, tok AS term, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT source,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS tok
+                 FROM documents)
+           WHERE tok <> '' GROUP BY 1, 2),
+g AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS n_grp FROM c GROUP BY 1),
+t AS (SELECT term, CAST(SUM(n) AS BIGINT) AS n_term FROM c GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+s AS (SELECT c.grp, c.term, c.n, t.n_term, g.n_grp,
+        CAST(CAST(c.n AS HUGEINT) * (SELECT total FROM tot) * 1000000
+             // (CAST(g.n_grp AS HUGEINT) * t.n_term) AS BIGINT) AS lift_ppm
+      FROM c JOIN t ON c.term = t.term JOIN g ON c.grp = g.grp
+      WHERE c.n >= 5),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY grp
+          ORDER BY lift_ppm DESC, term) AS BIGINT) AS rank FROM s)
+SELECT grp AS source, term, rank, n, n_term, n_grp, lift_ppm
+FROM r WHERE rank <= 5 ORDER BY source, rank
+""",
+        "doc_freq_spectrum": r"""
+WITH p AS (SELECT DISTINCT doc_id, tok AS term
+           FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS tok
+                 FROM documents)
+           WHERE tok <> ''),
+d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs FROM p GROUP BY 1),
+b AS (SELECT CAST(CAST(1 AS BIGINT) << (length(bin(n_docs)) - 1) AS BIGINT)
+         AS bucket_lo, n_docs
+      FROM d)
+SELECT bucket_lo, CAST(bucket_lo * 2 AS BIGINT) AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(n_docs) AS BIGINT) AS n_postings
+FROM b GROUP BY 1 ORDER BY bucket_lo
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

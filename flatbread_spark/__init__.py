@@ -101,6 +101,10 @@ from flatbread_spark.operators.curation import (  # noqa: E402
     standardize,
     vocab_overlap,
 )
+from flatbread_spark.operators.vocabulary import (  # noqa: E402
+    characteristic_terms,
+    doc_freq_spectrum,
+)
 from flatbread_spark.operators.kmeans import kmeans_lloyd  # noqa: E402
 from flatbread_spark.operators.layout import cluster_by_zorder, zorder_key  # noqa: E402
 from flatbread_spark.operators.lm import pmi_bigrams, trigram_typicality  # noqa: E402
@@ -226,6 +230,6 @@ __all__ = [
     "strip_boilerplate_prefix", "ngram_novelty", "knn_quantized",
     "quantile_normalize", "winsorize", "group_percentiles", "standardize", "event_transitions",
     "session_paths", "conversion_lag", "rolling_counts", "vocab_overlap",
-    "gini_concentration",
+    "gini_concentration", "characteristic_terms", "doc_freq_spectrum",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

@@ -438,6 +438,15 @@ def main():
                 "source", "n_chars", "doc_id",
             )
         ),
+        "characteristic_terms": lambda d, e: run_count(
+            fb.characteristic_terms(
+                d.select("source", "text"), "source", "text",
+                k=5, min_count=5,
+            )
+        ),
+        "doc_freq_spectrum": lambda d, e: run_count(
+            fb.doc_freq_spectrum(d.select("doc_id", "text"), "doc_id", "text")
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():
