@@ -121,6 +121,7 @@ from flatbread_spark.operators.packing import (  # noqa: E402
 )
 from flatbread_spark.operators.sampling import (  # noqa: E402
     assign_split,
+    fps_select,
     sample_deterministic,
     sample_stratified,
     sample_token_budget,
@@ -231,5 +232,6 @@ __all__ = [
     "quantile_normalize", "winsorize", "group_percentiles", "standardize", "event_transitions",
     "session_paths", "conversion_lag", "rolling_counts", "vocab_overlap",
     "gini_concentration", "characteristic_terms", "doc_freq_spectrum",
+    "fps_select",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

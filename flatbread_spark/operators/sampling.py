@@ -308,3 +308,94 @@ def sample_to_mix(
         .withColumn("mix_pos", F.row_number().over(w).cast("bigint"))
         .filter(F.col("mix_pos") <= keep)
     )
+
+
+def fps_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Farthest-point sampling (greedy k-center) over an embedding column:
+    pick ``k`` points where each next pick maximizes its distance to the
+    nearest already-picked point — the classic maximum-diversity coreset
+    for eval-set construction ("give me 512 maximally-different documents
+    to eyeball / hold out"), the complement of :func:`sample_stratified`
+    (metadata-diverse) and k-means (density-seeking: FPS chases the hull,
+    k-means the modes).
+
+    Distances are EXACT BIGINT squared-L2 over per-vector int8 codes
+    (``functions.vectors.int8_codes`` — floor-based quantization both
+    engines evaluate identically), so every argmax has a total
+    deterministic order ``(dist desc, id asc)`` and the selection replays
+    bit-identically: no float argmax flips. Codes approximate each
+    vector's DIRECTION (per-vector symmetric scales); for hull-chasing
+    selection that distortion is benign — the float-exact variant is one
+    ``dot_exact`` swap away if a caller needs it.
+
+    Scale shape: the greedy loop is inherently k sequential passes — each
+    iteration is ONE distributed scan computing the distance to the
+    single newest center (a zip_with/aggregate JVM expression against a
+    64-literal array, no Python, no shuffle) folded into the running
+    min, plus a top-1 reduce (``orderBy(...).limit(1)`` — partial top-1
+    per partition, never a full sort). Driver state is k code vectors;
+    an eager ``localCheckpoint`` every ``checkpoint_every`` iterations
+    bounds plan depth (the kmeans discipline). Cost is k scans of a
+    codes-only projection (4× smaller than the float column) — for the
+    eval-coreset k values this targets (≤ ~1k), that is the intended
+    trade, and candidates can be pre-thinned with
+    :func:`sample_deterministic` for larger corpora.
+
+    Returns ``(rank, <id_col>, min_dist)`` — selection order starting at
+    the smallest id (rank 0, min_dist 0 by convention), each later row
+    carrying its max-min code distance at selection time.
+    """
+    if k < 1:
+        raise ValueError("fps_select requires k >= 1")
+    from flatbread_spark.functions.vectors import int8_codes, int8_scale
+
+    scale = int8_scale(F.col(vec_col))
+    state = df.select(
+        F.col(id_col).alias("__id"),
+        int8_codes(F.col(vec_col), scale).alias("__c"),
+    ).localCheckpoint(eager=True)
+
+    first = state.orderBy("__id").limit(1).collect()
+    if not first:
+        raise ValueError("fps_select requires a non-empty input")
+    chosen = [(0, first[0]["__id"], 0)]
+    last_codes = first[0]["__c"]
+    state = state.withColumn("__d", F.lit(None).cast("bigint"))
+
+    for rank in range(1, k):
+        c_lit = F.array(
+            *[F.lit(int(x)).cast("bigint") for x in last_codes]
+        )
+        d_new = F.aggregate(
+            F.zip_with("__c", c_lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        state = state.withColumn(
+            "__d", F.least(F.coalesce(F.col("__d"), d_new), d_new)
+        )
+        if rank % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=True)
+        top = (
+            state.filter(
+                ~F.col("__id").isin([cid for _, cid, _ in chosen])
+            )
+            .orderBy(F.col("__d").desc(), F.col("__id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # fewer distinct points than k
+        row = top[0]
+        chosen.append((rank, row["__id"], int(row["__d"])))
+        last_codes = row["__c"]
+
+    return df.sparkSession.createDataFrame(
+        chosen, f"rank bigint, {id_col} bigint, min_dist bigint"
+    )

@@ -447,6 +447,9 @@ def main():
         "doc_freq_spectrum": lambda d, e: run_count(
             fb.doc_freq_spectrum(d.select("doc_id", "text"), "doc_id", "text")
         ),
+        "coreset_fps": lambda d, e: run_count(
+            fb.fps_select(e, "vec_id", "embedding", k=8)
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():

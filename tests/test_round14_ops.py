@@ -277,3 +277,94 @@ def test_conversion_lag_is_nearest_rank_of_sorted_lags(spark, lags, qs):
     for q in qs:
         pos = max(1, -(-q * n // 1_000_000))  # ceil
         assert out[q] == ordered[pos - 1], q
+
+
+# ------------------------------------------------------------------ fps_select
+class TestFpsSelect:
+    @staticmethod
+    def _codes(v):
+        import math
+
+        s = max(abs(x) for x in v) / 127.0
+        if s == 0:
+            return [0] * len(v)
+        return [math.floor(x / s + 0.5) for x in v]
+
+    def _oracle(self, vecs, k):
+        C = {i: self._codes(v) for i, v in vecs}
+
+        def d2(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+
+        chosen = [min(C)]
+        out = [(0, chosen[0], 0)]
+        for rank in range(1, k):
+            best = None
+            for i in sorted(C):
+                if i in chosen:
+                    continue
+                dd = min(d2(C[i], C[c]) for c in chosen)
+                if best is None or dd > best[1]:
+                    best = (i, dd)
+            if best is None:
+                break
+            chosen.append(best[0])
+            out.append((rank, best[0], best[1]))
+        return out
+
+    def test_matches_python_greedy(self, spark):
+        from flatbread_spark.operators.sampling import fps_select
+
+        import random
+
+        rng = random.Random(7)
+        vecs = [
+            (i, [rng.uniform(-5, 5) for _ in range(8)]) for i in range(30)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+        got = [
+            (r["rank"], r["vec_id"], r["min_dist"])
+            for r in fps_select(df, "vec_id", "embedding", k=6).collect()
+        ]
+        # python oracle must quantize the same float32 values Spark sees
+        f32 = [
+            (i, [float(x) for x in row["embedding"]])
+            for i, row in zip(
+                [v[0] for v in vecs],
+                df.orderBy("vec_id").collect(),
+            )
+        ]
+        assert got == self._oracle(f32, 6)
+
+    def test_hops_between_far_clusters(self, spark):
+        from flatbread_spark.operators.sampling import fps_select
+
+        vecs = (
+            [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)]
+            + [(10, [100.0, 100.0]), (11, [100.0, 100.01])]
+            + [(20, [-100.0, 100.0])]
+        )
+        df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+        picks = [
+            r["vec_id"]
+            for r in fps_select(df, "vec_id", "embedding", k=3).collect()
+        ]
+        # first is min id (origin cluster); next two hit the two far corners
+        assert picks[0] == 0 and set(picks[1:]) == {10, 20}
+
+    def test_k_exceeding_rows_truncates(self, spark):
+        from flatbread_spark.operators.sampling import fps_select
+
+        vecs = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+        out = fps_select(df, "vec_id", "embedding", k=10).collect()
+        assert len(out) == 2
+
+    def test_validation(self, spark):
+        from flatbread_spark.operators.sampling import fps_select
+
+        df = spark.createDataFrame([(0, [1.0])], "vec_id bigint, embedding array<float>")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            fps_select(df, "vec_id", "embedding", k=0)
