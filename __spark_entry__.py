@@ -3199,6 +3199,22 @@ def q_coreset_fps(spark, sf_dir):
     return fps_select(emb, "vec_id", "embedding", k=8).orderBy("rank")
 
 
+def q_trend_slopes(spark, sf_dir):
+    """Per-event-type daily-volume trend (operators/trend.py theil_sen):
+    the robust ingestion-health monitor — exact Theil-Sen median of all
+    pairwise day slopes in ppm, floor-division identity making negative
+    slopes byte-identical across engines. Pair relation bounded by
+    (#days choose 2) per type, never raw event count."""
+    from flatbread_spark.operators.trend import theil_sen
+
+    ev = _load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts div 86400000000000").cast("bigint").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return theil_sen(daily, "event_type", "day", "n").orderBy("event_type")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3504,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "characteristic_terms": q_characteristic_terms,
         "doc_freq_spectrum": q_doc_freq_spectrum,
         "coreset_fps": q_coreset_fps,
+        "trend_slopes": q_trend_slopes,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5917,6 +5934,28 @@ FROM (VALUES (0, 0, 0), (1, 188, 531712), (2, 291, 519219),
              (6, 86, 441083), (7, 173, 437202))
   t(rank, vec_id, min_dist)
 ORDER BY rank
+""",
+        "trend_slopes": """
+WITH s AS (SELECT event_type AS g,
+             CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+p AS (SELECT a.g, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM s a JOIN s b ON a.g = b.g AND a.x < b.x),
+sl AS (SELECT g, x1, x2,
+         CAST(((y2 - y1) * 1000000) // (x2 - x1) AS BIGINT) AS sv
+       FROM p),
+r AS (SELECT g, sv,
+        CAST(row_number() OVER (PARTITION BY g ORDER BY sv, x1, x2)
+             AS BIGINT) AS pos,
+        CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM sl),
+np AS (SELECT g, CAST(COUNT(DISTINCT x) AS BIGINT) AS n_points
+       FROM s GROUP BY 1)
+SELECT r.g AS event_type, np.n_points, r.n AS n_pairs, r.sv AS slope_ppm
+FROM r JOIN np ON np.g = r.g
+WHERE (pos - 1) * 2 < n AND n <= pos * 2
+ORDER BY event_type
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

@@ -450,6 +450,16 @@ def main():
         "coreset_fps": lambda d, e: run_count(
             fb.fps_select(e, "vec_id", "embedding", k=8)
         ),
+        # per-source daily-ish series: bucket doc_id, count docs per bucket
+        "trend_slopes": lambda d, e: run_count(
+            fb.theil_sen(
+                d.groupBy(
+                    "source",
+                    (F.col("doc_id") % 60).cast("bigint").alias("x"),
+                ).agg(F.count(F.lit(1)).cast("bigint").alias("y")),
+                "source", "x", "y",
+            )
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():

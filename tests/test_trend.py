@@ -1,0 +1,84 @@
+"""Theil-Sen robust trend: exact median-of-slopes vs a pure-Python oracle,
+truncating-division parity on negative slopes, outlier robustness."""
+import itertools
+
+import pytest
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _oracle(series):
+    slopes = []
+    for (x1, y1), (x2, y2) in itertools.combinations(sorted(series), 2):
+        if x1 == x2:
+            continue
+        num, den = (y2 - y1) * 1_000_000, (x2 - x1)
+        q = abs(num) // den
+        slopes.append(q if num >= 0 else -q)  # truncating division
+    slopes.sort()
+    n = len(slopes)
+    return n, slopes[(n + 1) // 2 - 1] if n else None
+
+
+class TestTheilSen:
+    def test_matches_python_including_negative_floor(self, spark):
+        from flatbread_spark.operators.trend import theil_sen
+
+        groups = {
+            "up": [(0, 10), (1, 12), (2, 14), (3, 100), (4, 18)],
+            "down": [(0, 50), (1, 45), (2, 40), (3, 35)],
+            "flat": [(0, 7), (5, 7), (9, 7)],
+            "neg_odd": [(0, 10), (3, 3)],       # slope -7/3: trunc, not floor
+        }
+        rows = [(g, x, y) for g, s in groups.items() for x, y in s]
+        df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+        out = {
+            r["g"]: (r["n_pairs"], r["slope_ppm"])
+            for r in theil_sen(df, "g", "x", "y").collect()
+        }
+        for g, s in groups.items():
+            assert out[g] == _oracle(s), g
+        # the trunc-vs-floor witness: -7000000/3 truncates to -2333333
+        assert out["neg_odd"][1] == -2_333_333
+
+    def test_outlier_robustness(self, spark):
+        from flatbread_spark.operators.trend import theil_sen
+
+        # perfect slope 2 with one wild burst point
+        series = [(x, 2 * x) for x in range(10)] + [(10, 100_000)]
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in series], "g string, x bigint, y bigint"
+        )
+        out = theil_sen(df, "g", "x", "y").collect()[0]
+        assert out["slope_ppm"] == 2_000_000
+
+    def test_groups_without_two_x_points_absent(self, spark):
+        from flatbread_spark.operators.trend import theil_sen
+
+        rows = [("solo", 1, 5), ("dup_x", 3, 1), ("dup_x", 3, 9),
+                ("ok", 0, 0), ("ok", 1, 1)]
+        df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+        out = {r["g"] for r in theil_sen(df, "g", "x", "y").collect()}
+        assert out == {"ok"}
+
+    @given(
+        series=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(-50, 50)),
+            min_size=2, max_size=12, unique_by=lambda p: p[0],
+        )
+    )
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_property_matches_oracle(self, spark, series):
+        from flatbread_spark.operators.trend import theil_sen
+
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in series], "g string, x bigint, y bigint"
+        )
+        rows = theil_sen(df, "g", "x", "y").collect()
+        n, med = _oracle(series)
+        if n == 0:
+            assert rows == []
+        else:
+            assert (rows[0]["n_pairs"], rows[0]["slope_ppm"]) == (n, med)
