@@ -3215,6 +3215,27 @@ def q_trend_slopes(spark, sf_dir):
     return theil_sen(daily, "event_type", "day", "n").orderBy("event_type")
 
 
+def q_weighted_percentiles(spark, sf_dir):
+    """Token-mass-weighted document-length percentiles
+    (operators/ranking.py weighted_percentiles): the smallest length whose
+    cumulative TOKEN weight reaches q of the corpus total — what a
+    training budget cares about (vs exact_percentiles' per-document
+    view). Two-phase running weight sum, DECIMAL(38,0) match predicate,
+    2-number driver action."""
+    from flatbread_spark.operators.ranking import weighted_percentiles
+
+    docs = _load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+        .alias("n_tokens"),
+    )
+    return weighted_percentiles(
+        staged, "n_chars", "n_tokens", "doc_id",
+        [250_000, 500_000, 750_000, 990_000],
+    ).orderBy("q_ppm")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3521,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_freq_spectrum": q_doc_freq_spectrum,
         "coreset_fps": q_coreset_fps,
         "trend_slopes": q_trend_slopes,
+        "weighted_percentiles": q_weighted_percentiles,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -5956,6 +5978,26 @@ SELECT r.g AS event_type, np.n_points, r.n AS n_pairs, r.sv AS slope_ppm
 FROM r JOIN np ON np.g = r.g
 WHERE (pos - 1) * 2 < n AND n <= pos * 2
 ORDER BY event_type
+""",
+        "weighted_percentiles": r"""
+WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS w
+           FROM documents),
+f AS (SELECT * FROM t WHERE w > 0),
+c AS (SELECT doc_id, v, w,
+        SUM(w) OVER (ORDER BY v, doc_id ROWS UNBOUNDED PRECEDING) AS cw
+      FROM f),
+tot AS (SELECT CAST(SUM(w) AS HUGEINT) AS W, CAST(COUNT(*) AS BIGINT) AS n
+        FROM f)
+SELECT CAST(q.q_ppm AS BIGINT) AS q_ppm, tot.n AS n,
+       CAST(tot.W AS BIGINT) AS total_w, c.v AS n_chars
+FROM c
+CROSS JOIN tot
+JOIN (VALUES (250000), (500000), (750000), (990000)) q(q_ppm)
+  ON CAST(c.cw - c.w AS HUGEINT) * 1000000 < q.q_ppm * tot.W
+ AND q.q_ppm * tot.W <= CAST(c.cw AS HUGEINT) * 1000000
+ORDER BY q_ppm
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

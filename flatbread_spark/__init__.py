@@ -176,6 +176,7 @@ from flatbread_spark.operators.ranking import (  # noqa: E402
     exact_percentiles,
     group_percentiles,
     quantile_bucketize,
+    weighted_percentiles,
     winsorize,
     quantile_normalize,
 )
@@ -233,6 +234,6 @@ __all__ = [
     "quantile_normalize", "winsorize", "group_percentiles", "standardize", "event_transitions",
     "session_paths", "conversion_lag", "rolling_counts", "vocab_overlap",
     "gini_concentration", "characteristic_terms", "doc_freq_spectrum",
-    "fps_select", "theil_sen",
+    "fps_select", "theil_sen", "weighted_percentiles",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

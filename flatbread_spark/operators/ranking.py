@@ -471,3 +471,76 @@ def quantile_bucketize(
         )
         .drop("__qpos", "__qn")
     )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    key_col: str,
+    q_ppm: Sequence[int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT WEIGHTED nearest-rank percentiles: the smallest ``value`` whose
+    cumulative weight reaches ``q`` of the total — "the p50 document length
+    BY TOKEN MASS", which a training-data budget actually cares about (a
+    handful of mega-documents carry most tokens, so the unweighted median
+    from :func:`exact_percentiles` describes the typical DOCUMENT while
+    this describes the typical TOKEN's document).
+
+    Same integer contract as the unweighted sibling: quantiles are ppm,
+    the match predicate is ``cum_prev·1e6 < q·W ≤ cum·1e6`` — products
+    ride DECIMAL(38,0) because ``q·W`` overflows BIGINT once total weight
+    passes ~9e12 (a few trillion tokens — a real corpus), and the
+    cumulative weight comes from the two-phase range-partitioned running
+    sum (``packing.scalable_cumsum``), so no unpartitioned window at any
+    size. Rows with non-positive weight are dropped (they cannot carry
+    quantile mass and would create zero-width matches).
+
+    Returns one row per requested quantile:
+    ``(q_ppm, n, total_w, <value_col>)``.
+    """
+    qs = sorted({int(q) for q in q_ppm})
+    if not qs or qs[0] < 1 or qs[-1] > 1_000_000:
+        raise ValueError(f"q_ppm must be within [1, 1_000_000], got {q_ppm}")
+    from flatbread_spark.operators.packing import scalable_cumsum
+
+    staged = df.select(
+        F.col(value_col),
+        F.col(weight_col).cast("bigint").alias("__w"),
+        F.col(key_col),
+    ).filter(F.col("__w") > 0)
+    ranked = scalable_cumsum(
+        staged, [F.col(value_col), F.col(key_col)], "__w",
+        out_col="__cw", num_partitions=num_partitions,
+    )
+    # 2-number action against the checkpointed ranking (the
+    # exact_percentiles discipline); q·W computed in exact Python ints
+    # and shipped back as DECIMAL(38,0) literals
+    from decimal import Decimal
+
+    trow = ranked.agg(
+        F.sum("__w").cast("bigint").alias("W"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).collect()[0]
+    total_w, n = int(trow["W"] or 0), int(trow["n"])
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(q, Decimal(q * total_w)) for q in qs],
+        "q_ppm bigint, __target decimal(38,0)",
+    )
+    dec = "decimal(38,0)"
+    cum = F.expr(f"CAST(__cw AS {dec}) * 1000000")
+    prev = F.expr(f"CAST(__cw - __w AS {dec}) * 1000000")
+    return (
+        ranked.join(
+            F.broadcast(qdf),
+            (prev < F.col("__target")) & (F.col("__target") <= cum),
+        )
+        .select(
+            "q_ppm",
+            F.lit(n).cast("bigint").alias("n"),
+            F.lit(total_w).cast("bigint").alias("total_w"),
+            F.col(value_col),
+        )
+    )

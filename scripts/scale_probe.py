@@ -450,6 +450,17 @@ def main():
         "coreset_fps": lambda d, e: run_count(
             fb.fps_select(e, "vec_id", "embedding", k=8)
         ),
+        "weighted_percentiles": lambda d, e: run_count(
+            fb.weighted_percentiles(
+                d.select(
+                    "doc_id", "n_chars",
+                    F.size(F.split(F.trim("text"), r"\s+"))
+                    .cast("bigint").alias("w"),
+                ),
+                "n_chars", "w", "doc_id",
+                [250_000, 500_000, 990_000],
+            )
+        ),
         # per-source daily-ish series: bucket doc_id, count docs per bucket
         "trend_slopes": lambda d, e: run_count(
             fb.theil_sen(

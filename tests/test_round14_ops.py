@@ -368,3 +368,84 @@ class TestFpsSelect:
 
         with _pytest.raises(ValueError):
             fps_select(df, "vec_id", "embedding", k=0)
+
+
+# --------------------------------------------------------- weighted_percentiles
+class TestWeightedPercentiles:
+    @staticmethod
+    def _oracle(pairs, qs):
+        pairs = sorted((v, i, w) for i, (v, w) in enumerate(pairs) if w > 0)
+        W = sum(w for _, _, w in pairs)
+        out = {}
+        for q in qs:
+            cum = 0
+            for v, _, w in pairs:
+                prev, cum = cum, cum + w
+                if prev * 1_000_000 < q * W <= cum * 1_000_000:
+                    out[q] = v
+                    break
+        return W, out
+
+    def test_token_mass_vs_doc_median_diverge(self, spark):
+        """One mega-doc holds most weight: the weighted median finds it,
+        the unweighted median would not."""
+        from flatbread_spark.operators.ranking import weighted_percentiles
+
+        pairs = [(5, 1), (6, 1), (7, 1), (8, 1), (1000, 100)]
+        df = spark.createDataFrame(
+            [(i, v, w) for i, (v, w) in enumerate(pairs)],
+            "k bigint, v bigint, w bigint",
+        )
+        out = {
+            r["q_ppm"]: r["v"]
+            for r in weighted_percentiles(df, "v", "w", "k", [500_000])
+            .collect()
+        }
+        assert out[500_000] == 1000
+
+    def test_zero_weights_dropped(self, spark):
+        from flatbread_spark.operators.ranking import weighted_percentiles
+
+        pairs = [(1, 0), (2, 5), (3, 0), (4, 5)]
+        df = spark.createDataFrame(
+            [(i, v, w) for i, (v, w) in enumerate(pairs)],
+            "k bigint, v bigint, w bigint",
+        )
+        rows = weighted_percentiles(
+            df, "v", "w", "k", [500_000, 500_001]
+        ).collect()
+        got = {r["q_ppm"]: (r["n"], r["total_w"], r["v"]) for r in rows}
+        # boundary: exactly half the mass ends at v=2; one ppm later -> v=4
+        assert got == {500_000: (2, 10, 2), 500_001: (2, 10, 4)}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from flatbread_spark.operators.ranking import weighted_percentiles
+
+        df = spark.createDataFrame([(0, 1, 1)], "k bigint, v bigint, w bigint")
+        with _pytest.raises(ValueError):
+            weighted_percentiles(df, "v", "w", "k", [0])
+
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 50), st.integers(0, 20)),
+            min_size=1, max_size=25,
+        ).filter(lambda ps: any(w > 0 for _, w in ps)),
+        qs=st.lists(st.integers(1, 1_000_000), min_size=1, max_size=3,
+                    unique=True),
+    )
+    @settings(**HSET)
+    def test_property_matches_oracle(self, spark, pairs, qs):
+        from flatbread_spark.operators.ranking import weighted_percentiles
+
+        df = spark.createDataFrame(
+            [(i, v, w) for i, (v, w) in enumerate(pairs)],
+            "k bigint, v bigint, w bigint",
+        )
+        got = {
+            r["q_ppm"]: (r["total_w"], r["v"])
+            for r in weighted_percentiles(df, "v", "w", "k", qs).collect()
+        }
+        W, exp = self._oracle(pairs, qs)
+        assert got == {q: (W, v) for q, v in exp.items()}
