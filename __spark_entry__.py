@@ -3236,6 +3236,29 @@ def q_weighted_percentiles(spark, sf_dir):
     ).orderBy("q_ppm")
 
 
+def q_hybrid_fusion(spark, sf_dir):
+    """Hybrid retrieval (operators/fusion.py rrf_fuse): reciprocal-rank
+    fusion of the BM25 keyword top-10 and the exact-cosine semantic
+    top-10 (doc/vec ids aligned in this corpus). Contributions are the
+    integer 1e6 div (60+rank) — truncating division both engines share —
+    so fused scores and the (score desc, id) order replay byte-exactly.
+    Fusion is count-table algebra over the producers' bounded top-k
+    lists."""
+    from flatbread_spark.functions.text import bm25_topk
+    from flatbread_spark.operators.fusion import rrf_fuse
+    from flatbread_spark.operators.similarity import knn_bruteforce
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = _load(spark, sf_dir, "embeddings")
+    kw = bm25_topk(docs, "doc_id", "text", ["spark", "hash", "merge"], k=10)
+    sem = knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=10
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        [kw.select("doc_id", "rank"), sem], "doc_id", top_n=10
+    ).orderBy("rank")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3543,6 +3566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreset_fps": q_coreset_fps,
         "trend_slopes": q_trend_slopes,
         "weighted_percentiles": q_weighted_percentiles,
+        "hybrid_fusion": q_hybrid_fusion,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -4898,6 +4922,51 @@ r(n, lbl) AS (
 SELECT n AS vec_id, MIN(lbl) AS cluster_id, (n = MIN(lbl)) AS is_survivor
 FROM r GROUP BY n
 """,
+        # RRF over the bm25_search and knn_bruteforce(query 0, k=10)
+        # replays — integer 1e6 // (60+rank) contributions, trunc-division
+        # shared by both engines
+        "hybrid_fusion": rf"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl, t FROM tok),
+stats AS (SELECT COUNT(*) AS n, SUM(dl)*1.0/COUNT(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, dl, u.term, COUNT(*) AS tf
+       FROM dl, UNNEST(list_filter(t, x -> x IN ('spark','hash','merge'))) u(term)
+       GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT doc_id,
+         round(CAST(SUM(CAST(round(
+           ln((n - df + 0.5)/(df + 0.5) + 1.0)
+             * ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))),
+           9) AS DECIMAL(27,9))) AS DOUBLE), 6) AS score
+       FROM tf JOIN dfreq USING(term) CROSS JOIN stats
+       GROUP BY doc_id),
+bm AS (SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       FROM sc QUALIFY rank <= 10),
+e AS (SELECT vec_id, embedding FROM embeddings),
+qv AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0),
+p AS (SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+        {{dot_qc}} AS dot, {{dot_qq}} AS nq, {{dot_cc}} AS nc
+      FROM qv, e c WHERE qv.vec_id <> c.vec_id),
+s AS (SELECT neighbor_id, round(dot/(sqrt(nq)*sqrt(nc)), 6) AS cos FROM p),
+kn AS (SELECT neighbor_id AS doc_id,
+         row_number() OVER (ORDER BY cos DESC, neighbor_id ASC) AS rank
+       FROM s QUALIFY rank <= 10),
+u AS (SELECT doc_id, rank FROM bm UNION ALL SELECT doc_id, rank FROM kn),
+f AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+        CAST(MIN(rank) AS BIGINT) AS best_rank,
+        CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_score
+      FROM u GROUP BY 1)
+SELECT doc_id, n_lists, best_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+         AS rank
+FROM f QUALIFY rank <= 10 ORDER BY rank
+""".format(
+            dot_qc=_DOT.format(a='qv.embedding', b='c.embedding'),
+            dot_qq=_DOT.format(a='qv.embedding', b='qv.embedding'),
+            dot_cc=_DOT.format(a='c.embedding', b='c.embedding'),
+        ),
         "knn_bruteforce": f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 q AS (SELECT vec_id, embedding FROM e WHERE vec_id < 5),

@@ -101,6 +101,7 @@ from flatbread_spark.operators.curation import (  # noqa: E402
     standardize,
     vocab_overlap,
 )
+from flatbread_spark.operators.fusion import rrf_fuse  # noqa: E402
 from flatbread_spark.operators.trend import theil_sen  # noqa: E402
 from flatbread_spark.operators.vocabulary import (  # noqa: E402
     characteristic_terms,
@@ -234,6 +235,6 @@ __all__ = [
     "quantile_normalize", "winsorize", "group_percentiles", "standardize", "event_transitions",
     "session_paths", "conversion_lag", "rolling_counts", "vocab_overlap",
     "gini_concentration", "characteristic_terms", "doc_freq_spectrum",
-    "fps_select", "theil_sen", "weighted_percentiles",
+    "fps_select", "theil_sen", "weighted_percentiles", "rrf_fuse",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]
