@@ -3259,6 +3259,36 @@ def q_hybrid_fusion(spark, sf_dir):
     ).orderBy("rank")
 
 
+def q_ks_drift(spark, sf_dir):
+    """Distribution-drift alarm (operators/trend.py ks_drift): exact
+    two-sample Kolmogorov-Smirnov distance between en and de document
+    lengths — cross-multiplied integer CDF gaps maximized over the value
+    domain, DECIMAL(38,0) products, one final integral ppm division. The
+    value-domain table (distinct lengths) is the only windowed relation."""
+    from flatbread_spark.operators.trend import ks_drift
+
+    docs = _load(spark, sf_dir, "documents")
+    return ks_drift(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") == "de"),
+        "n_chars",
+    )
+
+
+def q_sample_exact(spark, sf_dir):
+    """Fixed-size deterministic sample (operators/sampling.py
+    sample_exact_n): exactly 25 documents by smallest portable hash —
+    monotone in n (the 10-doc sample is a prefix of the 25), partition-
+    and engine-invariant; executes as per-partition top-n, no global
+    sort."""
+    from flatbread_spark.operators.sampling import sample_exact_n
+
+    docs = _load(spark, sf_dir, "documents")
+    return sample_exact_n(
+        docs.select("doc_id", "source"), "doc_id", 25, salt="fix"
+    ).orderBy("doc_id")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3567,6 +3597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slopes": q_trend_slopes,
         "weighted_percentiles": q_weighted_percentiles,
         "hybrid_fusion": q_hybrid_fusion,
+        "ks_drift": q_ks_drift,
+        "sample_exact": q_sample_exact,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6067,6 +6099,39 @@ JOIN (VALUES (250000), (500000), (750000), (990000)) q(q_ppm)
   ON CAST(c.cw - c.w AS HUGEINT) * 1000000 < q.q_ppm * tot.W
  AND q.q_ppm * tot.W <= CAST(c.cw AS HUGEINT) * 1000000
 ORDER BY q_ppm
+""",
+        "ks_drift": """
+WITH xa AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+            WHERE lang = 'en'),
+xb AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+       WHERE lang = 'de'),
+ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM xa GROUP BY 1),
+cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM xb GROUP BY 1),
+m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca.c, 0) AS ca,
+             COALESCE(cb.c, 0) AS cb
+      FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+c AS (SELECT v,
+        SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM m),
+t AS (SELECT CAST(MAX(cum_a) AS HUGEINT) AS na,
+             CAST(MAX(cum_b) AS HUGEINT) AS nb FROM c),
+g AS (SELECT v,
+        abs(CAST(cum_a AS HUGEINT) * t.nb - CAST(cum_b AS HUGEINT) * t.na)
+          AS gap
+      FROM c, t)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(g.gap * 1000000 // (t.na * t.nb) AS BIGINT) AS d_ppm,
+       g.v AS ks_at
+FROM g, t ORDER BY g.gap DESC, g.v LIMIT 1
+""",
+        "sample_exact": """
+SELECT doc_id, source
+FROM (SELECT doc_id, source,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fix'), 1, 15)
+             AS BIGINT) AS sb
+      FROM documents)
+ORDER BY sb, doc_id LIMIT 25
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

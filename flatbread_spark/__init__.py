@@ -102,7 +102,7 @@ from flatbread_spark.operators.curation import (  # noqa: E402
     vocab_overlap,
 )
 from flatbread_spark.operators.fusion import rrf_fuse  # noqa: E402
-from flatbread_spark.operators.trend import theil_sen  # noqa: E402
+from flatbread_spark.operators.trend import ks_drift, theil_sen  # noqa: E402
 from flatbread_spark.operators.vocabulary import (  # noqa: E402
     characteristic_terms,
     doc_freq_spectrum,
@@ -125,6 +125,7 @@ from flatbread_spark.operators.sampling import (  # noqa: E402
     assign_split,
     fps_select,
     sample_deterministic,
+    sample_exact_n,
     sample_stratified,
     sample_token_budget,
     sample_weighted,
@@ -236,5 +237,6 @@ __all__ = [
     "session_paths", "conversion_lag", "rolling_counts", "vocab_overlap",
     "gini_concentration", "characteristic_terms", "doc_freq_spectrum",
     "fps_select", "theil_sen", "weighted_percentiles", "rrf_fuse",
+    "ks_drift", "sample_exact_n",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

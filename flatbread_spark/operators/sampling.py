@@ -399,3 +399,32 @@ def fps_select(
     return df.sparkSession.createDataFrame(
         chosen, f"rank bigint, {id_col} bigint, min_dist bigint"
     )
+
+
+def sample_exact_n(
+    df: DataFrame, key_col: str, n: int, salt: str = ""
+) -> DataFrame:
+    """EXACTLY ``n`` rows, chosen as the n smallest portable-hash values of
+    the key — the fixed-size companion to :func:`sample_deterministic`
+    (rate-based, size varies with input). Use for "give me exactly 10k
+    eval documents": reproducible under any partitioning/engine, and
+    monotone in n (the 5k sample is a prefix of the 10k sample — growing
+    an eval set never drops previously selected rows).
+
+    Spark executes ``orderBy(hash).limit(n)`` as per-partition top-n +
+    a final merge of n-row heads (TakeOrderedAndProject) — no global
+    sort materializes. Ties are impossible for distinct keys (md5-60bit
+    collisions aside); duplicate keys tie-break by keeping both until n
+    cuts, deterministically via the secondary key order.
+    """
+    if n < 0:
+        raise ValueError("sample_exact_n requires n >= 0")
+    bucket = portable_hash60(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    )
+    return (
+        df.withColumn("__sb", bucket)
+        .orderBy(F.col("__sb"), F.col(key_col))
+        .limit(int(n))
+        .drop("__sb")
+    )

@@ -102,3 +102,86 @@ def theil_sen(
             "n_points", "n_pairs", "slope_ppm",
         )
     )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov distance between the
+    distributions of an integral metric in two frames (two corpus
+    snapshots, two sources, train vs eval) — the standard drift alarm:
+    ``D = max_v |CDF_a(v) - CDF_b(v)|``. Run it on document lengths or
+    quality scores after every ingestion change; a D_ppm jump says the
+    new crawl is a different animal before any model notices.
+
+    Exact integer formulation: at each distinct value the unnormalized
+    gap is ``|cum_a·n_b − cum_b·n_a|`` (cross-multiplied CDFs — no
+    division until the very end), maximized, then reported as
+    ``d_ppm = D·1e6 div (n_a·n_b)`` with the products on DECIMAL(38,0).
+    ``ks_at`` is the smallest value attaining the max, making the whole
+    row deterministic. Byte-identical replay, no floats anywhere.
+
+    Scale shape: each side collapses to (value, count) — bounded by the
+    DISTINCT VALUES of the metric, not row count — then one full outer
+    join and one ordered window over that value-domain table. Integral
+    metrics (lengths, scores in ppm, bucket ids) have compact domains;
+    for a continuous metric, bucketize first (``quantile_bucketize``) —
+    the window is the only ordered pass and runs over the domain table.
+
+    Returns one row: ``(n_a, n_b, d_ppm, ks_at)``.
+    """
+    from pyspark.sql import Window
+
+    a = (
+        df_a.select(F.col(value_col).cast("bigint").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+    )
+    b = (
+        df_b.select(F.col(value_col).cast("bigint").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    m = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    dec = "decimal(38,0)"
+    cums = m.select(
+        "v",
+        F.sum("ca").over(w).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(w).cast("bigint").alias("cum_b"),
+    ).localCheckpoint(eager=True)
+    # 2-number action against the checkpointed cumulatives (the
+    # weighted_percentiles discipline): totals are the final cumsums
+    trow = cums.agg(
+        F.max("cum_a").alias("na"), F.max("cum_b").alias("nb")
+    ).collect()[0]
+    n_a, n_b = int(trow["na"] or 0), int(trow["nb"] or 0)
+    if n_a == 0 or n_b == 0:
+        raise ValueError("ks_drift requires non-empty frames on both sides")
+    gap = F.expr(
+        f"abs(CAST(cum_a AS {dec}) * CAST({n_b} AS {dec}) "
+        f"- CAST(cum_b AS {dec}) * CAST({n_a} AS {dec}))"
+    )
+    return (
+        cums.withColumn("__gap", gap)
+        .orderBy(F.col("__gap").desc(), F.col("v"))
+        .limit(1)
+        .select(
+            F.lit(n_a).cast("bigint").alias("n_a"),
+            F.lit(n_b).cast("bigint").alias("n_b"),
+            F.expr(
+                f"CAST(__gap * 1000000 div (CAST({n_a} AS {dec}) "
+                f"* CAST({n_b} AS {dec})) AS BIGINT)"
+            ).alias("d_ppm"),
+            F.col("v").alias("ks_at"),
+        )
+    )

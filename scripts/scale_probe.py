@@ -461,6 +461,16 @@ def main():
                 [250_000, 500_000, 990_000],
             )
         ),
+        "ks_drift": lambda d, e: run_count(
+            fb.ks_drift(
+                d.filter(F.col("lang") == "en").select("n_chars"),
+                d.filter(F.col("lang") == "de").select("n_chars"),
+                "n_chars",
+            )
+        ),
+        "sample_exact_n": lambda d, e: run_count(
+            fb.sample_exact_n(d.select("doc_id", "source"), "doc_id", 100)
+        ),
         # per-source daily-ish series: bucket doc_id, count docs per bucket
         "trend_slopes": lambda d, e: run_count(
             fb.theil_sen(

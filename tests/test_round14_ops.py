@@ -449,3 +449,38 @@ class TestWeightedPercentiles:
         }
         W, exp = self._oracle(pairs, qs)
         assert got == {q: (W, v) for q, v in exp.items()}
+
+
+# -------------------------------------------------------------- sample_exact_n
+class TestSampleExactN:
+    def test_prefix_and_partition_invariance(self, spark):
+        from flatbread_spark.operators.sampling import sample_exact_n
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+        s5 = [r["k"] for r in sample_exact_n(df, "k", 5).collect()]
+        s20 = [r["k"] for r in sample_exact_n(df, "k", 20).collect()]
+        assert s20[:5] == s5
+        s20b = [
+            r["k"]
+            for r in sample_exact_n(df.repartition(11), "k", 20).collect()
+        ]
+        assert s20 == s20b
+        assert len(set(s20)) == 20
+
+    def test_salt_decouples(self, spark):
+        from flatbread_spark.operators.sampling import sample_exact_n
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "k bigint")
+        a = {r["k"] for r in sample_exact_n(df, "k", 50, salt="a").collect()}
+        b = {r["k"] for r in sample_exact_n(df, "k", 50, salt="b").collect()}
+        assert a != b
+
+    def test_n_zero_and_validation(self, spark):
+        import pytest as _pytest
+
+        from flatbread_spark.operators.sampling import sample_exact_n
+
+        df = spark.createDataFrame([(1,)], "k bigint")
+        assert sample_exact_n(df, "k", 0).count() == 0
+        with _pytest.raises(ValueError):
+            sample_exact_n(df, "k", -1)

@@ -82,3 +82,56 @@ class TestTheilSen:
             assert rows == []
         else:
             assert (rows[0]["n_pairs"], rows[0]["slope_ppm"]) == (n, med)
+
+
+# --------------------------------------------------------------------- ks_drift
+class TestKsDrift:
+    @staticmethod
+    def _oracle(xa, xb):
+        from collections import Counter
+
+        Ca, Cb = Counter(xa), Counter(xb)
+        na, nb = len(xa), len(xb)
+        ca = cb = 0
+        best = (-1, None)
+        for v in sorted(set(xa) | set(xb)):
+            ca += Ca[v]
+            cb += Cb[v]
+            g = abs(ca * nb - cb * na)
+            if g > best[0]:
+                best = (g, v)
+        return na, nb, best[0] * 1_000_000 // (na * nb), best[1]
+
+    def _run(self, spark, xa, xb):
+        from flatbread_spark.operators.trend import ks_drift
+
+        da = spark.createDataFrame([(v,) for v in xa], "x bigint")
+        db = spark.createDataFrame([(v,) for v in xb], "x bigint")
+        r = ks_drift(da, db, "x").collect()[0]
+        return (r["n_a"], r["n_b"], r["d_ppm"], r["ks_at"])
+
+    def test_identical_is_zero(self, spark):
+        assert self._run(spark, [1, 2, 3], [1, 2, 3]) == (3, 3, 0, 1)
+
+    def test_disjoint_is_full(self, spark):
+        got = self._run(spark, [1, 1, 2], [8, 9, 9])
+        assert got[2] == 1_000_000
+
+    def test_unbalanced_sizes_match_oracle(self, spark):
+        xa, xb = [1, 2, 2, 3, 7], [2, 3, 3, 3, 9, 9]
+        assert self._run(spark, xa, xb) == self._oracle(xa, xb)
+
+    def test_empty_side_raises(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(spark, [1], [])
+
+    @given(
+        xa=st.lists(st.integers(0, 12), min_size=1, max_size=30),
+        xb=st.lists(st.integers(0, 12), min_size=1, max_size=30),
+    )
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_property_matches_oracle(self, spark, xa, xb):
+        assert self._run(spark, xa, xb) == self._oracle(xa, xb)
