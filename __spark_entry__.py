@@ -3289,6 +3289,41 @@ def q_sample_exact(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_tvd_drift(spark, sf_dir):
+    """Categorical mix drift (operators/trend.py tvd_drift): exact total-
+    variation distance between src1's and src2's language mixes —
+    cross-multiplied integer share gaps summed, one final integral ppm
+    division. Vocabulary-bounded; no window."""
+    from flatbread_spark.operators.trend import tvd_drift
+
+    docs = _load(spark, sf_dir, "documents")
+    return tvd_drift(
+        docs.filter(F.col("source") == "src1"),
+        docs.filter(F.col("source") == "src2"),
+        "lang",
+    )
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """SCD-2 dimension history (operators/versioning.py scd2_intervals):
+    per-user state change log (distinct timestamps, latest-wins state)
+    into [valid_from, valid_to) versioned intervals with the open current
+    row — the full-history companion to merge_upsert. One per-key
+    window."""
+    from flatbread_spark.operators.versioning import scd2_intervals
+
+    ev = _load(spark, sf_dir, "events")
+    log = ev.groupBy("user_id", "ts").agg(
+        F.max("event_type").alias("state")
+    )
+    return (
+        scd2_intervals(log, "user_id", "ts")
+        .select("user_id", "state", "version", "valid_from", "valid_to",
+                "is_current")
+        .orderBy("user_id", "version")
+    )
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3599,6 +3634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_fusion": q_hybrid_fusion,
         "ks_drift": q_ks_drift,
         "sample_exact": q_sample_exact,
+        "tvd_drift": q_tvd_drift,
+        "scd2_intervals": q_scd2_intervals,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6132,6 +6169,36 @@ FROM (SELECT doc_id, source,
              AS BIGINT) AS sb
       FROM documents)
 ORDER BY sb, doc_id LIMIT 25
+""",
+        "tvd_drift": """
+WITH xa AS (SELECT lang AS c FROM documents WHERE source = 'src1'),
+xb AS (SELECT lang AS c FROM documents WHERE source = 'src2'),
+ca AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM xa GROUP BY 1),
+cb AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM xb GROUP BY 1),
+m AS (SELECT COALESCE(ca.c, cb.c) AS c, COALESCE(ca.n, 0) AS ma,
+             COALESCE(cb.n, 0) AS mb
+      FROM ca FULL OUTER JOIN cb ON ca.c = cb.c),
+t AS (SELECT CAST(SUM(ma) AS HUGEINT) AS ta, CAST(SUM(mb) AS HUGEINT) AS tb,
+             CAST(COUNT(*) AS BIGINT) AS nc FROM m),
+g AS (SELECT SUM(abs(CAST(m.ma AS HUGEINT) * t.tb
+                     - CAST(m.mb AS HUGEINT) * t.ta)) AS G
+      FROM m, t)
+SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+       t.nc AS n_cats,
+       CAST(g.G * 1000000 // (2 * t.ta * t.tb) AS BIGINT) AS tvd_ppm
+FROM g, t
+""",
+        "scd2_intervals": """
+WITH s AS (SELECT user_id, epoch_ns(ts) AS t, MAX(event_type) AS state
+           FROM events GROUP BY 1, 2)
+SELECT user_id, state,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY t)
+            AS BIGINT) AS version,
+       CAST(t AS BIGINT) AS valid_from,
+       CAST(lead(t) OVER (PARTITION BY user_id ORDER BY t)
+            AS BIGINT) AS valid_to,
+       lead(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL AS is_current
+FROM s ORDER BY user_id, version
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

@@ -102,7 +102,11 @@ from flatbread_spark.operators.curation import (  # noqa: E402
     vocab_overlap,
 )
 from flatbread_spark.operators.fusion import rrf_fuse  # noqa: E402
-from flatbread_spark.operators.trend import ks_drift, theil_sen  # noqa: E402
+from flatbread_spark.operators.trend import (  # noqa: E402
+    ks_drift,
+    theil_sen,
+    tvd_drift,
+)
 from flatbread_spark.operators.vocabulary import (  # noqa: E402
     characteristic_terms,
     doc_freq_spectrum,
@@ -155,6 +159,7 @@ from flatbread_spark.operators.tokenizer import (  # noqa: E402
 )
 from flatbread_spark.operators.versioning import (  # noqa: E402
     merge_upsert,
+    scd2_intervals,
     snapshot_diff,
     snapshot_diff_summary,
 )
@@ -225,6 +230,7 @@ __all__ = [
     "hot_ngram_hashes", "hot_ngram_coverage", "mask_hot_ngrams",
     "robust_outlier_gate",
     "merge_upsert", "snapshot_diff", "snapshot_diff_summary",
+    "scd2_intervals", "tvd_drift",
     "gap_fill", "fuzzy_match_pairs", "canonicalize_names",
     "validate_constraints",
     "skew_profile", "salted_agg", "salt_explode_join", "join_estimate",

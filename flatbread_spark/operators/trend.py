@@ -185,3 +185,73 @@ def ks_drift(
             F.col("v").alias("ks_at"),
         )
     )
+
+
+def tvd_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """EXACT total-variation distance between two CATEGORICAL
+    distributions — the drift alarm for lang/source/label mixes, the
+    discrete companion to :func:`ks_drift` (which needs an ordered
+    metric): ``TVD = ½ Σ_c |p_a(c) − p_b(c)|``, 0 = identical mix,
+    1e6 ppm = disjoint support.
+
+    Integer formulation: per category the cross-multiplied gap
+    ``|n_a(c)·N_b − n_b(c)·N_a|`` on DECIMAL(38,0), summed, then ONE
+    integral division ``div (2·N_a·N_b)`` — byte-identical replay.
+    Per-category shares are also emitted by the companion breakdown in
+    the caller if needed; this returns the headline row.
+
+    Scale shape: two partial-aggregated groupBys bounded by the category
+    vocabulary, one full outer join on the category, one 2-number driver
+    action for the totals (the ks_drift discipline), and a
+    vocabulary-bounded abs-gap sum. No window at all.
+
+    Returns one row: ``(n_a, n_b, n_cats, tvd_ppm)``.
+    """
+    a = (
+        df_a.select(F.col(cat_col).cast("string").alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+    )
+    b = (
+        df_b.select(F.col(cat_col).cast("string").alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    m = (
+        a.join(b, "c", "full_outer")
+        .select(
+            "c",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    trow = m.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("nc"),
+    ).collect()[0]
+    n_a, n_b, n_cats = int(trow["na"] or 0), int(trow["nb"] or 0), int(trow["nc"])
+    if n_a == 0 or n_b == 0:
+        raise ValueError("tvd_drift requires non-empty frames on both sides")
+    dec = "decimal(38,0)"
+    gap = F.expr(
+        f"abs(CAST(ca AS {dec}) * CAST({n_b} AS {dec}) "
+        f"- CAST(cb AS {dec}) * CAST({n_a} AS {dec}))"
+    )
+    return (
+        m.withColumn("__gap", gap)
+        .agg(F.sum("__gap").alias("__G"))
+        .select(
+            F.lit(n_a).cast("bigint").alias("n_a"),
+            F.lit(n_b).cast("bigint").alias("n_b"),
+            F.lit(n_cats).cast("bigint").alias("n_cats"),
+            F.expr(
+                f"CAST(__G * 1000000 div (CAST(2 AS {dec}) "
+                f"* CAST({n_a} AS {dec}) * CAST({n_b} AS {dec})) AS BIGINT)"
+            ).alias("tvd_ppm"),
+        )
+    )

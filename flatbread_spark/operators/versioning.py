@@ -140,3 +140,41 @@ def snapshot_diff_summary(
     return dim.join(counts, "status", "left").select(
         "status", F.coalesce("n_keys", F.lit(0)).cast("bigint").alias("n_keys")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    open_end: "int | None" = None,
+) -> DataFrame:
+    """Build SCD-2 validity intervals from a change log: each (key, ts)
+    change event becomes a ``[valid_from, valid_to)`` row, with the key's
+    latest version open-ended (``valid_to`` NULL, or ``open_end`` when a
+    sentinel horizon is preferred for BETWEEN-join pruning) — the
+    classic warehouse dimension-history shape that
+    :func:`merge_upsert` keeps CURRENT and this keeps FULL.
+
+    One per-key window (``lead(ts)``) — the same bounded per-key pattern
+    as sessionize/gap_fill; ``ts_col`` must be integral (epoch ns at the
+    load boundary) and unique per key (change logs are; pre-aggregate
+    duplicates with latest-wins upsert otherwise — a duplicate ts would
+    make version numbering non-total). Appends ``version`` (1-based per
+    key, change order), ``valid_from``, ``valid_to``, ``is_current``.
+    All columns pass through — the payload stays with its interval.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    nxt = F.lead(F.col(ts_col)).over(w)
+    valid_to = (
+        F.coalesce(nxt, F.lit(open_end).cast("bigint"))
+        if open_end is not None
+        else nxt
+    )
+    return (
+        df.withColumn("version", F.row_number().over(w).cast("bigint"))
+        .withColumn("valid_from", F.col(ts_col).cast("bigint"))
+        .withColumn("valid_to", valid_to.cast("bigint"))
+        .withColumn("is_current", nxt.isNull())
+    )

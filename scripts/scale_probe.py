@@ -461,6 +461,18 @@ def main():
                 [250_000, 500_000, 990_000],
             )
         ),
+        "tvd_drift": lambda d, e: run_count(
+            fb.tvd_drift(
+                d.filter(F.col("source") == "src1").select("lang"),
+                d.filter(F.col("source") == "src2").select("lang"),
+                "lang",
+            )
+        ),
+        "scd2_intervals": lambda d, e: run_count(
+            fb.scd2_intervals(
+                d.select("source", "doc_id", "lang"), "source", "doc_id"
+            )
+        ),
         "ks_drift": lambda d, e: run_count(
             fb.ks_drift(
                 d.filter(F.col("lang") == "en").select("n_chars"),

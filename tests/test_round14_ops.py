@@ -484,3 +484,44 @@ class TestSampleExactN:
         assert sample_exact_n(df, "k", 0).count() == 0
         with _pytest.raises(ValueError):
             sample_exact_n(df, "k", -1)
+
+
+# -------------------------------------------------------------- scd2_intervals
+class TestScd2Intervals:
+    def test_intervals_chain(self, spark):
+        from flatbread_spark.operators.versioning import scd2_intervals
+
+        rows = [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "x")]
+        df = spark.createDataFrame(rows, "k bigint, t bigint, v string")
+        out = sorted(
+            (r["k"], r["version"], r["valid_from"], r["valid_to"],
+             r["is_current"], r["v"])
+            for r in scd2_intervals(df, "k", "t").collect()
+        )
+        assert out == [
+            (1, 1, 10, 20, False, "a"),
+            (1, 2, 20, 30, False, "b"),
+            (1, 3, 30, None, True, "c"),
+            (2, 1, 5, None, True, "x"),
+        ]
+
+    def test_open_end_sentinel(self, spark):
+        from flatbread_spark.operators.versioning import scd2_intervals
+
+        df = spark.createDataFrame([(1, 10, "a")], "k bigint, t bigint, v string")
+        r = scd2_intervals(df, "k", "t", open_end=10**15).collect()[0]
+        assert r["valid_to"] == 10**15 and r["is_current"]
+
+    def test_intervals_partition_time(self, spark):
+        """Intervals tile [first_ts, inf) with no gaps or overlaps."""
+        from flatbread_spark.operators.versioning import scd2_intervals
+
+        rows = [(1, t, str(t)) for t in (3, 9, 14, 100, 101)]
+        df = spark.createDataFrame(rows, "k bigint, t bigint, v string")
+        ivs = sorted(
+            (r["valid_from"], r["valid_to"])
+            for r in scd2_intervals(df, "k", "t").collect()
+        )
+        for (f1, t1), (f2, _) in zip(ivs, ivs[1:]):
+            assert t1 == f2
+        assert ivs[-1][1] is None

@@ -135,3 +135,43 @@ class TestKsDrift:
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     def test_property_matches_oracle(self, spark, xa, xb):
         assert self._run(spark, xa, xb) == self._oracle(xa, xb)
+
+
+# -------------------------------------------------------------------- tvd_drift
+class TestTvdDrift:
+    @staticmethod
+    def _oracle(xa, xb):
+        from collections import Counter
+
+        Ca, Cb = Counter(xa), Counter(xb)
+        na, nb = len(xa), len(xb)
+        cats = set(xa) | set(xb)
+        G = sum(abs(Ca[c] * nb - Cb[c] * na) for c in cats)
+        return na, nb, len(cats), G * 1_000_000 // (2 * na * nb)
+
+    def _run(self, spark, xa, xb):
+        from flatbread_spark.operators.trend import tvd_drift
+
+        da = spark.createDataFrame([(v,) for v in xa], "c string")
+        db = spark.createDataFrame([(v,) for v in xb], "c string")
+        r = tvd_drift(da, db, "c").collect()[0]
+        return (r["n_a"], r["n_b"], r["n_cats"], r["tvd_ppm"])
+
+    def test_identical_zero_disjoint_full(self, spark):
+        assert self._run(spark, ["a", "b"], ["a", "b"])[3] == 0
+        assert self._run(spark, ["a"] * 3, ["b"] * 2)[3] == 1_000_000
+
+    def test_empty_side_raises(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(spark, ["a"], [])
+
+    @given(
+        xa=st.lists(st.sampled_from("abcde"), min_size=1, max_size=25),
+        xb=st.lists(st.sampled_from("abcde"), min_size=1, max_size=25),
+    )
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_property_matches_oracle(self, spark, xa, xb):
+        assert self._run(spark, xa, xb) == self._oracle(xa, xb)
