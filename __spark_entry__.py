@@ -3324,6 +3324,22 @@ def q_scd2_intervals(spark, sf_dir):
     )
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """Diversity re-ranking (operators/similarity.py mmr_rerank): MMR over
+    each query's code-dot shortlist — lambda*rel - (1-lambda)*max_sim in
+    pure int64 (ppm lambda, BIGINT code dots), greedy argmax with total
+    (score desc, id) order inside a per-query applyInPandas kernel.
+    Verified partitioning-invariant; oracle pins the exact selection
+    (the coreset_fps pattern)."""
+    from flatbread_spark.operators.similarity import mmr_rerank
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 3),
+        k_candidates=20, n_select=5, lambda_ppm=700_000,
+    ).orderBy("query_id", "rank")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3636,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact": q_sample_exact,
         "tvd_drift": q_tvd_drift,
         "scd2_intervals": q_scd2_intervals,
+        "mmr_rerank": q_mmr_rerank,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6199,6 +6216,25 @@ SELECT user_id, state,
             AS BIGINT) AS valid_to,
        lead(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL AS is_current
 FROM s ORDER BY user_id, version
+""",
+        # pinned like coreset_fps: all-int64 MMR scores make the greedy
+        # selection deterministic (verified partitioning-invariant)
+        "mmr_rerank": """
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(mmr_score AS BIGINT) AS mmr_score
+FROM (VALUES
+  (0, 1, 423, 46081700000), (0, 2, 131, 39076200000),
+  (0, 3, 387, 35737400000), (0, 4, 365, 35053300000),
+  (0, 5, 334, 28737400000),
+  (1, 1, 386, 50960700000), (1, 2, 300, 35809800000),
+  (1, 3, 407, 35661400000), (1, 4, 312, 29818700000),
+  (1, 5, 195, 29814500000),
+  (2, 1, 450, 41640900000), (2, 2, 188, 43272300000),
+  (2, 3, 117, 34027000000), (2, 4, 97, 27806400000),
+  (2, 5, 1, 27660100000))
+  t(query_id, rank, neighbor_id, mmr_score)
+ORDER BY query_id, rank
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

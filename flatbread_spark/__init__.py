@@ -146,6 +146,7 @@ from flatbread_spark.operators.similarity import (  # noqa: E402
     knn_ivf,
     knn_lsh,
     mine_contrastive_negatives,
+    mmr_rerank,
     rank_topk,
 )
 from flatbread_spark.operators.tokenizer import (  # noqa: E402
@@ -221,7 +222,7 @@ __all__ = [
     "trigram_typicality", "pmi_bigrams", "kmeans_lloyd", "zorder_key", "cluster_by_zorder",
     "approx_topk_tokens", "covariance_matrix", "embedding_mean", "pca_train", "pca_project",
     "knn_bruteforce", "knn_lsh", "knn_ivf", "ivf_candidates", "rank_topk",
-    "mine_contrastive_negatives",
+    "mine_contrastive_negatives", "mmr_rerank",
     "pair_counts", "char_entropy", "mix_temperature",
     "bpe_train", "apply_merges",
     "chunk_windows", "score_hashed_linear",

@@ -406,3 +406,105 @@ def mine_contrastive_negatives(
         )
     )
     return hard.unionByName(rand)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_candidates: int = 20,
+    n_select: int = 5,
+    lambda_ppm: int = 700_000,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from each query's
+    ``k_candidates`` nearest vectors, greedily select ``n_select``
+    balancing relevance against redundancy —
+    ``score = λ·rel − (1−λ)·max_sim(·, selected)`` — the standard
+    diversity re-ranker for RAG context assembly (five near-identical
+    passages waste four context slots; MMR swaps them for coverage).
+    Completes the retrieval family: bm25 (keyword), knn (semantic),
+    rrf_fuse (consensus), mmr (diversity).
+
+    All-integer arithmetic end to end: relevance and pairwise similarity
+    are BIGINT int8-code dot products (the ``knn_quantized`` shortlist
+    contract) and λ is ppm, so ``λ·rel − (1e6−λ)·max_sim`` stays in
+    int64 (≤ 1e6 · 64·127² ≈ 1e12) and every greedy argmax has the total
+    order ``(score desc, id asc)`` — deterministic under any
+    partitioning, pinnable by an oracle.
+
+    Scale shape: the candidate shortlist is one broadcast-query code-dot
+    join + per-query top-k window (swap in ``ivf_candidates`` at open
+    scale, as knn_quantized documents); the greedy loop runs per query
+    group inside ``applyInPandas`` — Arrow-batched, state bounded by
+    ``k_candidates`` codes, millions of queries parallelize by group.
+
+    Returns ``(query_id, rank, neighbor_id, mmr_score)``.
+    """
+    if n_select < 1 or k_candidates < n_select:
+        raise ValueError("need 1 <= n_select <= k_candidates")
+    if not 0 <= lambda_ppm <= 1_000_000:
+        raise ValueError("lambda_ppm must be in [0, 1e6]")
+    from flatbread_spark.functions.vectors import int8_codes, int8_scale
+
+    def staged(df, prefix):
+        scale = int8_scale(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            int8_codes(F.col(vec_col), scale).alias(f"__{prefix}c"),
+        )
+
+    c = staged(corpus, "neighbor")
+    q = staged(queries, "query")
+    rel = F.aggregate(
+        F.zip_with(F.col("__queryc"), F.col("__neighborc"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("neighbor_id")
+    )
+    cand = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", rel.alias("rel"), "__neighborc")
+        .withColumn("__srank", F.row_number().over(ws))
+        .filter(F.col("__srank") <= k_candidates)
+        .drop("__srank")
+    )
+
+    lam, n_sel = int(lambda_ppm), int(n_select)
+
+    def greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rels = pdf["rel"].to_numpy(dtype=np.int64)
+        codes = np.array(
+            [np.asarray(x, dtype=np.int64) for x in pdf["__neighborc"]]
+        )
+        n = len(ids)
+        max_sim = None  # true max over SELECTED (may be negative)
+        picked = np.zeros(n, dtype=bool)
+        out = []
+        for r in range(min(n_sel, n)):
+            if max_sim is None:
+                score = lam * rels
+            else:
+                score = lam * rels - (1_000_000 - lam) * max_sim
+            score = np.where(picked, np.iinfo(np.int64).min, score)
+            best = int(np.argmax(score))  # ids sorted asc -> first max wins ties
+            picked[best] = True
+            out.append((int(pdf["query_id"].iloc[0]), r + 1, int(ids[best]),
+                        int(score[best])))
+            sims = codes @ codes[best]
+            max_sim = sims if max_sim is None else np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "neighbor_id", "mmr_score"]
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id bigint, rank bigint, neighbor_id bigint, mmr_score bigint",
+    )

@@ -450,6 +450,12 @@ def main():
         "coreset_fps": lambda d, e: run_count(
             fb.fps_select(e, "vec_id", "embedding", k=8)
         ),
+        "mmr_rerank": lambda d, e: run_count(
+            fb.mmr_rerank(
+                e, e.filter(F.col("vec_id") < 3),
+                k_candidates=20, n_select=5,
+            )
+        ),
         "weighted_percentiles": lambda d, e: run_count(
             fb.weighted_percentiles(
                 d.select(
