@@ -3605,9 +3605,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- knn_quantized, sample_mix, quantile_normalize,
         # ---- mojibake_scores, field_association, winsorize_lengths,
         # ---- lang_segments, group_percentiles, standardize; plus the
-        # ---- round-14/15 seven: session_paths, conversion_lag,
+        # ---- round-14..17 sixteen: session_paths, conversion_lag,
         # ---- rolling_counts, vocab_overlap, gini_concentration,
-        # ---- characteristic_terms, doc_freq_spectrum), then
+        # ---- characteristic_terms, doc_freq_spectrum, coreset_fps,
+        # ---- trend_slopes, weighted_percentiles, hybrid_fusion,
+        # ---- ks_drift, sample_exact, tvd_drift, scd2_intervals,
+        # ---- mmr_rerank), then
         # ---- r3-stale leftovers (the rotated-out family variants
         # ---- first), then everything graded green in r4, heavy
         # ---- similarity last.
