@@ -3340,6 +3340,25 @@ def q_mmr_rerank(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_group_weighted_pct(spark, sf_dir):
+    """Per-language token-mass length percentiles (operators/ranking.py
+    group_weighted_percentiles): the stratified weighted quantile — one
+    per-group window pass, DECIMAL(38,0) interval match, no driver
+    action."""
+    from flatbread_spark.operators.ranking import group_weighted_percentiles
+
+    docs = _load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "lang", "doc_id", "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+        .alias("n_tokens"),
+    )
+    return group_weighted_percentiles(
+        staged, "lang", "n_chars", "n_tokens", "doc_id",
+        [500_000, 990_000],
+    ).orderBy("lang", "q_ppm")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3656,6 +3675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tvd_drift": q_tvd_drift,
         "scd2_intervals": q_scd2_intervals,
         "mmr_rerank": q_mmr_rerank,
+        "group_weighted_pct": q_group_weighted_pct,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6238,6 +6258,28 @@ FROM (VALUES
   (2, 5, 1, 27660100000))
   t(query_id, rank, neighbor_id, mmr_score)
 ORDER BY query_id, rank
+""",
+        "group_weighted_pct": r"""
+WITH t AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS v,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS w
+           FROM documents),
+f AS (SELECT * FROM t WHERE w > 0),
+c AS (SELECT lang, doc_id, v, w,
+        SUM(w) OVER (PARTITION BY lang ORDER BY v, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cw,
+        CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n,
+        CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS total_w
+      FROM f)
+SELECT lang, CAST(q.q_ppm AS BIGINT) AS q_ppm, c.n, c.total_w,
+       c.v AS n_chars
+FROM c
+JOIN (VALUES (500000), (990000)) q(q_ppm)
+  ON CAST(c.cw - c.w AS HUGEINT) * 1000000
+       < q.q_ppm * CAST(c.total_w AS HUGEINT)
+ AND q.q_ppm * CAST(c.total_w AS HUGEINT)
+       <= CAST(c.cw AS HUGEINT) * 1000000
+ORDER BY lang, q_ppm
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

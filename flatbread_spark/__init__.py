@@ -183,6 +183,7 @@ from flatbread_spark.operators.ranking import (  # noqa: E402
     curriculum_order,
     exact_percentiles,
     group_percentiles,
+    group_weighted_percentiles,
     quantile_bucketize,
     weighted_percentiles,
     winsorize,
@@ -244,6 +245,6 @@ __all__ = [
     "session_paths", "conversion_lag", "rolling_counts", "vocab_overlap",
     "gini_concentration", "characteristic_terms", "doc_freq_spectrum",
     "fps_select", "theil_sen", "weighted_percentiles", "rrf_fuse",
-    "ks_drift", "sample_exact_n",
+    "ks_drift", "sample_exact_n", "group_weighted_percentiles",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

@@ -544,3 +544,82 @@ def weighted_percentiles(
             F.col(value_col),
         )
     )
+
+
+def group_weighted_percentiles(
+    df: DataFrame,
+    group_cols: "Sequence[str] | str",
+    value_col: str,
+    weight_col: str,
+    key_col: str,
+    q_ppm: Sequence[int],
+) -> DataFrame:
+    """PER-GROUP exact weighted nearest-rank percentiles — "the p50
+    document length by TOKEN MASS, per language": the stratified sibling
+    of :func:`weighted_percentiles`, with the same integer contract
+    (smallest value whose cumulative weight reaches q of the group
+    total; match predicate ``cum_prev·1e6 < q·W_g ≤ cum·1e6`` on
+    DECIMAL(38,0)) but group totals from a window — NO driver action at
+    all, mirroring :func:`group_percentiles` vs :func:`exact_percentiles`.
+
+    One per-group window pass (running weight + group total — bounded by
+    the largest group like any per-stratum statistic), then a row-local
+    match of each row's weight interval against every requested target.
+    Rows with non-positive weight are dropped. A row spanning several
+    quantile targets (huge single doc) emits one output row per matched
+    ``q_ppm``. Returns ``(<group_cols...>, q_ppm, n, total_w,
+    <value_col>)``.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    qs = sorted({int(q) for q in q_ppm})
+    if not qs or qs[0] < 1 or qs[-1] > 1_000_000:
+        raise ValueError(f"q_ppm must be within [1, 1_000_000], got {q_ppm}")
+    from pyspark.sql import Window
+
+    staged = df.select(
+        *groups,
+        F.col(value_col),
+        F.col(weight_col).cast("bigint").alias("__w"),
+        F.col(key_col),
+    ).filter(F.col("__w") > 0)
+    wg = Window.partitionBy(*groups)
+    cum = (
+        F.sum("__w")
+        .over(
+            wg.orderBy(F.col(value_col), F.col(key_col)).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+    )
+    n = F.count(F.lit(1)).over(wg).cast("bigint")
+    total = F.sum("__w").over(wg).cast("bigint")
+    staged = (
+        staged.withColumn("__cw", cum)
+        .withColumn("n", n)
+        .withColumn("total_w", total)
+    )
+    dec = "decimal(38,0)"
+    m = F.lit(1_000_000).cast(dec)
+    qarr = F.array(*[F.lit(q).cast("bigint") for q in qs])
+    prev = F.expr(f"CAST(__cw - __w AS {dec})")
+    cw = F.expr(f"CAST(__cw AS {dec})")
+    tw = F.expr(f"CAST(total_w AS {dec})")
+    staged = staged.withColumn(
+        "__qs",
+        F.filter(
+            qarr,
+            lambda q: (prev * m < q.cast(dec) * tw)
+            & (q.cast(dec) * tw <= cw * m),
+        ),
+    )
+    return (
+        staged.filter(F.size("__qs") > 0)
+        .select(
+            *groups,
+            F.explode("__qs").alias("q_ppm"),
+            "n",
+            "total_w",
+            value_col,
+        )
+    )

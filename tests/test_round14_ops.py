@@ -525,3 +525,67 @@ class TestScd2Intervals:
         for (f1, t1), (f2, _) in zip(ivs, ivs[1:]):
             assert t1 == f2
         assert ivs[-1][1] is None
+
+
+# --------------------------------------------------- group_weighted_percentiles
+class TestGroupWeightedPercentiles:
+    @staticmethod
+    def _oracle(groups, qs):
+        out = {}
+        for g, pairs in groups.items():
+            ordered = sorted(
+                (v, i, w) for i, (v, w) in enumerate(pairs) if w > 0
+            )
+            W = sum(w for _, _, w in ordered)
+            n = len(ordered)
+            for q in qs:
+                cum = 0
+                for v, _, w in ordered:
+                    prev, cum = cum, cum + w
+                    if prev * 1_000_000 < q * W <= cum * 1_000_000:
+                        out[(g, q)] = (n, W, v)
+                        break
+        return out
+
+    def _run(self, spark, groups, qs):
+        from flatbread_spark.operators.ranking import (
+            group_weighted_percentiles,
+        )
+
+        rows = [
+            (g, i, v, w)
+            for g, pairs in groups.items()
+            for i, (v, w) in enumerate(pairs)
+        ]
+        df = spark.createDataFrame(rows, "g string, k bigint, v bigint, w bigint")
+        return {
+            (r["g"], r["q_ppm"]): (r["n"], r["total_w"], r["v"])
+            for r in group_weighted_percentiles(
+                df, "g", "v", "w", "k", qs
+            ).collect()
+        }
+
+    def test_matches_python_per_group(self, spark):
+        groups = {
+            "en": [(5, 100), (1000, 1), (7, 3)],
+            "de": [(10, 1), (20, 1), (30, 1)],
+            "zz": [(9, 0)],
+        }
+        qs = [250_000, 500_000, 990_000, 1_000_000]
+        assert self._run(spark, groups, qs) == self._oracle(groups, qs)
+
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 40),
+                      st.integers(0, 15)),
+            min_size=1, max_size=30,
+        ).filter(lambda ps: any(w > 0 for _, _, w in ps)),
+        qs=st.lists(st.integers(1, 1_000_000), min_size=1, max_size=3,
+                    unique=True),
+    )
+    @settings(**HSET)
+    def test_property_matches_oracle(self, spark, pairs, qs):
+        groups = {}
+        for g, v, w in pairs:
+            groups.setdefault(f"g{g}", []).append((v, w))
+        assert self._run(spark, groups, qs) == self._oracle(groups, qs)
