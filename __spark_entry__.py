@@ -3359,6 +3359,23 @@ def q_group_weighted_pct(spark, sf_dir):
     ).orderBy("lang", "q_ppm")
 
 
+def q_truncation_curve(spark, sf_dir):
+    """Context-length selection (operators/packing.py truncation_curve):
+    token loss of truncate-at-L for candidate sequence lengths — ONE
+    corpus scan with the candidates exploded per row, |L|-bounded
+    aggregate, exact DECIMAL(38,0) ppm."""
+    from flatbread_spark.operators.packing import truncation_curve
+
+    docs = _load(spark, sf_dir, "documents")
+    staged = docs.select(
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+        .alias("n_tokens"),
+    )
+    return truncation_curve(
+        staged, "n_tokens", [16, 32, 64, 128]
+    ).orderBy("seq_len")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3676,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "mmr_rerank": q_mmr_rerank,
         "group_weighted_pct": q_group_weighted_pct,
+        "truncation_curve": q_truncation_curve,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6280,6 +6298,26 @@ JOIN (VALUES (500000), (990000)) q(q_ppm)
  AND q.q_ppm * CAST(c.total_w AS HUGEINT)
        <= CAST(c.cw AS HUGEINT) * 1000000
 ORDER BY lang, q_ppm
+""",
+        "truncation_curve": r"""
+WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                       AS BIGINT) AS tok
+           FROM documents),
+x AS (SELECT tok, CAST(u.L AS BIGINT) AS seq_len
+      FROM t, UNNEST([16, 32, 64, 128]) u(L)),
+a AS (SELECT seq_len,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN tok > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_truncated,
+        CAST(SUM(CAST(tok AS HUGEINT)) AS HUGEINT) AS tot,
+        CAST(SUM(CAST(greatest(tok - seq_len, 0) AS HUGEINT)) AS HUGEINT)
+          AS lost
+      FROM x GROUP BY 1)
+SELECT seq_len, n_docs, n_truncated,
+       CAST(tot AS BIGINT) AS total_tokens,
+       CAST(lost AS BIGINT) AS tokens_lost,
+       CAST(lost * 1000000 // tot AS BIGINT) AS lost_ppm
+FROM a ORDER BY seq_len
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

@@ -124,6 +124,7 @@ from flatbread_spark.operators.packing import (  # noqa: E402
     build_packs,
     pack_sequences,
     scalable_cumsum,
+    truncation_curve,
 )
 from flatbread_spark.operators.sampling import (  # noqa: E402
     assign_split,
@@ -219,6 +220,7 @@ __all__ = [
     "sample_deterministic", "sample_stratified", "sample_token_budget",
     "sample_weighted",
     "assign_split", "pack_sequences", "build_packs", "scalable_cumsum",
+    "truncation_curve",
     "curation_funnel",
     "trigram_typicality", "pmi_bigrams", "kmeans_lloyd", "zorder_key", "cluster_by_zorder",
     "approx_topk_tokens", "covariance_matrix", "embedding_mean", "pca_train", "pca_project",

@@ -194,3 +194,60 @@ def build_packs(
             ).alias("content_md5"),
         )
     )
+
+
+def truncation_curve(
+    df: DataFrame,
+    tokens_col: str,
+    lengths: Sequence[int],
+) -> DataFrame:
+    """Context-length selection report: for each candidate sequence length
+    L, how many documents would be truncated and what fraction of corpus
+    tokens a truncate-at-L policy loses —
+    ``lost_ppm = Σ max(tok−L, 0) · 1e6 div Σ tok``. The one-scan curve
+    behind "do we train at 2k or 8k": pair it with
+    :func:`pack_sequences` (which handles the keep-and-split policy) to
+    price both options.
+
+    ONE corpus scan: the candidate lengths ride a literal array exploded
+    per row (|lengths| output rows per doc feeding a partial-aggregated
+    groupBy bounded by |lengths|), so adding candidates never adds scans.
+    All-BIGINT sums on DECIMAL(38,0) for the final ppm division —
+    byte-identical replay.
+
+    Returns ``(seq_len, n_docs, n_truncated, total_tokens, tokens_lost,
+    lost_ppm)`` — one row per candidate length.
+    """
+    Ls = sorted({int(x) for x in lengths})
+    if not Ls or Ls[0] < 1:
+        raise ValueError(f"lengths must be positive, got {lengths}")
+    tok = F.col(tokens_col).cast("bigint")
+    staged = df.select(
+        tok.alias("__tok"),
+        F.explode(
+            F.array(*[F.lit(x).cast("bigint") for x in Ls])
+        ).alias("seq_len"),
+    )
+    dec = "decimal(38,0)"
+    lost = F.greatest(F.col("__tok") - F.col("seq_len"), F.lit(0).cast("bigint"))
+    return (
+        staged.groupBy("seq_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("__tok") > F.col("seq_len")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_truncated"),
+            F.sum(F.col("__tok").cast(dec)).cast(dec).alias("__tot"),
+            F.sum(lost.cast(dec)).cast(dec).alias("__lost"),
+        )
+        .select(
+            "seq_len",
+            "n_docs",
+            "n_truncated",
+            F.col("__tot").cast("bigint").alias("total_tokens"),
+            F.col("__lost").cast("bigint").alias("tokens_lost"),
+            F.expr(f"CAST(__lost * 1000000 div __tot AS BIGINT)").alias(
+                "lost_ppm"
+            ),
+        )
+    )

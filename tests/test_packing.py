@@ -136,3 +136,45 @@ def test_zero_token_docs_do_not_corrupt_packs(spark):
     assert sorted((r.pack_id, r.n_tokens, r.n_segments) for r in packs) == [
         (0, 4, 1), (1, 4, 1)
     ]
+
+
+# ------------------------------------------------------------- truncation_curve
+class TestTruncationCurve:
+    def test_matches_python(self, spark):
+        from flatbread_spark.operators.packing import truncation_curve
+
+        toks = [10, 100, 1000, 5000, 3]
+        df = spark.createDataFrame([(t,) for t in toks], "tok bigint")
+        Ls = [8, 512, 2048]
+        got = {
+            r["seq_len"]: (r["n_docs"], r["n_truncated"], r["total_tokens"],
+                           r["tokens_lost"], r["lost_ppm"])
+            for r in truncation_curve(df, "tok", Ls).collect()
+        }
+        tot = sum(toks)
+        for L in Ls:
+            lost = sum(max(t - L, 0) for t in toks)
+            trunc = sum(1 for t in toks if t > L)
+            assert got[L] == (
+                len(toks), trunc, tot, lost, lost * 1_000_000 // tot
+            ), L
+
+    def test_monotone_in_length(self, spark):
+        from flatbread_spark.operators.packing import truncation_curve
+
+        df = spark.createDataFrame([(t,) for t in range(1, 200)], "tok bigint")
+        rows = truncation_curve(df, "tok", [10, 50, 100, 400]).orderBy(
+            "seq_len"
+        ).collect()
+        losses = [r["lost_ppm"] for r in rows]
+        assert losses == sorted(losses, reverse=True)
+        assert losses[-1] == 0  # 400 > max token count
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from flatbread_spark.operators.packing import truncation_curve
+
+        df = spark.createDataFrame([(1,)], "tok bigint")
+        with _pytest.raises(ValueError):
+            truncation_curve(df, "tok", [0, 10])
