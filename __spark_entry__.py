@@ -3376,6 +3376,17 @@ def q_truncation_curve(spark, sf_dir):
     ).orderBy("seq_len")
 
 
+def q_vector_audit(spark, sf_dir):
+    """Embedding hygiene gate (operators/curation.py vector_audit): NULL /
+    ragged / NaN / all-zero counts plus exact squared-norm p50/p99 (e6
+    BIGINT via the dot_exact decimal discipline, two-phase exact rank).
+    One flagging scan + bounded 1-row aggregates."""
+    from flatbread_spark.operators.curation import vector_audit
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return vector_audit(emb, "vec_id", "embedding", dim=64)
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3694,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "group_weighted_pct": q_group_weighted_pct,
         "truncation_curve": q_truncation_curve,
+        "vector_audit": q_vector_audit,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6318,6 +6330,50 @@ SELECT seq_len, n_docs, n_truncated,
        CAST(lost AS BIGINT) AS tokens_lost,
        CAST(lost * 1000000 // tot AS BIGINT) AS lost_ppm
 FROM a ORDER BY seq_len
+""",
+        "vector_audit": """
+WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+f AS (SELECT vec_id,
+        (e IS NULL) AS is_null,
+        (e IS NOT NULL AND len(e) <> 64) AS is_ragged,
+        (e IS NOT NULL AND len(e) = 64 AND
+         (SELECT bool_or(isnan(CAST(e[i] AS DOUBLE)))
+          FROM generate_series(1,64) t(i))) AS is_nan
+      FROM v),
+n AS (SELECT vec_id,
+        (SELECT CAST(round(SUM(CAST(round(
+                   CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE), 12)
+                 AS DECIMAL(28,12))), 6) * 1000000 AS BIGINT)
+         FROM generate_series(1,64) t(i)) AS nsq,
+        NOT (SELECT bool_or(CAST(e[i] AS DOUBLE) <> 0)
+             FROM generate_series(1,64) t(i)) AS is_zero
+      FROM v
+      WHERE e IS NOT NULL AND len(e) = 64
+        AND NOT (SELECT bool_or(isnan(CAST(e[i] AS DOUBLE)))
+                 FROM generate_series(1,64) t(i))),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        CAST(SUM(CASE WHEN is_ragged THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ragged,
+        CAST(SUM(CASE WHEN is_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan
+      FROM f),
+z AS (SELECT CAST(SUM(CASE WHEN is_zero THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero FROM n),
+r AS (SELECT nsq,
+        CAST(row_number() OVER (ORDER BY nsq, vec_id) AS BIGINT) AS pos,
+        CAST(COUNT(*) OVER () AS BIGINT) AS cnt
+      FROM n),
+p AS (SELECT
+        MAX(CASE WHEN (pos-1)*1000000 < 500000*cnt
+                  AND 500000*cnt <= pos*1000000 THEN nsq END)
+          AS p50_normsq_e6,
+        MAX(CASE WHEN (pos-1)*1000000 < 990000*cnt
+                  AND 990000*cnt <= pos*1000000 THEN nsq END)
+          AS p99_normsq_e6
+      FROM r)
+SELECT c.n_vecs, c.n_null, c.n_ragged, c.n_nan, z.n_zero,
+       CAST(64 AS BIGINT) AS dim, p.p50_normsq_e6, p.p99_normsq_e6
+FROM c, z, p
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

@@ -99,6 +99,7 @@ from flatbread_spark.operators.curation import (  # noqa: E402
     gini_concentration,
     robust_outlier_gate,
     standardize,
+    vector_audit,
     vocab_overlap,
 )
 from flatbread_spark.operators.fusion import rrf_fuse  # noqa: E402
@@ -248,5 +249,6 @@ __all__ = [
     "gini_concentration", "characteristic_terms", "doc_freq_spectrum",
     "fps_select", "theil_sen", "weighted_percentiles", "rrf_fuse",
     "ks_drift", "sample_exact_n", "group_weighted_percentiles",
+    "vector_audit",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

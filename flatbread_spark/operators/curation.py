@@ -430,3 +430,92 @@ def gini_concentration(
             f"div (CAST(n_docs AS {dec}) * __s0)"
         ).cast("bigint").alias("gini_ppm"),
     )
+
+
+def vector_audit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    q_ppm: "Sequence[int]" = (500_000, 990_000),
+) -> DataFrame:
+    """Embedding-table hygiene gate — the five defects that silently poison
+    ANN/dedup/clustering downstream, counted in one pass: NULL vectors,
+    RAGGED vectors (wrong dimensionality — the bug every Arrow kernel in
+    this repo must otherwise null-propagate around), NaN components, and
+    all-ZERO vectors (cosine is undefined; they land in every LSH bucket),
+    plus exact squared-norm percentiles of the healthy rows (catches "the
+    new encoder forgot to normalize" at a glance).
+
+    ``dim`` defaults to the table's MODAL dimensionality (one
+    vocabulary-bounded aggregate; explicit beats implicit when you know
+    the encoder). Norms follow the ``dot_exact`` discipline — per-term
+    round(x²,12) accumulated in DECIMAL — then round to 6 and scale to
+    an e6 BIGINT, so the percentile VALUES replay byte-identically;
+    percentiles use the two-phase exact rank (no unpartitioned window).
+
+    Returns ONE row: ``(n_vecs, n_null, n_ragged, n_nan, n_zero, dim,
+    <pXX_normsq_e6 per requested q>)``.
+    """
+    from flatbread_spark.operators.ranking import exact_percentiles
+
+    qs = sorted({int(q) for q in q_ppm})
+    a = F.col("__v")
+    staged = df.select(F.col(id_col).alias("__id"),
+                       F.col(vec_col).alias("__v"))
+    if dim is None:
+        mode = (
+            staged.filter(a.isNotNull())
+            .groupBy(F.size(a).alias("__d"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.desc("__n"), F.asc("__d"))
+            .limit(1)
+            .collect()
+        )
+        if not mode:
+            raise ValueError("vector_audit requires at least one non-null vector")
+        dim = int(mode[0]["__d"])
+    dec = "decimal(28,12)"
+    has_nan = F.exists(a, lambda x: F.isnan(x.cast("double")))
+    is_ragged = a.isNotNull() & (F.size(a) != dim)
+    valid = a.isNotNull() & (F.size(a) == dim) & ~has_nan
+    is_zero = valid & ~F.exists(a, lambda x: x.cast("double") != 0.0)
+    nsq_dec = F.aggregate(
+        F.zip_with(
+            a, a,
+            lambda x, y: F.round(x.cast("double") * y.cast("double"), 12)
+            .cast(dec),
+        ),
+        F.lit(0).cast(dec),
+        lambda acc, v: (acc + v).cast(dec),
+    )
+    flagged = staged.select(
+        "__id",
+        a.isNull().cast("int").alias("__null"),
+        is_ragged.cast("int").alias("__ragged"),
+        (a.isNotNull() & (F.size(a) == dim) & has_nan).cast("int")
+        .alias("__nan"),
+        is_zero.cast("int").alias("__zero"),
+        F.when(valid, (F.round(nsq_dec, 6) * 1_000_000).cast("bigint"))
+        .alias("__nsq"),
+    ).persist()
+    counts = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("__null").cast("bigint").alias("n_null"),
+        F.sum("__ragged").cast("bigint").alias("n_ragged"),
+        F.sum("__nan").cast("bigint").alias("n_nan"),
+        F.sum("__zero").cast("bigint").alias("n_zero"),
+        F.lit(dim).cast("bigint").alias("dim"),
+    )
+    pct = exact_percentiles(
+        flagged.filter(F.col("__nsq").isNotNull()), "__nsq", "__id", qs
+    )
+    pivoted = pct.agg(
+        *[
+            F.max(F.when(F.col("q_ppm") == q, F.col("__nsq")))
+            .cast("bigint")
+            .alias(f"p{q // 10_000}_normsq_e6")
+            for q in qs
+        ]
+    )
+    return counts.crossJoin(F.broadcast(pivoted))

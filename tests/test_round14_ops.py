@@ -589,3 +589,45 @@ class TestGroupWeightedPercentiles:
         for g, v, w in pairs:
             groups.setdefault(f"g{g}", []).append((v, w))
         assert self._run(spark, groups, qs) == self._oracle(groups, qs)
+
+
+# ---------------------------------------------------------------- vector_audit
+class TestVectorAudit:
+    def test_counts_and_percentiles(self, spark):
+        from flatbread_spark.operators.curation import vector_audit
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 2.0, 0.0]),
+            (2, None),
+            (3, [1.0, 2.0]),
+            (4, [float("nan"), 1.0, 0.0]),
+            (5, [0.0, 0.0, 0.0]),
+            (6, [3.0, 4.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        r = vector_audit(df, q_ppm=(500_000, 1_000_000)).collect()[0]
+        assert (r["n_vecs"], r["n_null"], r["n_ragged"], r["n_nan"],
+                r["n_zero"], r["dim"]) == (7, 1, 1, 1, 1, 3)
+        # valid norm_sq sorted: [0, 1, 4, 25]
+        assert r["p50_normsq_e6"] == 1_000_000
+        assert r["p100_normsq_e6"] == 25_000_000
+
+    def test_modal_dim_inference(self, spark):
+        from flatbread_spark.operators.curation import vector_audit
+
+        rows = [(0, [1.0, 1.0]), (1, [2.0, 2.0]), (2, [1.0, 2.0, 3.0])]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        r = vector_audit(df, q_ppm=(1_000_000,)).collect()[0]
+        assert r["dim"] == 2 and r["n_ragged"] == 1
+
+    def test_all_null_raises(self, spark):
+        import pytest as _pytest
+
+        from flatbread_spark.operators.curation import vector_audit
+
+        df = spark.createDataFrame(
+            [(0, None)], "vec_id bigint, embedding array<double>"
+        )
+        with _pytest.raises(ValueError):
+            vector_audit(df)
