@@ -3387,6 +3387,47 @@ def q_vector_audit(spark, sf_dir):
     return vector_audit(emb, "vec_id", "embedding", dim=64)
 
 
+def q_stream_drift(spark, sf_dir):
+    """Streaming mix-drift monitor (streaming/drift.py): hourly event-type
+    counts maintained under readStream (complete mode, availableNow),
+    drained and scored against the whole-corpus reference mix with the
+    exact integer TVD — per-window composition alarm. Counts are exact,
+    so the drained stream equals the batch answer and the oracle replays
+    the whole pipeline in SQL."""
+    import tempfile
+
+    from flatbread_spark.streaming.drift import (
+        drift_from_counts,
+        stream_mix_counts,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    stream_dir = tempfile.mkdtemp(prefix="fb_stream_drift_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    for q in spark.streams.active:
+        if q.name == "fb_stream_drift":
+            q.stop()
+    counts = stream_mix_counts(spark, stream_dir, raw_schema)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("fb_stream_drift")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    drained = spark.table("fb_stream_drift")
+    reference = ev.groupBy(F.col("event_type").alias("cat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return drift_from_counts(drained, reference).orderBy("bucket")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3706,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_weighted_pct": q_group_weighted_pct,
         "truncation_curve": q_truncation_curve,
         "vector_audit": q_vector_audit,
+        "stream_drift": q_stream_drift,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6374,6 +6416,25 @@ p AS (SELECT
 SELECT c.n_vecs, c.n_null, c.n_ragged, c.n_nan, z.n_zero,
        CAST(64 AS BIGINT) AS dim, p.p50_normsq_e6, p.p99_normsq_e6
 FROM c, z, p
+""",
+        "stream_drift": """
+WITH b AS (SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket,
+             event_type AS cat, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT cat, CAST(SUM(n) AS BIGINT) AS rn FROM b GROUP BY 1),
+rt AS (SELECT CAST(SUM(rn) AS HUGEINT) AS R FROM r),
+wt AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_window FROM b GROUP BY 1),
+g AS (SELECT wt.bucket, wt.n_window, r.rn, COALESCE(b.n, 0) AS n
+      FROM wt CROSS JOIN r
+      LEFT JOIN b ON b.bucket = wt.bucket AND b.cat = r.cat),
+d AS (SELECT bucket, MAX(n_window) AS n_window,
+        SUM(abs(CAST(n AS HUGEINT) * (SELECT R FROM rt)
+                - CAST(rn AS HUGEINT) * n_window)) AS G
+      FROM g GROUP BY 1)
+SELECT bucket, n_window,
+       CAST(G * 1000000 // (2 * CAST(n_window AS HUGEINT)
+                            * (SELECT R FROM rt)) AS BIGINT) AS tvd_ppm
+FROM d ORDER BY bucket
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

@@ -359,3 +359,56 @@ def test_stream_latest_state_matches_batch_merge(spark, tmp_path):
         for r in drain_current_state(spark.table("upsert_test")).collect()
     }
     assert got == expect
+
+
+def test_stream_mix_drift_matches_python(spark, events, tmp_path):
+    """Streamed per-hour mix counts drained and TVD-scored vs the global
+    reference equal a pure-Python recomputation (exact integers)."""
+    from collections import Counter, defaultdict
+
+    from flatbread_spark.streaming.drift import (
+        drift_from_counts,
+        stream_mix_counts,
+    )
+
+    stream_dir = tmp_path / "mix_src"
+    stream_dir.mkdir()
+    raw = events.limit(2000)
+    raw.write.mode("overwrite").parquet(str(stream_dir / "part"))
+    schema = spark.read.parquet(str(stream_dir / "part")).schema
+
+    counts = stream_mix_counts(spark, str(stream_dir / "part"), schema)
+    assert counts.isStreaming
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("mix_drift_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    drained = spark.table("mix_drift_test")
+
+    from flatbread_spark.functions.eventtime import ensure_epoch_ns
+
+    ev = ensure_epoch_ns(raw, "ts")
+    reference = ev.groupBy(F.col("event_type").alias("cat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    got = {
+        r["bucket"]: (r["n_window"], r["tvd_ppm"])
+        for r in drift_from_counts(drained, reference).collect()
+    }
+
+    rows = ev.select("ts", "event_type").collect()
+    ref = Counter(r["event_type"] for r in rows)
+    R = sum(ref.values())
+    per_w = defaultdict(Counter)
+    for r in rows:
+        per_w[r["ts"] // 3_600_000_000_000][r["event_type"]] += 1
+    expect = {}
+    for w, c in per_w.items():
+        Nw = sum(c.values())
+        G = sum(abs(c[k] * R - ref[k] * Nw) for k in ref)
+        expect[w] = (Nw, G * 1_000_000 // (2 * Nw * R))
+    assert got == expect
