@@ -3428,6 +3428,48 @@ def q_stream_drift(spark, sf_dir):
     return drift_from_counts(drained, reference).orderBy("bucket")
 
 
+def _roundtrip(spark, sf_dir, fmt, **options):
+    """Write documents (without free text — CSV/JSON round-trip fidelity is
+    about the SOURCE LAYER, so the text column rides as an md5) through the
+    format-generic sink, read it back with an explicit schema, and return
+    the rows — the driver-graded §2.2 source-format evidence (the oracle is
+    the same projection straight from parquet, so any write/read corruption
+    hash-fails)."""
+    import tempfile
+
+    from flatbread_spark.sources.tables import read_table, write_table
+
+    docs = _load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+    out_dir = os.path.join(
+        tempfile.mkdtemp(prefix=f"fb_rt_{fmt}_"), f"docs_{fmt}"
+    )
+    write_table(staged, out_dir, fmt=fmt, mode="overwrite", **options)
+    return read_table(
+        spark, out_dir, fmt=fmt, schema=staged.schema, **options
+    ).orderBy("doc_id")
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV sink+scan round-trip (sources/tables.py write_table/read_table):
+    value-hash-checked against the parquet projection."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+def q_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink+scan round-trip, value-hash-checked."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink+scan round-trip (columnar path), value-hash-checked."""
+    return _roundtrip(spark, sf_dir, "orc")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3748,6 +3790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation_curve": q_truncation_curve,
         "vector_audit": q_vector_audit,
         "stream_drift": q_stream_drift,
+        "csv_roundtrip": q_csv_roundtrip,
+        "json_roundtrip": q_json_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -3832,6 +3877,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _DOT = """(SELECT CAST(SUM(CAST(round(CAST({a}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE),12) AS DECIMAL(28,12))) AS DOUBLE)
            FROM generate_series(1,64) t(i))"""
+
+# shared oracle for the source-format round-trip family: the round-trip must
+# return exactly this projection of the parquet truth
+_RT_SQL = """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents ORDER BY doc_id
+"""
 
 # shared CTE for the value_counts family: counts + Totals row + the frame's
 # __pos__ order (count desc, value asc, Totals last) materialized as `pos`
@@ -6436,6 +6489,9 @@ SELECT bucket, n_window,
                             * (SELECT R FROM rt)) AS BIGINT) AS tvd_ppm
 FROM d ORDER BY bucket
 """,
+        "csv_roundtrip": _RT_SQL,
+        "json_roundtrip": _RT_SQL,
+        "orc_roundtrip": _RT_SQL,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20
         # recovers the exact top-5 perfectly on this corpus
