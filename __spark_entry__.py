@@ -3470,6 +3470,37 @@ def q_orc_roundtrip(spark, sf_dir):
     return _roundtrip(spark, sf_dir, "orc")
 
 
+def q_partitioned_pruning(spark, sf_dir):
+    """Hive-partitioned sink + partition-pruned scan (sources/tables.py
+    write_table(partition_by='lang')): write the documents projection
+    partitioned by lang, read back filtering lang IN (en, de) — the read
+    lists only those partition directories (pruning is plan-tested in
+    tests/test_bucketing.py; this grades the written DATA end to end).
+    Partition columns come back as the partition value — any
+    path-encoding corruption hash-fails."""
+    import tempfile
+
+    from flatbread_spark.sources.tables import read_table, write_table
+
+    docs = _load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+    out_dir = os.path.join(
+        tempfile.mkdtemp(prefix="fb_rt_part_"), "docs_part"
+    )
+    write_table(staged, out_dir, fmt="parquet", mode="overwrite",
+                partition_by="lang")
+    back = read_table(spark, out_dir, fmt="parquet")
+    return (
+        back.filter(F.col("lang").isin("en", "de"))
+        .select("doc_id", "lang", "source", "n_chars", "text_md5")
+        .orderBy("doc_id")
+    )
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3793,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "json_roundtrip": q_json_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
+        "partitioned_pruning": q_partitioned_pruning,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6492,6 +6524,11 @@ FROM d ORDER BY bucket
         "csv_roundtrip": _RT_SQL,
         "json_roundtrip": _RT_SQL,
         "orc_roundtrip": _RT_SQL,
+        "partitioned_pruning": """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents WHERE lang IN ('en', 'de') ORDER BY doc_id
+""",
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20
         # recovers the exact top-5 perfectly on this corpus
