@@ -3501,6 +3501,39 @@ def q_partitioned_pruning(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval-overlap join (operators/asof.py interval_join): per-day
+    user activity intervals x that day's busy-hour windows (hours with
+    >= 20 events) — which users were active during load peaks. Banded
+    equi-join on (day, hour-bucket) with exact overlap pruning; a
+    mega-interval fails loudly via the guarded sequence bound."""
+    from flatbread_spark.operators.asof import interval_join
+
+    ev = _load(spark, sf_dir, "events")
+    day = F.expr("ts div 86400000000000").cast("bigint")
+    hour = F.expr("ts div 3600000000000").cast("bigint")
+    user_iv = ev.groupBy(day.alias("day"), "user_id").agg(
+        F.min("ts").cast("bigint").alias("ls"),
+        (F.max("ts") + 1).cast("bigint").alias("le"),
+    )
+    busy = (
+        ev.groupBy(day.alias("day"), hour.alias("rid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+        .select(
+            "day", "rid",
+            (F.col("rid") * F.lit(3_600_000_000_000)).cast("bigint")
+            .alias("rs"),
+            ((F.col("rid") + 1) * F.lit(3_600_000_000_000)).cast("bigint")
+            .alias("re"),
+        )
+    )
+    return interval_join(
+        user_iv, busy, ["day"], "user_id", "ls", "le", "rid", "rs", "re",
+        bucket_width=3_600_000_000_000,
+    ).orderBy("day", "l_id", "r_id")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3825,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": q_json_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "partitioned_pruning": q_partitioned_pruning,
+        "interval_join": q_interval_join,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6528,6 +6562,22 @@ FROM d ORDER BY bucket
 SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
        md5(text) AS text_md5
 FROM documents WHERE lang IN ('en', 'de') ORDER BY doc_id
+""",
+        "interval_join": """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events),
+u AS (SELECT CAST(t // 86400000000000 AS BIGINT) AS day, user_id,
+        CAST(MIN(t) AS BIGINT) AS ls, CAST(MAX(t) + 1 AS BIGINT) AS le
+      FROM e GROUP BY 1, 2),
+b AS (SELECT CAST(t // 86400000000000 AS BIGINT) AS day,
+        CAST(t // 3600000000000 AS BIGINT) AS rid, COUNT(*) AS n
+      FROM e GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+r AS (SELECT day, rid, CAST(rid * 3600000000000 AS BIGINT) AS rs,
+        CAST((rid + 1) * 3600000000000 AS BIGINT) AS re
+      FROM b)
+SELECT u.day, u.user_id AS l_id, u.ls AS l_start, u.le AS l_end,
+       r.rid AS r_id, r.rs AS r_start, r.re AS r_end
+FROM u JOIN r ON u.day = r.day AND u.ls < r.re AND r.rs < u.le
+ORDER BY u.day, l_id, r_id
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

@@ -65,7 +65,11 @@ from flatbread_spark.operators.counts import value_counts  # noqa: E402
 
 # pipeline-operator surface (beyond-reference): exported at package level so
 # a corpus pipeline reads as one import
-from flatbread_spark.operators.asof import asof_join, range_join_bucketed  # noqa: E402
+from flatbread_spark.operators.asof import (  # noqa: E402
+    asof_join,
+    interval_join,
+    range_join_bucketed,
+)
 from flatbread_spark.operators.dedup import (  # noqa: E402
     chunk_self_dedup,
     dedup_exact,
@@ -214,7 +218,7 @@ __all__ = [
     "release_caches", "pinned_tags",
     "pivot_table", "crosstab", "load_table", "load_tables", "value_counts",
     "read_table", "write_table",
-    "asof_join", "range_join_bucketed",
+    "asof_join", "range_join_bucketed", "interval_join",
     "dedup_exact", "dedup_incremental", "minhash_lsh_pairs", "simhash_pairs",
     "ngram_jaccard_pairs", "embedding_dup_pairs", "chunk_self_dedup",
     "connected_components", "dedup_clusters", "pagerank_fixed",

@@ -199,3 +199,88 @@ def asof_join(
         *sel_m,
         sel_ts,
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    l_id: str,
+    l_start: str,
+    l_end: str,
+    r_id: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+    max_buckets_per_row: int = 4096,
+) -> DataFrame:
+    """Interval-OVERLAP join: pairs where the half-open intervals
+    ``[l_start, l_end)`` and ``[r_start, r_end)`` intersect within the
+    same ``on`` key — sessions × campaign windows, spans × incident
+    windows, IP ranges × allocations. Completes the temporal-join family:
+    :func:`asof_join` is nearest-point, :func:`range_join_bucketed` is
+    point-in-window, this is interval × interval.
+
+    Same banding discipline as the range join (a raw double-inequality
+    join plans as BroadcastNestedLoopJoin): both sides explode to the
+    fixed-width buckets their interval covers, the join becomes an
+    equi-join on (key, bucket) — shuffle-partitionable, AQE-skew-
+    handleable — pairs straddling several shared buckets are deduped on
+    (l_id, r_id), and the exact overlap predicate
+    ``l_start < r_end AND r_start < l_end`` prunes the band inflation.
+
+    ``bucket_width`` trades candidate inflation against explode width:
+    set it near the TYPICAL interval length. A row covering more than
+    ``max_buckets_per_row`` buckets (a degenerate mega-interval — the
+    classic skew bomb in interval joins) fails the job LOUDLY via
+    ``assert_true`` rather than silently exploding the shuffle; split
+    such outliers upstream or raise the width.
+
+    Returns ``(<on...>, l_id, l_start, l_end, r_id, r_start, r_end)``.
+    Ids must be unique per side (they drive the dedupe).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    keys = list(on)
+    W = int(bucket_width)
+
+    def explode_buckets(df, start, end, ident, prefix):
+        s, e = F.col(start).cast("bigint"), F.col(end).cast("bigint")
+        msg = (
+            f"interval_join: a {prefix}-side interval covers more than "
+            f"{max_buckets_per_row} buckets; raise bucket_width or split "
+            "the interval"
+        )
+        # the guard must gate the sequence ITSELF (a separate assert
+        # column gives no evaluation-order guarantee — the explode of a
+        # mega-interval would still run): the upper bound becomes
+        # raise_error when the row is degenerate, so the job fails loudly
+        # BEFORE any sequence materializes
+        hi_guarded = F.expr(
+            f"IF(((({end}) - 1) div {W}) - (({start}) div {W}) + 1 "
+            f"<= {int(max_buckets_per_row)}, "
+            f"(({end}) - 1) div {W}, "
+            f"CAST(raise_error('{msg}') AS BIGINT))"
+        )
+        lo = F.expr(f"({start}) div {W}").cast("bigint")
+        return df.filter(s < e).select(
+            *keys,
+            F.col(ident).alias(f"{prefix}_id"),
+            s.alias(f"{prefix}_start"),
+            e.alias(f"{prefix}_end"),
+            F.explode(F.sequence(lo, hi_guarded.cast("bigint"))).alias(
+                "__bucket"
+            ),
+        )
+
+    lb = explode_buckets(left, l_start, l_end, l_id, "l")
+    rb = explode_buckets(right, r_start, r_end, r_id, "r")
+    return (
+        lb.join(rb, [*keys, "__bucket"])
+        .filter(
+            (F.col("l_start") < F.col("r_end"))
+            & (F.col("r_start") < F.col("l_end"))
+        )
+        .drop("__bucket")
+        .distinct()
+    )

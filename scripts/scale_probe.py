@@ -467,6 +467,19 @@ def main():
                 [250_000, 500_000, 990_000],
             )
         ),
+        # doc_id ranges as intervals keyed by source: typical-width spans
+        "interval_join": lambda d, e: run_count(
+            fb.interval_join(
+                d.select("source", F.col("doc_id").alias("lid"),
+                         F.col("doc_id").alias("ls"),
+                         (F.col("doc_id") + 8).alias("le")),
+                d.select("source", F.col("doc_id").alias("rid"),
+                         (F.col("doc_id") + 4).alias("rs"),
+                         (F.col("doc_id") + 12).alias("re")),
+                ["source"], "lid", "ls", "le", "rid", "rs", "re",
+                bucket_width=8,
+            )
+        ),
         "tvd_drift": lambda d, e: run_count(
             fb.tvd_drift(
                 d.filter(F.col("source") == "src1").select("lang"),

@@ -631,3 +631,77 @@ class TestVectorAudit:
         )
         with _pytest.raises(ValueError):
             vector_audit(df)
+
+
+# --------------------------------------------------------------- interval_join
+class TestIntervalJoin:
+    def _run(self, spark, L, R, width):
+        from flatbread_spark.operators.asof import interval_join
+
+        ldf = spark.createDataFrame(L, "k string, lid bigint, ls bigint, le bigint")
+        rdf = spark.createDataFrame(R, "k string, rid bigint, rs bigint, re bigint")
+        out = interval_join(
+            ldf, rdf, ["k"], "lid", "ls", "le", "rid", "rs", "re",
+            bucket_width=width,
+        )
+        return {(r["k"], r["l_id"], r["r_id"]) for r in out.collect()}
+
+    @staticmethod
+    def _brute(L, R):
+        import itertools
+
+        return {
+            (k1, i, j)
+            for (k1, i, s1, e1), (k2, j, s2, e2) in itertools.product(L, R)
+            if k1 == k2 and s1 < e2 and s2 < e1
+        }
+
+    def test_matches_bruteforce_multiwidth(self, spark):
+        import random
+
+        rng = random.Random(5)
+        L = [("k%d" % (i % 2), i, rng.randrange(0, 100), 0) for i in range(25)]
+        L = [(k, i, s, s + rng.randrange(1, 20)) for k, i, s, _ in L]
+        R = [("k%d" % (j % 2), j, rng.randrange(0, 100), 0) for j in range(20)]
+        R = [(k, j, s, s + rng.randrange(1, 25)) for k, j, s, _ in R]
+        exp = self._brute(L, R)
+        for width in (1, 7, 16, 1000):
+            assert self._run(spark, L, R, width) == exp, width
+
+    def test_half_open_boundaries(self, spark):
+        # [0,10) and [10,20): touching endpoints do NOT overlap
+        L = [("k", 1, 0, 10)]
+        R = [("k", 2, 10, 20), ("k", 3, 9, 10)]
+        assert self._run(spark, L, R, 4) == {("k", 1, 3)}
+
+    def test_empty_intervals_dropped(self, spark):
+        L = [("k", 1, 5, 5)]          # empty: start == end
+        R = [("k", 2, 0, 100)]
+        assert self._run(spark, L, R, 10) == set()
+
+    def test_mega_interval_fails_loudly(self, spark):
+        import pytest as _pytest
+
+        from flatbread_spark.operators.asof import interval_join
+
+        ldf = spark.createDataFrame(
+            [("k", 1, 0, 10**9)], "k string, lid bigint, ls bigint, le bigint"
+        )
+        rdf = spark.createDataFrame(
+            [("k", 2, 0, 10)], "k string, rid bigint, rs bigint, re bigint"
+        )
+        with _pytest.raises(Exception):
+            interval_join(
+                ldf, rdf, ["k"], "lid", "ls", "le", "rid", "rs", "re",
+                bucket_width=4, max_buckets_per_row=64,
+            ).collect()
+
+    def test_width_validation(self, spark):
+        import pytest as _pytest
+
+        from flatbread_spark.operators.asof import interval_join
+
+        df = spark.createDataFrame([("k", 1, 0, 1)], "k string, lid bigint, ls bigint, le bigint")
+        with _pytest.raises(ValueError):
+            interval_join(df, df, ["k"], "lid", "ls", "le", "lid", "ls",
+                          "le", bucket_width=0)
