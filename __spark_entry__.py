@@ -3534,6 +3534,23 @@ def q_interval_join(spark, sf_dir):
     ).orderBy("day", "l_id", "r_id")
 
 
+def q_k_anonymity(spark, sf_dir):
+    """Release-gating privacy audit (operators/privacy.py k_anonymity):
+    equivalence classes over the (lang, source) quasi-identifiers with
+    n_chars-bucket as the sensitive attribute — class-size summary,
+    below-k exposure, homogeneous-class (l=1) disclosures. One
+    QI-vocabulary-bounded aggregate; all-BIGINT."""
+    from flatbread_spark.operators.privacy import k_anonymity
+
+    docs = _load(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "len_bucket", F.expr("n_chars div 100").cast("bigint")
+    )
+    return k_anonymity(
+        staged, ["lang", "source"], k=5, sensitive_col="len_bucket"
+    )
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3859,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "partitioned_pruning": q_partitioned_pruning,
         "interval_join": q_interval_join,
+        "k_anonymity": q_k_anonymity,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6578,6 +6596,22 @@ SELECT u.day, u.user_id AS l_id, u.ls AS l_start, u.le AS l_end,
        r.rid AS r_id, r.rs AS r_start, r.re AS r_end
 FROM u JOIN r ON u.day = r.day AND u.ls < r.re AND r.rs < u.le
 ORDER BY u.day, l_id, r_id
+""",
+        "k_anonymity": """
+WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT n_chars // 100) AS BIGINT) AS s
+           FROM documents GROUP BY 1, 2)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(n) AS BIGINT) AS min_class,
+       CAST(MAX(n) AS BIGINT) AS max_class,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below_k_classes,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_below_k,
+       CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_homogeneous
+FROM c
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

@@ -107,6 +107,7 @@ from flatbread_spark.operators.curation import (  # noqa: E402
     vocab_overlap,
 )
 from flatbread_spark.operators.fusion import rrf_fuse  # noqa: E402
+from flatbread_spark.operators.privacy import k_anonymity  # noqa: E402
 from flatbread_spark.operators.trend import (  # noqa: E402
     ks_drift,
     theil_sen,
@@ -253,6 +254,6 @@ __all__ = [
     "gini_concentration", "characteristic_terms", "doc_freq_spectrum",
     "fps_select", "theil_sen", "weighted_percentiles", "rrf_fuse",
     "ks_drift", "sample_exact_n", "group_weighted_percentiles",
-    "vector_audit",
+    "vector_audit", "k_anonymity",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]
