@@ -3816,12 +3816,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- knn_quantized, sample_mix, quantile_normalize,
         # ---- mojibake_scores, field_association, winsorize_lengths,
         # ---- lang_segments, group_percentiles, standardize; plus the
-        # ---- round-14..17 sixteen: session_paths, conversion_lag,
+        # ---- round-14..19 twenty-six: session_paths, conversion_lag,
         # ---- rolling_counts, vocab_overlap, gini_concentration,
         # ---- characteristic_terms, doc_freq_spectrum, coreset_fps,
         # ---- trend_slopes, weighted_percentiles, hybrid_fusion,
         # ---- ks_drift, sample_exact, tvd_drift, scd2_intervals,
-        # ---- mmr_rerank), then
+        # ---- mmr_rerank, group_weighted_pct, truncation_curve,
+        # ---- vector_audit, stream_drift, csv/json/orc_roundtrip,
+        # ---- partitioned_pruning, interval_join, k_anonymity), then
         # ---- r3-stale leftovers (the rotated-out family variants
         # ---- first), then everything graded green in r4, heavy
         # ---- similarity last.
