@@ -3551,6 +3551,29 @@ def q_k_anonymity(spark, sf_dir):
     )
 
 
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle count (operators/graph.py triangle_count) of the
+    supplier co-supply graph (suppliers sharing an order). Degree-oriented
+    wedge join — every node's out-degree is O(sqrt m) regardless of hub
+    skew — two hash equi-joins, all-BIGINT. Oracle replays the count with
+    a canonical a<b<c three-way join."""
+    from flatbread_spark.operators.graph import triangle_count
+
+    li = _load(spark, sf_dir, "lineitem")
+    sl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = sl.select("o", F.col("s").alias("s1"))
+    b = sl.select("o", F.col("s").alias("s2"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    return triangle_count(edges, "s1", "s2")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3879,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_pruning": q_partitioned_pruning,
         "interval_join": q_interval_join,
         "k_anonymity": q_k_anonymity,
+        "triangle_count": q_triangle_count,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6614,6 +6638,19 @@ SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_homogeneous
 FROM c
+""",
+        "triangle_count": """
+WITH sl AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+e AS (SELECT DISTINCT a.s AS u, b.s AS v
+      FROM sl a JOIN sl b ON a.o = b.o AND a.s < b.s),
+nn AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS n_nodes
+       FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

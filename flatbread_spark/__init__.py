@@ -89,6 +89,7 @@ from flatbread_spark.operators.chunking import chunk_windows  # noqa: E402
 from flatbread_spark.operators.classifier import score_hashed_linear  # noqa: E402
 from flatbread_spark.operators.graph import (  # noqa: E402
     connected_components,
+    triangle_count,
     dedup_clusters,
     pagerank_fixed,
 )
@@ -254,6 +255,6 @@ __all__ = [
     "gini_concentration", "characteristic_terms", "doc_freq_spectrum",
     "fps_select", "theil_sen", "weighted_percentiles", "rrf_fuse",
     "ks_drift", "sample_exact_n", "group_weighted_percentiles",
-    "vector_audit", "k_anonymity",
+    "vector_audit", "k_anonymity", "triangle_count",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

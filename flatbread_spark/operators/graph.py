@@ -293,3 +293,79 @@ def pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank_fp")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """EXACT global triangle count of an undirected graph — the density
+    probe for near-dup pair graphs (many triangles = tight clusters that
+    will collapse under transitive dedup; few = chains, where one false
+    edge merges unrelated docs) and the classic community-structure
+    statistic.
+
+    Degree-oriented formulation (the MapReduce-era standard): orient every
+    edge from the lexicographically smaller ``(degree, node)`` endpoint to
+    the larger. Every triangle then has EXACTLY ONE node with two outgoing
+    edges, and — the scale property — every node's OUT-degree is
+    O(sqrt(m)), so the wedge self-join that a naive id-ordering lets a
+    celebrity hub blow up stays bounded no matter how skewed the degree
+    distribution. Two hash equi-joins total: wedges on the apex, then
+    wedge-closing edges. All counts BIGINT; self-loops dropped; parallel
+    edges collapse via distinct.
+
+    Returns ONE row: ``(n_nodes, n_edges, n_triangles)``.
+    """
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    from flatbread_spark.operators.dedup import _pin
+
+    e0 = _pin(e0)
+    deg = (
+        e0.select(F.col("u").alias("n"))
+        .unionByName(e0.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    withd = (
+        e0.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    # orient: a -> b iff (deg_a, a) < (deg_b, b)
+    a_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = _pin(
+        withd.select(
+            F.when(a_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(a_first, F.col("du")).otherwise(F.col("dv")).alias("da"),
+            F.when(a_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(a_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+    )
+    w1 = o.select(F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx"))
+    w2 = o.select(F.col("a"), F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = w1.join(w2, "a").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    counts = e0.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    ).crossJoin(
+        F.broadcast(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+    )
+    return counts.crossJoin(F.broadcast(tri)).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )

@@ -75,3 +75,46 @@ class TestPagerankFixed:
             for r in pagerank_fixed(df.coalesce(1), "s", "d").collect()
         }
         assert a == b
+
+
+# --------------------------------------------------------------- triangle_count
+class TestTriangleCount:
+    @staticmethod
+    def _brute(E):
+        import itertools
+
+        E = {tuple(sorted(e)) for e in E if e[0] != e[1]}
+        nodes = sorted({n for e in E for n in e})
+        t = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in E and (b, c) in E and (a, c) in E
+        )
+        return len(nodes), len(E), t
+
+    def _run(self, spark, E):
+        from flatbread_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame([(a, b) for a, b in E], "s bigint, d bigint")
+        r = triangle_count(df, "s", "d").collect()[0]
+        return (r["n_nodes"], r["n_edges"], r["n_triangles"])
+
+    def test_known_shapes(self, spark):
+        assert self._run(spark, [(1, 2), (2, 3), (1, 3)]) == (3, 3, 1)
+        assert self._run(spark, [(1, 2), (2, 3), (3, 4)]) == (4, 3, 0)
+        k4 = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 1), (2, 4)]
+        assert self._run(spark, k4) == (4, 6, 4)
+
+    def test_self_loops_and_duplicates_collapse(self, spark):
+        E = [(1, 2), (2, 1), (1, 1), (1, 3), (2, 3)]
+        assert self._run(spark, E) == self._brute(E)
+
+    def test_hub_skew_matches_bruteforce(self, spark):
+        """A celebrity hub (star + random chords) — the shape the degree
+        orientation exists for."""
+        import random
+
+        rng = random.Random(13)
+        E = [(0, i) for i in range(1, 25)]
+        E += [(rng.randrange(1, 25), rng.randrange(1, 25)) for _ in range(40)]
+        assert self._run(spark, E) == self._brute(E)
