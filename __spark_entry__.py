@@ -3846,7 +3846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- ks_drift, sample_exact, tvd_drift, scd2_intervals,
         # ---- mmr_rerank, group_weighted_pct, truncation_curve,
         # ---- vector_audit, stream_drift, csv/json/orc_roundtrip,
-        # ---- partitioned_pruning, interval_join, k_anonymity), then
+        # ---- partitioned_pruning, interval_join, k_anonymity,
+        # ---- triangle_count), then
         # ---- r3-stale leftovers (the rotated-out family variants
         # ---- first), then everything graded green in r4, heavy
         # ---- similarity last.
