@@ -3574,6 +3574,22 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(edges, "s1", "s2")
 
 
+def q_sample_exact_group(spark, sf_dir):
+    """Per-language exact-n sample (operators/sampling.py
+    sample_exact_n_per_group): 10 documents per lang by smallest portable
+    hash — prefix-monotone, partition-invariant; one per-group window."""
+    from flatbread_spark.operators.sampling import sample_exact_n_per_group
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        sample_exact_n_per_group(
+            docs.select("doc_id", "lang", "source"), "doc_id", "lang", 10,
+            salt="fix",
+        )
+        .orderBy("lang", "sample_rank")
+    )
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3904,6 +3920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "k_anonymity": q_k_anonymity,
         "triangle_count": q_triangle_count,
+        "sample_exact_group": q_sample_exact_group,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6652,6 +6669,15 @@ tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
         JOIN e e2 ON e2.u = e1.v
         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
 SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri
+""",
+        "sample_exact_group": """
+SELECT doc_id, lang, source, sample_rank
+FROM (SELECT doc_id, lang, source,
+        CAST(row_number() OVER (PARTITION BY lang ORDER BY
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fix'), 1, 15)
+               AS BIGINT), doc_id) AS BIGINT) AS sample_rank
+      FROM documents)
+WHERE sample_rank <= 10 ORDER BY lang, sample_rank
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

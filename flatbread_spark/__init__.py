@@ -138,6 +138,7 @@ from flatbread_spark.operators.sampling import (  # noqa: E402
     fps_select,
     sample_deterministic,
     sample_exact_n,
+    sample_exact_n_per_group,
     sample_stratified,
     sample_token_budget,
     sample_weighted,
@@ -256,5 +257,6 @@ __all__ = [
     "fps_select", "theil_sen", "weighted_percentiles", "rrf_fuse",
     "ks_drift", "sample_exact_n", "group_weighted_percentiles",
     "vector_audit", "k_anonymity", "triangle_count",
+    "sample_exact_n_per_group",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

@@ -428,3 +428,32 @@ def sample_exact_n(
         .limit(int(n))
         .drop("__sb")
     )
+
+
+def sample_exact_n_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``n`` rows per group (fewer when the group is smaller) —
+    the stratified sibling of :func:`sample_exact_n`: "100 eval documents
+    per language", deterministic under any partitioning, prefix-monotone
+    in ``n`` within each group. One per-group window ranked by
+    ``(hash, key)`` — bounded by the largest group, like every
+    per-stratum operator here; appends ``sample_rank`` (1-based hash
+    order within the group) so callers can sub-slice without resampling.
+    """
+    if n < 0:
+        raise ValueError("sample_exact_n_per_group requires n >= 0")
+    from pyspark.sql import Window
+
+    bucket = portable_hash60(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    )
+    w = Window.partitionBy(group_col).orderBy(bucket, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= int(n))
+    )

@@ -705,3 +705,50 @@ class TestIntervalJoin:
         with _pytest.raises(ValueError):
             interval_join(df, df, ["k"], "lid", "ls", "le", "lid", "ls",
                           "le", bucket_width=0)
+
+
+# ------------------------------------------------------ sample_exact_n_per_group
+class TestSampleExactNPerGroup:
+    def test_per_group_size_prefix_and_invariance(self, spark):
+        from flatbread_spark.operators.sampling import (
+            sample_exact_n_per_group,
+        )
+
+        rows = [(i, "g%d" % (i % 3)) for i in range(120)]
+        df = spark.createDataFrame(rows, "k bigint, g string")
+        s5 = {}
+        for r in sample_exact_n_per_group(df, "k", "g", 5).collect():
+            s5.setdefault(r["g"], []).append((r["sample_rank"], r["k"]))
+        assert all(len(v) == 5 for v in s5.values()) and len(s5) == 3
+        s3 = {}
+        for r in sample_exact_n_per_group(df, "k", "g", 3).collect():
+            s3.setdefault(r["g"], []).append((r["sample_rank"], r["k"]))
+        for g in s5:
+            assert sorted(s3[g]) == sorted(s5[g])[:3]
+        sp = {}
+        for r in sample_exact_n_per_group(
+            df.repartition(13), "k", "g", 5
+        ).collect():
+            sp.setdefault(r["g"], []).append((r["sample_rank"], r["k"]))
+        assert {g: sorted(v) for g, v in sp.items()} == {
+            g: sorted(v) for g, v in s5.items()
+        }
+
+    def test_small_group_truncates(self, spark):
+        from flatbread_spark.operators.sampling import (
+            sample_exact_n_per_group,
+        )
+
+        df = spark.createDataFrame([(1, "g"), (2, "g")], "k bigint, g string")
+        assert sample_exact_n_per_group(df, "k", "g", 10).count() == 2
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from flatbread_spark.operators.sampling import (
+            sample_exact_n_per_group,
+        )
+
+        df = spark.createDataFrame([(1, "g")], "k bigint, g string")
+        with _pytest.raises(ValueError):
+            sample_exact_n_per_group(df, "k", "g", -1)
