@@ -6661,14 +6661,23 @@ FROM c
 WITH sl AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
 e AS (SELECT DISTINCT a.s AS u, b.s AS v
       FROM sl a JOIN sl b ON a.o = b.o AND a.s < b.s),
-nn AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS n_nodes
-       FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)),
+dg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+       FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+       GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+       FROM dg),
 ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
 tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
         FROM e e1
         JOIN e e2 ON e2.u = e1.v
         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
-SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri
+SELECT nn.n_nodes, ne.n_edges, nn.n_wedges, tri.n_triangles,
+       CASE WHEN nn.n_wedges > 0
+            THEN CAST(CAST(3 AS HUGEINT) * tri.n_triangles * 1000000
+                      // nn.n_wedges AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS clustering_ppm
+FROM nn, ne, tri
 """,
         "sample_exact_group": """
 SELECT doc_id, lang, source, sample_rank

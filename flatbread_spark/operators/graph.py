@@ -316,7 +316,11 @@ def triangle_count(
     wedge-closing edges. All counts BIGINT; self-loops dropped; parallel
     edges collapse via distinct.
 
-    Returns ONE row: ``(n_nodes, n_edges, n_triangles)``.
+    Returns ONE row: ``(n_nodes, n_edges, n_wedges, n_triangles,
+    clustering_ppm)`` — ``n_wedges = Σ C(deg, 2)`` and the global
+    clustering coefficient ``3·triangles·1e6 div wedges`` (how often two
+    neighbors of the same node are themselves connected; 0 when the graph
+    has no wedges).
     """
     e0 = (
         edges.select(
@@ -364,8 +368,23 @@ def triangle_count(
     counts = e0.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges")
     ).crossJoin(
-        F.broadcast(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+        F.broadcast(
+            deg.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                F.sum(F.expr("d * (d - 1) div 2")).cast("bigint")
+                .alias("n_wedges"),
+            )
+        )
     )
+    dec = "decimal(38,0)"
     return counts.crossJoin(F.broadcast(tri)).select(
-        "n_nodes", "n_edges", "n_triangles"
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") > 0, F.expr(
+            f"CAST(3 AS {dec}) * CAST(n_triangles AS {dec}) * 1000000 "
+            f"div CAST(n_wedges AS {dec})"
+        ).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        .alias("clustering_ppm"),
     )

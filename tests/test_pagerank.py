@@ -83,6 +83,8 @@ class TestTriangleCount:
     def _brute(E):
         import itertools
 
+        from collections import Counter
+
         E = {tuple(sorted(e)) for e in E if e[0] != e[1]}
         nodes = sorted({n for e in E for n in e})
         t = sum(
@@ -90,20 +92,31 @@ class TestTriangleCount:
             for a, b, c in itertools.combinations(nodes, 3)
             if (a, b) in E and (b, c) in E and (a, c) in E
         )
-        return len(nodes), len(E), t
+        deg = Counter()
+        for a, b in E:
+            deg[a] += 1
+            deg[b] += 1
+        w = sum(d * (d - 1) // 2 for d in deg.values())
+        cc = 3 * t * 1_000_000 // w if w else 0
+        return len(nodes), len(E), w, t, cc
 
     def _run(self, spark, E):
         from flatbread_spark.operators.graph import triangle_count
 
         df = spark.createDataFrame([(a, b) for a, b in E], "s bigint, d bigint")
         r = triangle_count(df, "s", "d").collect()[0]
-        return (r["n_nodes"], r["n_edges"], r["n_triangles"])
+        return (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"],
+                r["clustering_ppm"])
 
     def test_known_shapes(self, spark):
-        assert self._run(spark, [(1, 2), (2, 3), (1, 3)]) == (3, 3, 1)
-        assert self._run(spark, [(1, 2), (2, 3), (3, 4)]) == (4, 3, 0)
+        # triangle: 3 wedges, 1 triangle, clustering 1.0
+        assert self._run(spark, [(1, 2), (2, 3), (1, 3)]) == (3, 3, 3, 1,
+                                                              1_000_000)
+        # path: 2 wedges, no triangles
+        assert self._run(spark, [(1, 2), (2, 3), (3, 4)]) == (4, 3, 2, 0, 0)
+        # K4: 12 wedges, 4 triangles, clustering 1.0
         k4 = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 1), (2, 4)]
-        assert self._run(spark, k4) == (4, 6, 4)
+        assert self._run(spark, k4) == (4, 6, 12, 4, 1_000_000)
 
     def test_self_loops_and_duplicates_collapse(self, spark):
         E = [(1, 2), (2, 1), (1, 1), (1, 3), (2, 3)]
