@@ -3590,6 +3590,30 @@ def q_sample_exact_group(spark, sf_dir):
     )
 
 
+def q_lexical_diversity(spark, sf_dir):
+    """Per-source lexical diversity (functions/text.py windowed_ttr_ppm):
+    windowed type-token ratio in exact ppm, aggregated to per-source
+    n_docs / min / avg (integral div). Zero-shuffle per-doc HOF pass +
+    one source-bounded aggregate."""
+    from flatbread_spark.functions.text import windowed_ttr_ppm
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", windowed_ttr_ppm(F.col("text"), 50).alias("__ttr")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("__ttr").cast("bigint").alias("min_ttr_ppm"),
+            F.expr(
+                "CAST(sum(__ttr) AS BIGINT) div count(1)"
+            ).cast("bigint").alias("avg_ttr_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3921,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "triangle_count": q_triangle_count,
         "sample_exact_group": q_sample_exact_group,
+        "lexical_diversity": q_lexical_diversity,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6687,6 +6712,25 @@ FROM (SELECT doc_id, lang, source,
                AS BIGINT), doc_id) AS BIGINT) AS sample_rank
       FROM documents)
 WHERE sample_rank <= 10 ORDER BY lang, sample_rank
+""",
+        "lexical_diversity": r"""
+WITH tok AS (SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\s+') AS t
+             FROM documents),
+win AS (SELECT doc_id, source,
+          CAST(floor(len(list_distinct(t[(i-1)*50+1 : i*50])) * 1000000.0
+                     / len(t[(i-1)*50+1 : i*50])) AS BIGINT) AS ppm
+        FROM tok,
+             UNNEST(generate_series(1, CAST(ceil(len(t) / 50.0) AS BIGINT)))
+               s(i)
+        WHERE len(t) > 0),
+d AS (SELECT doc_id, source,
+        CAST(floor(SUM(ppm) * 1.0 / COUNT(*)) AS BIGINT) AS ttr
+      FROM win GROUP BY 1, 2)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(ttr) AS BIGINT) AS min_ttr_ppm,
+       CAST(CAST(SUM(ttr) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_ttr_ppm
+FROM d GROUP BY 1 ORDER BY source
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

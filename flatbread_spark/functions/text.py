@@ -704,3 +704,43 @@ def with_lang_segments(df, id_col: str, text_col: str, window_words: int = 20):
         .withColumn("n_switches", switches)
         .drop("__langs", "__best")
     )
+
+
+def windowed_ttr_ppm(text: Column, window: int = 50) -> Column:
+    """Windowed type-token ratio in exact ppm — the lexical-diversity
+    quality signal with the classic length-bias fix: raw TTR collapses as
+    documents grow (vocabulary saturates), so the ratio is computed per
+    fixed-size token window and averaged. Low values flag keyword-stuffed
+    / template text that repetition-based gates miss when the repeats are
+    spread out.
+
+    Per window ``floor(distinct·1e6 / size)`` (the final partial window
+    uses its ACTUAL size, so short docs aren't penalized); document score
+    = ``floor(Σ window_ppm / n_windows)``. The floor-of-double divisions
+    are exact-integer-safe here: operands stay far below 2^53 and the
+    true quotient is never within one ulp of an integer boundary (the
+    fractional part is a multiple of 1/size ≥ 1/window), so both engines
+    floor identically. Pure HOF expression — one row-local pass, zero
+    shuffle, byte-identical SQL replay. NULL for empty/whitespace text.
+    """
+    toks = tokens(text)
+    w = int(window)
+    if w < 1:
+        raise ValueError("windowed_ttr_ppm requires window >= 1")
+    n_win = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    win_ppm = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.floor(
+            F.size(F.array_distinct(F.slice(toks, i * w + 1, w)))
+            .cast("bigint")
+            * F.lit(1_000_000).cast("bigint")
+            / F.size(F.slice(toks, i * w + 1, w))
+        ).cast("bigint"),
+    )
+    total = F.aggregate(
+        win_ppm, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    return F.when(
+        F.size(toks) > 0,
+        F.floor(total / n_win.cast("bigint")).cast("bigint"),
+    )

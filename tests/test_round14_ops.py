@@ -752,3 +752,68 @@ class TestSampleExactNPerGroup:
         df = spark.createDataFrame([(1, "g")], "k bigint, g string")
         with _pytest.raises(ValueError):
             sample_exact_n_per_group(df, "k", "g", -1)
+
+
+# ------------------------------------------------------------ windowed_ttr_ppm
+class TestWindowedTtr:
+    @staticmethod
+    def _oracle(text, w):
+        import math
+
+        toks = text.split()
+        if not toks:
+            return None
+        n_win = math.ceil(len(toks) / w)
+        ppms = [
+            len(set(toks[i * w:(i + 1) * w])) * 1_000_000
+            // len(toks[i * w:(i + 1) * w])
+            for i in range(n_win)
+        ]
+        return sum(ppms) // n_win
+
+    def test_matches_python(self, spark):
+        from flatbread_spark.functions.text import windowed_ttr_ppm
+
+        cases = [
+            "a b c d e f g h i j",
+            "a a a a a a a a a a",
+            "a b a b a b a b a b a b a",
+            "x",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(cases)], "id bigint, text string"
+        )
+        out = {
+            r["id"]: r["ttr"]
+            for r in df.select(
+                "id", windowed_ttr_ppm(F.col("text"), 5).alias("ttr")
+            ).collect()
+        }
+        for i, t in enumerate(cases):
+            assert out[i] == self._oracle(t, 5), t
+
+    def test_length_bias_fixed(self, spark):
+        """A long repetitive doc scores low even though every WINDOW-sized
+        slice of a diverse doc scores high — the windowing point."""
+        from flatbread_spark.functions.text import windowed_ttr_ppm
+
+        diverse = " ".join(f"w{i}" for i in range(500))
+        stuffed = " ".join(["buy now cheap deal"] * 125)
+        df = spark.createDataFrame(
+            [(1, diverse), (2, stuffed)], "id bigint, text string"
+        )
+        out = {
+            r["id"]: r["ttr"]
+            for r in df.select(
+                "id", windowed_ttr_ppm(F.col("text"), 50).alias("ttr")
+            ).collect()
+        }
+        assert out[1] == 1_000_000 and out[2] < 200_000
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from flatbread_spark.functions.text import windowed_ttr_ppm
+
+        with _pytest.raises(ValueError):
+            windowed_ttr_ppm(F.col("text"), 0)
