@@ -3614,6 +3614,28 @@ def q_lexical_diversity(spark, sf_dir):
     )
 
 
+def q_degree_spectrum(spark, sf_dir):
+    """Degree distribution of the supplier co-supply graph
+    (operators/graph.py degree_spectrum): power-of-2 buckets via integer
+    bit-length — the hub diagnostic that predicts chain-collapse risk
+    before any dedup/clustering run."""
+    from flatbread_spark.operators.graph import degree_spectrum
+
+    li = _load(spark, sf_dir, "lineitem")
+    sl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = sl.select("o", F.col("s").alias("s1"))
+    b = sl.select("o", F.col("s").alias("s2"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    return degree_spectrum(edges, "s1", "s2").orderBy("bucket_lo")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3946,6 +3968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "sample_exact_group": q_sample_exact_group,
         "lexical_diversity": q_lexical_diversity,
+        "degree_spectrum": q_degree_spectrum,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6731,6 +6754,21 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(MIN(ttr) AS BIGINT) AS min_ttr_ppm,
        CAST(CAST(SUM(ttr) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_ttr_ppm
 FROM d GROUP BY 1 ORDER BY source
+""",
+        "degree_spectrum": """
+WITH sl AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+e AS (SELECT DISTINCT a.s AS u, b.s AS v
+      FROM sl a JOIN sl b ON a.o = b.o AND a.s < b.s),
+dg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+       FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+       GROUP BY 1),
+b AS (SELECT CAST(CAST(1 AS BIGINT) << (length(bin(d)) - 1) AS BIGINT)
+         AS bucket_lo, d
+      FROM dg)
+SELECT bucket_lo, CAST(bucket_lo * 2 AS BIGINT) AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(d) AS BIGINT) AS n_edge_endpoints
+FROM b GROUP BY 1 ORDER BY bucket_lo
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

@@ -89,6 +89,7 @@ from flatbread_spark.operators.chunking import chunk_windows  # noqa: E402
 from flatbread_spark.operators.classifier import score_hashed_linear  # noqa: E402
 from flatbread_spark.operators.graph import (  # noqa: E402
     connected_components,
+    degree_spectrum,
     triangle_count,
     dedup_clusters,
     pagerank_fixed,
@@ -257,6 +258,6 @@ __all__ = [
     "fps_select", "theil_sen", "weighted_percentiles", "rrf_fuse",
     "ks_drift", "sample_exact_n", "group_weighted_percentiles",
     "vector_audit", "k_anonymity", "triangle_count",
-    "sample_exact_n_per_group",
+    "sample_exact_n_per_group", "degree_spectrum",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

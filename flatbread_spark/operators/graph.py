@@ -388,3 +388,52 @@ def triangle_count(
         ).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         .alias("clustering_ppm"),
     )
+
+
+def degree_spectrum(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """Degree distribution in power-of-2 buckets — the first diagnostic on
+    any pair graph: a near-dup graph whose mass sits in high-degree
+    buckets is template soup (hub documents matching everything — dedup
+    will chain-collapse it); a healthy one is singleton/low-degree heavy.
+    The graph sibling of ``vocabulary.doc_freq_spectrum``, same
+    integer-bit-length bucketing (``length(bin(d)) - 1``), no libm.
+
+    Self-loops dropped, parallel edges collapsed. One vocabulary-bounded
+    aggregate over the degree table. Returns
+    ``(bucket_lo, bucket_hi, n_nodes, n_edge_endpoints)`` where a node of
+    degree d lands in ``bucket_lo = 2^floor(log2 d)``.
+    """
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("n"))
+        .unionByName(e0.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    return (
+        deg.withColumn(
+            "bucket_lo",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST(length(bin(d)) - 1 AS INT))"
+            ),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("n_edge_endpoints"),
+        )
+        .withColumn("bucket_hi", (F.col("bucket_lo") * 2).cast("bigint"))
+        .select("bucket_lo", "bucket_hi", "n_nodes", "n_edge_endpoints")
+    )

@@ -131,3 +131,33 @@ class TestTriangleCount:
         E = [(0, i) for i in range(1, 25)]
         E += [(rng.randrange(1, 25), rng.randrange(1, 25)) for _ in range(40)]
         assert self._run(spark, E) == self._brute(E)
+
+
+# -------------------------------------------------------------- degree_spectrum
+class TestDegreeSpectrum:
+    def test_star_plus_triangle(self, spark):
+        from flatbread_spark.operators.graph import degree_spectrum
+
+        E = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (10, 12)]
+        df = spark.createDataFrame(E, "s bigint, d bigint")
+        got = {
+            r["bucket_lo"]: (r["bucket_hi"], r["n_nodes"],
+                             r["n_edge_endpoints"])
+            for r in degree_spectrum(df, "s", "d").collect()
+        }
+        # leaves deg 1 -> bucket 1; triangle deg 2 -> bucket 2; hub deg 5
+        # -> bucket 4
+        assert got == {1: (2, 5, 5), 2: (4, 3, 6), 4: (8, 1, 5)}
+
+    def test_endpoints_sum_to_twice_edges(self, spark):
+        import random
+
+        from flatbread_spark.operators.graph import degree_spectrum
+
+        rng = random.Random(21)
+        E = {(rng.randrange(30), rng.randrange(30)) for _ in range(80)}
+        E = [(a, b) for a, b in E if a != b]
+        df = spark.createDataFrame(E, "s bigint, d bigint")
+        rows = degree_spectrum(df, "s", "d").collect()
+        n_edges = len({tuple(sorted(e)) for e in E})
+        assert sum(r["n_edge_endpoints"] for r in rows) == 2 * n_edges
