@@ -3636,6 +3636,31 @@ def q_degree_spectrum(spark, sf_dir):
     return degree_spectrum(edges, "s1", "s2").orderBy("bucket_lo")
 
 
+def q_gap_percentiles(spark, sf_dir):
+    """Inter-event gap distribution (composition: per-user lag window →
+    ranking.exact_percentiles): the data-driven way to pick the
+    sessionization gap — the p50/p90/p99 within-user inter-arrival times
+    bracket where the session cut belongs. One per-user window, then the
+    two-phase exact rank; all-BIGINT nanosecond gaps."""
+    from pyspark.sql import Window
+
+    from flatbread_spark.operators.ranking import exact_percentiles
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("__prev", F.lag("ts").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "event_id",
+            (F.col("ts") - F.col("__prev")).cast("bigint").alias("gap_ns"),
+        )
+    )
+    return exact_percentiles(
+        gaps, "gap_ns", "event_id", [500_000, 900_000, 990_000]
+    ).orderBy("q_ppm")
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3969,6 +3994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_group": q_sample_exact_group,
         "lexical_diversity": q_lexical_diversity,
         "degree_spectrum": q_degree_spectrum,
+        "gap_percentiles": q_gap_percentiles,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6769,6 +6795,23 @@ SELECT bucket_lo, CAST(bucket_lo * 2 AS BIGINT) AS bucket_hi,
        CAST(COUNT(*) AS BIGINT) AS n_nodes,
        CAST(SUM(d) AS BIGINT) AS n_edge_endpoints
 FROM b GROUP BY 1 ORDER BY bucket_lo
+""",
+        "gap_percentiles": """
+WITH g AS (SELECT event_id,
+             CAST(epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                  AS BIGINT) AS gap_ns
+           FROM events),
+f AS (SELECT event_id, gap_ns FROM g WHERE gap_ns IS NOT NULL),
+r AS (SELECT event_id, gap_ns,
+        CAST(row_number() OVER (ORDER BY gap_ns, event_id) AS BIGINT) AS pos,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM f)
+SELECT CAST(q.q_ppm AS BIGINT) AS q_ppm, r.pos, r.n, r.gap_ns
+FROM r JOIN (VALUES (500000), (900000), (990000)) q(q_ppm)
+  ON (r.pos - 1) * 1000000 < q.q_ppm * r.n
+ AND q.q_ppm * r.n <= r.pos * 1000000
+ORDER BY q_ppm
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20
