@@ -3661,6 +3661,25 @@ def q_gap_percentiles(spark, sf_dir):
     ).orderBy("q_ppm")
 
 
+def q_rolling_median(spark, sf_dir):
+    """Robust series smoothing (operators/trend.py rolling_median):
+    trailing-7 exact nearest-rank median of per-event-type daily counts —
+    the residual base for burst alarms. Frame bounded by k; replays via
+    DuckDB quantile_disc(0.5) OVER."""
+    from flatbread_spark.operators.trend import rolling_median
+
+    ev = _load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts div 86400000000000").cast("bigint").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        rolling_median(daily, "event_type", "day", "n", 7)
+        .select("event_type", "day", "n", "rolling_median")
+        .orderBy("event_type", "day")
+    )
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -3995,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "degree_spectrum": q_degree_spectrum,
         "gap_percentiles": q_gap_percentiles,
+        "rolling_median": q_rolling_median,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6812,6 +6832,18 @@ FROM r JOIN (VALUES (500000), (900000), (990000)) q(q_ppm)
   ON (r.pos - 1) * 1000000 < q.q_ppm * r.n
  AND q.q_ppm * r.n <= r.pos * 1000000
 ORDER BY q_ppm
+""",
+        "rolling_median": """
+WITH d AS (SELECT event_type,
+             CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+SELECT event_type, day, n,
+       CAST(quantile_disc(n, 0.5) OVER
+              (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling_median
+FROM d ORDER BY event_type, day
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20

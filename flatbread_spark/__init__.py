@@ -112,6 +112,7 @@ from flatbread_spark.operators.fusion import rrf_fuse  # noqa: E402
 from flatbread_spark.operators.privacy import k_anonymity  # noqa: E402
 from flatbread_spark.operators.trend import (  # noqa: E402
     ks_drift,
+    rolling_median,
     theil_sen,
     tvd_drift,
 )
@@ -258,6 +259,6 @@ __all__ = [
     "fps_select", "theil_sen", "weighted_percentiles", "rrf_fuse",
     "ks_drift", "sample_exact_n", "group_weighted_percentiles",
     "vector_audit", "k_anonymity", "triangle_count",
-    "sample_exact_n_per_group", "degree_spectrum",
+    "sample_exact_n_per_group", "degree_spectrum", "rolling_median",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

@@ -255,3 +255,40 @@ def tvd_drift(
             ).alias("tvd_ppm"),
         )
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    k: int,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Trailing ``k``-row EXACT nearest-rank median per key — the robust
+    smoother for bucketized series (the windowed companion to
+    :func:`theil_sen`): a burst day barely moves the rolling median where
+    it drags a rolling mean, so ``value - rolling_median`` is the
+    residual to alarm on. ``order_col`` must be a total order within the
+    key (bucket ordinal).
+
+    Frame rows are collected, sorted, and indexed at ``ceil(n/2)`` (the
+    lower middle for even n — matching DuckDB's ``quantile_disc(0.5)``,
+    so the result replays exactly; no averaging, the answer always EXISTS
+    in the data). The collected frame is bounded by ``k`` — a few dozen
+    for any real smoothing window — making the per-row cost O(k log k)
+    row-locally with zero extra shuffles beyond the per-key window.
+    """
+    if k < 1:
+        raise ValueError("rolling_median requires k >= 1")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col))
+        .rowsBetween(-(int(k) - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    n = F.size(arr)
+    mid = F.ceil(n / F.lit(2.0)).cast("int")
+    return df.withColumn(out_col, F.element_at(arr, mid))

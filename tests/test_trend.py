@@ -175,3 +175,44 @@ class TestTvdDrift:
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     def test_property_matches_oracle(self, spark, xa, xb):
         assert self._run(spark, xa, xb) == self._oracle(xa, xb)
+
+
+# --------------------------------------------------------------- rolling_median
+class TestRollingMedian:
+    def test_matches_python_and_resists_burst(self, spark):
+        import math
+
+        from flatbread_spark.operators.trend import rolling_median
+
+        series = [3, 9, 1, 7, 7, 100, 2, 5, 4, 8]
+        rows = [("g", i, v) for i, v in enumerate(series)]
+        df = spark.createDataFrame(rows, "g string, t bigint, v bigint")
+        got = [
+            r["rolling_median"]
+            for r in rolling_median(df, "g", "t", "v", 5)
+            .orderBy("t")
+            .collect()
+        ]
+        exp = []
+        for i in range(len(series)):
+            win = sorted(series[max(0, i - 4):i + 1])
+            exp.append(win[math.ceil(len(win) / 2) - 1])
+        assert got == exp
+        assert 100 not in got  # the burst never becomes the median
+
+    def test_k1_is_identity(self, spark):
+        from flatbread_spark.operators.trend import rolling_median
+
+        rows = [("g", i, i * 3) for i in range(5)]
+        df = spark.createDataFrame(rows, "g string, t bigint, v bigint")
+        out = rolling_median(df, "g", "t", "v", 1).orderBy("t").collect()
+        assert [r["rolling_median"] for r in out] == [r["v"] for r in out]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from flatbread_spark.operators.trend import rolling_median
+
+        df = spark.createDataFrame([("g", 1, 1)], "g string, t bigint, v bigint")
+        with _pytest.raises(ValueError):
+            rolling_median(df, "g", "t", "v", 0)
