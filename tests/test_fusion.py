@@ -67,3 +67,29 @@ class TestRrfFuse:
             rrf_fuse([], "doc")
         with pytest.raises(ValueError):
             rrf_fuse([df], "doc", k=-1)
+
+
+# ------------------------------------------------------- hypothesis properties
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    la=st.lists(st.integers(0, 20), min_size=1, max_size=10, unique=True),
+    lb=st.lists(st.integers(0, 20), min_size=1, max_size=10, unique=True),
+    k=st.integers(0, 100),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rrf_matches_python_oracle(spark, la, lb, k):
+    from flatbread_spark.operators.fusion import rrf_fuse
+
+    ra = [(doc, i + 1) for i, doc in enumerate(la)]
+    rb = [(doc, i + 1) for i, doc in enumerate(lb)]
+    dfa = spark.createDataFrame(ra, "doc bigint, rank bigint")
+    dfb = spark.createDataFrame(rb, "doc bigint, rank bigint")
+    got = [
+        (r["doc"], r["n_lists"], r["best_rank"], r["rrf_score"], r["rank"])
+        for r in rrf_fuse([dfa, dfb], "doc", k=k).orderBy("rank").collect()
+    ]
+    assert got == _oracle([ra, rb], k=k)
