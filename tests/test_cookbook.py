@@ -55,3 +55,63 @@ def test_calibration_mixing_cookbook(spark, documents):
     # curriculum positions are dense 1..n
     pos = sorted(r["train_pos"] for r in ordered.select("train_pos").collect())
     assert pos == list(range(1, n_mixed + 1))
+
+
+def test_monitoring_retrieval_cookbook(spark, documents, embeddings):
+    """Integration guard for the README "ingestion monitoring + hybrid
+    retrieval" cookbook: the documented composition must keep running
+    end-to-end and its invariants must hold (drift of a slice against
+    itself is 0; the retrieval stack narrows monotonically)."""
+    from pyspark.sql import functions as F
+
+    from flatbread_spark import (
+        fps_select,
+        ks_drift,
+        mmr_rerank,
+        rrf_fuse,
+        sample_exact_n,
+        theil_sen,
+        tvd_drift,
+        weighted_percentiles,
+    )
+    from flatbread_spark.functions.text import bm25_topk, token_count
+    from flatbread_spark.operators.similarity import knn_bruteforce
+
+    # --- monitoring family over synthetic daily counts + corpus slices
+    daily = documents.groupBy(
+        "source", (F.col("doc_id") % 30).cast("bigint").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    slopes = theil_sen(daily, "source", "day", "n")
+    assert slopes.count() > 0
+
+    old = documents.filter("doc_id % 2 = 0")
+    assert ks_drift(old, old, "n_chars").collect()[0]["d_ppm"] == 0
+    assert tvd_drift(old, old, "lang").collect()[0]["tvd_ppm"] == 0
+
+    staged = documents.select(
+        "doc_id", "n_chars", token_count(F.col("text")).cast("bigint")
+        .alias("n_tokens"),
+    )
+    wp = weighted_percentiles(
+        staged, "n_chars", "n_tokens", "doc_id", [500_000, 990_000]
+    ).collect()
+    assert len(wp) == 2
+
+    # --- retrieval stack: keyword + semantic -> fused -> diversified
+    kw = bm25_topk(documents, "doc_id", "text", ["spark", "merge"], k=10)
+    sem = knn_bruteforce(
+        embeddings, embeddings.filter("vec_id = 0"), k=10
+    ).selectExpr("neighbor_id AS doc_id", "rank")
+    fused = rrf_fuse([kw.select("doc_id", "rank"), sem], "doc_id", top_n=10)
+    assert fused.count() == 10
+
+    diverse = mmr_rerank(
+        embeddings, embeddings.filter("vec_id < 2"),
+        k_candidates=10, n_select=3,
+    )
+    assert diverse.count() == 6  # 2 queries x 3 picks
+
+    coreset = fps_select(embeddings, "vec_id", "embedding", k=4)
+    assert coreset.count() == 4
+    fixed = sample_exact_n(documents, "doc_id", 25)
+    assert fixed.count() == 25
