@@ -3680,6 +3680,32 @@ def q_rolling_median(spark, sf_dir):
     )
 
 
+def q_json_extraction(spark, sf_dir):
+    """Semi-structured extraction (§2.3 projection surface over nested
+    data): typed from_json parse of the events.props JSON payload —
+    schema-on-read, JVM-side, no UDF — aggregated to per-event-type
+    exact k statistics. The oracle replays with DuckDB's JSON
+    extraction; null-safe (malformed JSON parses to NULL and is
+    counted)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = _load(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    parsed = ev.withColumn("__p", F.from_json("props", schema))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("__p.k").isNull().cast("int")).cast("bigint")
+            .alias("n_missing"),
+            F.min("__p.k").cast("bigint").alias("min_k"),
+            F.max("__p.k").cast("bigint").alias("max_k"),
+            F.sum("__p.k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -4015,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_spectrum": q_degree_spectrum,
         "gap_percentiles": q_gap_percentiles,
         "rolling_median": q_rolling_median,
+        "json_extraction": q_json_extraction,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6844,6 +6871,19 @@ SELECT event_type, day, n,
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
             AS BIGINT) AS rolling_median
 FROM d ORDER BY event_type, day
+""",
+        "json_extraction": """
+WITH p AS (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM p GROUP BY 1 ORDER BY event_type
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20
