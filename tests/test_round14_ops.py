@@ -817,3 +817,41 @@ class TestWindowedTtr:
 
         with _pytest.raises(ValueError):
             windowed_ttr_ppm(F.col("text"), 0)
+
+
+@given(
+    L=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 60), st.integers(1, 15)),
+        min_size=1, max_size=15,
+    ),
+    R=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 60), st.integers(1, 15)),
+        min_size=1, max_size=15,
+    ),
+    width=st.integers(1, 40),
+)
+@settings(**HSET)
+def test_interval_join_property_matches_bruteforce(spark, L, R, width):
+    """Random half-open intervals on two keys, any bucket width: banded
+    results must equal the brute-force overlap set."""
+    import itertools
+
+    from flatbread_spark.operators.asof import interval_join
+
+    Lr = [(f"k{k}", i, s, s + d) for i, (k, s, d) in enumerate(L)]
+    Rr = [(f"k{k}", j, s, s + d) for j, (k, s, d) in enumerate(R)]
+    ldf = spark.createDataFrame(Lr, "k string, lid bigint, ls bigint, le bigint")
+    rdf = spark.createDataFrame(Rr, "k string, rid bigint, rs bigint, re bigint")
+    got = {
+        (r["k"], r["l_id"], r["r_id"])
+        for r in interval_join(
+            ldf, rdf, ["k"], "lid", "ls", "le", "rid", "rs", "re",
+            bucket_width=width,
+        ).collect()
+    }
+    exp = {
+        (k1, i, j)
+        for (k1, i, s1, e1), (k2, j, s2, e2) in itertools.product(Lr, Rr)
+        if k1 == k2 and s1 < e2 and s2 < e1
+    }
+    assert got == exp
