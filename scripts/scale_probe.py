@@ -467,6 +467,40 @@ def main():
                 [250_000, 500_000, 990_000],
             )
         ),
+        "k_anonymity": lambda d, e: run_count(
+            fb.k_anonymity(
+                d.select("lang", "source", "n_chars"),
+                ["lang", "source"], k=5, sensitive_col="n_chars",
+            )
+        ),
+        "rolling_median": lambda d, e: run_count(
+            fb.rolling_median(
+                d.groupBy(
+                    "source",
+                    (F.col("doc_id") % 60).cast("bigint").alias("x"),
+                ).agg(F.count(F.lit(1)).cast("bigint").alias("y")),
+                "source", "x", "y", 7,
+            )
+        ),
+        # supplier-co-supply stand-in: docs sharing a (doc_id div 8) block
+        "triangle_count": lambda d, e: run_count(
+            fb.triangle_count(
+                d.select(
+                    (F.col("doc_id") % 500).alias("s1"),
+                    ((F.col("doc_id") * 7 + 3) % 500).alias("s2"),
+                ),
+                "s1", "s2",
+            )
+        ),
+        "degree_spectrum": lambda d, e: run_count(
+            fb.degree_spectrum(
+                d.select(
+                    (F.col("doc_id") % 500).alias("s1"),
+                    ((F.col("doc_id") * 7 + 3) % 500).alias("s2"),
+                ),
+                "s1", "s2",
+            )
+        ),
         # doc_id ranges as intervals keyed by source: typical-width spans
         "interval_join": lambda d, e: run_count(
             fb.interval_join(
