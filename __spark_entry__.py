@@ -3706,6 +3706,41 @@ def q_json_extraction(spark, sf_dir):
     )
 
 
+def q_conversion_rate(spark, sf_dir):
+    """Time-bound conversion rates (composition over the conversion_lag
+    base): of users whose first view precedes a purchase, what share
+    converted within 1h / 1d / 7d — exact ppm ladders from one
+    conditional-min groupBy. The bounded-funnel summary conversion_lag's
+    percentiles complement."""
+    ev = _load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("ta"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tb"
+        ),
+    )
+    lags = firsts.filter(
+        F.col("ta").isNotNull()
+        & F.col("tb").isNotNull()
+        & (F.col("tb") >= F.col("ta"))
+    ).select((F.col("tb") - F.col("ta")).cast("bigint").alias("lag"))
+    hour, day = 3_600_000_000_000, 86_400_000_000_000
+    return lags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converting"),
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN lag <= {b} THEN 1 ELSE 0 END) "
+                f"* CAST(1000000 AS BIGINT) div count(1) AS BIGINT)"
+            ).alias(name)
+            for name, b in [
+                ("within_1h_ppm", hour),
+                ("within_1d_ppm", day),
+                ("within_7d_ppm", 7 * day),
+            ]
+        ],
+    )
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-scores (operators/curation.py standardize): document
     length standardized within each language — decimal-exact per-group
@@ -4042,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_percentiles": q_gap_percentiles,
         "rolling_median": q_rolling_median,
         "json_extraction": q_json_extraction,
+        "conversion_rate": q_conversion_rate,
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
         "subtotals_rollup": q_subtotals_rollup,
@@ -6884,6 +6920,23 @@ SELECT event_type,
        CAST(MAX(k) AS BIGINT) AS max_k,
        CAST(SUM(k) AS BIGINT) AS sum_k
 FROM p GROUP BY 1 ORDER BY event_type
+""",
+        "conversion_rate": """
+WITH f AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS ta,
+    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS tb
+  FROM events GROUP BY 1),
+l AS (SELECT CAST(tb - ta AS BIGINT) AS lag
+      FROM f WHERE ta IS NOT NULL AND tb IS NOT NULL AND tb >= ta)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converting,
+  CAST(SUM(CASE WHEN lag <= 3600000000000 THEN 1 ELSE 0 END)
+       * 1000000 // COUNT(*) AS BIGINT) AS within_1h_ppm,
+  CAST(SUM(CASE WHEN lag <= 86400000000000 THEN 1 ELSE 0 END)
+       * 1000000 // COUNT(*) AS BIGINT) AS within_1d_ppm,
+  CAST(SUM(CASE WHEN lag <= 604800000000000 THEN 1 ELSE 0 END)
+       * 1000000 // COUNT(*) AS BIGINT) AS within_7d_ppm
+FROM l
 """,
         # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
         # recall a deterministic function of the data — int8 @ shortlist=20
