@@ -3557,21 +3557,14 @@ def q_triangle_count(spark, sf_dir):
     wedge join — every node's out-degree is O(sqrt m) regardless of hub
     skew — two hash equi-joins, all-BIGINT. Oracle replays the count with
     a canonical a<b<c three-way join."""
-    from flatbread_spark.operators.graph import triangle_count
+    from flatbread_spark.operators.graph import (
+        bipartite_project,
+        triangle_count,
+    )
 
     li = _load(spark, sf_dir, "lineitem")
-    sl = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a = sl.select("o", F.col("s").alias("s1"))
-    b = sl.select("o", F.col("s").alias("s2"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("s1") < F.col("s2"))
-        .select("s1", "s2")
-        .distinct()
-    )
-    return triangle_count(edges, "s1", "s2")
+    edges = bipartite_project(li, "l_orderkey", "l_suppkey")
+    return triangle_count(edges, "entity_a", "entity_b")
 
 
 def q_sample_exact_group(spark, sf_dir):
@@ -3619,21 +3612,14 @@ def q_degree_spectrum(spark, sf_dir):
     (operators/graph.py degree_spectrum): power-of-2 buckets via integer
     bit-length — the hub diagnostic that predicts chain-collapse risk
     before any dedup/clustering run."""
-    from flatbread_spark.operators.graph import degree_spectrum
+    from flatbread_spark.operators.graph import (
+        bipartite_project,
+        degree_spectrum,
+    )
 
     li = _load(spark, sf_dir, "lineitem")
-    sl = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a = sl.select("o", F.col("s").alias("s1"))
-    b = sl.select("o", F.col("s").alias("s2"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("s1") < F.col("s2"))
-        .select("s1", "s2")
-        .distinct()
-    )
-    return degree_spectrum(edges, "s1", "s2").orderBy("bucket_lo")
+    edges = bipartite_project(li, "l_orderkey", "l_suppkey")
+    return degree_spectrum(edges, "entity_a", "entity_b").orderBy("bucket_lo")
 
 
 def q_gap_percentiles(spark, sf_dir):

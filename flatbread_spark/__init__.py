@@ -88,6 +88,7 @@ from flatbread_spark.operators.bloom import (  # noqa: E402
 from flatbread_spark.operators.chunking import chunk_windows  # noqa: E402
 from flatbread_spark.operators.classifier import score_hashed_linear  # noqa: E402
 from flatbread_spark.operators.graph import (  # noqa: E402
+    bipartite_project,
     connected_components,
     degree_spectrum,
     triangle_count,
@@ -260,5 +261,6 @@ __all__ = [
     "ks_drift", "sample_exact_n", "group_weighted_percentiles",
     "vector_audit", "k_anonymity", "triangle_count",
     "sample_exact_n_per_group", "degree_spectrum", "rolling_median",
+    "bipartite_project",
     "canonical_url", "registered_domain", "dedup_by_url",
 ]

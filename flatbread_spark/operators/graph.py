@@ -437,3 +437,45 @@ def degree_spectrum(
         .withColumn("bucket_hi", (F.col("bucket_lo") * 2).cast("bigint"))
         .select("bucket_lo", "bucket_hi", "n_nodes", "n_edge_endpoints")
     )
+
+
+def bipartite_project(
+    df: DataFrame,
+    key_col: str,
+    entity_col: str,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Project a bipartite (key, entity) relation onto entity-pair edges:
+    two entities are connected iff they share at least ``min_shared``
+    keys — suppliers sharing orders, documents sharing duplicated chunks,
+    users sharing sessions. The standard graph-construction step feeding
+    :func:`triangle_count` / :func:`degree_spectrum` /
+    :func:`connected_components`.
+
+    Scale shape: the self-join is keyed on ``key_col``, so candidate
+    pairs are generated per key — cost is Σ C(entities-per-key, 2),
+    bounded by the fan-out of the busiest key, NOT all-pairs of entities.
+    A key shared by a huge entity set is the classic blow-up (a mega
+    order, a boilerplate chunk in every doc): cap or drop such keys
+    upstream (the ``chunk_overlap`` distinct-before-join discipline) when
+    the fan-out distribution is heavy. Edges are canonical (a < b) with
+    the shared-key count as weight.
+
+    Returns ``(entity_a, entity_b, n_shared)``.
+    """
+    if min_shared < 1:
+        raise ValueError("bipartite_project requires min_shared >= 1")
+    base = df.select(
+        F.col(key_col).alias("__k"), F.col(entity_col).alias("__e")
+    ).distinct()
+    a = base.select("__k", F.col("__e").alias("entity_a"))
+    b = base.select("__k", F.col("__e").alias("entity_b"))
+    out = (
+        a.join(b, "__k")
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    if min_shared > 1:
+        out = out.filter(F.col("n_shared") >= min_shared)
+    return out

@@ -161,3 +161,42 @@ class TestDegreeSpectrum:
         rows = degree_spectrum(df, "s", "d").collect()
         n_edges = len({tuple(sorted(e)) for e in E})
         assert sum(r["n_edge_endpoints"] for r in rows) == 2 * n_edges
+
+
+# ------------------------------------------------------------ bipartite_project
+class TestBipartiteProject:
+    def test_shared_key_counts(self, spark):
+        from flatbread_spark.operators.graph import bipartite_project
+
+        rows = [  # key, entity
+            (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"),
+            (3, "x"),
+            (4, "a"), (4, "a"),          # duplicate membership collapses
+        ]
+        df = spark.createDataFrame(rows, "k bigint, e string")
+        got = {
+            (r["entity_a"], r["entity_b"]): r["n_shared"]
+            for r in bipartite_project(df, "k", "e").collect()
+        }
+        assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+    def test_min_shared_filters(self, spark):
+        from flatbread_spark.operators.graph import bipartite_project
+
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+        df = spark.createDataFrame(rows, "k bigint, e string")
+        got = {
+            (r["entity_a"], r["entity_b"])
+            for r in bipartite_project(df, "k", "e", min_shared=2).collect()
+        }
+        assert got == {("a", "b")}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from flatbread_spark.operators.graph import bipartite_project
+
+        df = spark.createDataFrame([(1, "a")], "k bigint, e string")
+        with _pytest.raises(ValueError):
+            bipartite_project(df, "k", "e", min_shared=0)
