@@ -6750,7 +6750,11 @@ rt AS (SELECT CAST(SUM(rn) AS HUGEINT) AS R FROM r),
 wt AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_window FROM b GROUP BY 1),
 g AS (SELECT wt.bucket, wt.n_window, r.rn, COALESCE(b.n, 0) AS n
       FROM wt CROSS JOIN r
-      LEFT JOIN b ON b.bucket = wt.bucket AND b.cat = r.cat),
+      LEFT JOIN b ON b.bucket = wt.bucket AND b.cat = r.cat
+      UNION ALL
+      SELECT b.bucket, wt.n_window, CAST(0 AS BIGINT) AS rn, b.n
+      FROM b JOIN wt ON wt.bucket = b.bucket
+      WHERE b.cat NOT IN (SELECT cat FROM r)),
 d AS (SELECT bucket, MAX(n_window) AS n_window,
         SUM(abs(CAST(n AS HUGEINT) * (SELECT R FROM rt)
                 - CAST(rn AS HUGEINT) * n_window)) AS G

@@ -159,20 +159,25 @@ def dedup_by_url(
     """
     canon = canonical_url(F.col(url_col)).alias(out_url)
     slim = df.select(canon, F.col(id_col), F.col(quality_col))
-    # max over (quality, -id): fieldwise struct compare = quality desc
-    # winner with the smallest id breaking ties
-    packed = F.struct(
-        F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid")
+    # min_by over (-quality, id): fieldwise struct compare = quality desc
+    # winner with the smallest id breaking ties. Only QUALITY is negated
+    # (a score, numeric by contract); the id is compared with its native
+    # ordering, so string doc ids — common in URL corpora — work too.
+    key = F.struct(
+        (-F.col(quality_col)).alias("nq"), F.col(id_col).alias("i")
+    )
+    payload = F.struct(
+        F.col(id_col).alias("i"), F.col(quality_col).alias("q")
     )
     return (
         slim.groupBy(out_url)
         .agg(
-            F.max(packed).alias("__w"),
+            F.min_by(payload, key).alias("__w"),
             F.count(F.lit(1)).cast("bigint").alias("n_dups"),
         )
         .select(
             out_url,
-            (-F.col("__w.nid")).alias(id_col),
+            F.col("__w.i").alias(id_col),
             F.col("__w.q").alias(quality_col),
             "n_dups",
         )

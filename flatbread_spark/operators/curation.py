@@ -197,14 +197,23 @@ def label_vote(
     - ``agreement_ppm``    floor(n_winner · 1e6 / n_votes) — BIGINT, exact
     - ``n_labels``         distinct labels voted for the item
 
+    Unweighted votes count as exact BIGINTs. A ``weight_col`` (rater or
+    model confidence, often fractional like 0.7) accumulates as
+    DECIMAL(38,6) — the repo's exact-sum discipline — so fractional
+    weights are neither truncated nor float-drifted; ``n_votes`` /
+    ``n_winner`` are then DECIMAL(38,6) instead of BIGINT.
+
     Scale: one (item, label) groupBy — map-side combining, so a
     million-vote item reduces before the exchange — then a per-item window
     and a per-item aggregate, all partitioned on the SAME item hash (AQE
     reuses the exchange). State per item is its distinct-label set, never
     its vote list.
     """
+    # weighted: DECIMAL(38,6) exact sums (0.7 must not truncate to 0);
+    # unweighted: plain BIGINT counting
+    count_type = "decimal(38,6)" if weight_col is not None else "bigint"
     w = (
-        F.col(weight_col).cast("long")
+        F.col(weight_col).cast(count_type)
         if weight_col is not None
         else F.lit(1).cast("long")
     )
@@ -221,17 +230,17 @@ def label_vote(
     per_item = Window.partitionBy(item_col)
     return (
         votes.withColumn("__rn", F.row_number().over(rk))
-        .withColumn("n_votes", F.sum("__n").over(per_item).cast("bigint"))
+        .withColumn("n_votes", F.sum("__n").over(per_item).cast(count_type))
         .withColumn("n_labels", F.count(F.lit(1)).over(per_item).cast("bigint"))
         .filter(F.col("__rn") == 1)
         .select(
             item_col,
             F.col(label_col).alias("label"),
             "n_votes",
-            F.col("__n").cast("bigint").alias("n_winner"),
-            F.expr("(__n * CAST(1000000 AS BIGINT)) div n_votes").alias(
-                "agreement_ppm"
-            ),
+            F.col("__n").cast(count_type).alias("n_winner"),
+            F.expr(
+                "CAST((__n * CAST(1000000 AS BIGINT)) div n_votes AS BIGINT)"
+            ).alias("agreement_ppm"),
             "n_labels",
         )
     )

@@ -458,7 +458,12 @@ def quantile_bucketize(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     order = F.col(order_col) if isinstance(order_col, str) else order_col
-    ranked = scalable_pos(df, [order, F.col(key_col)], out_col="__qpos")
+    ranked = scalable_pos(
+        df,
+        [order, F.col(key_col)],
+        out_col="__qpos",
+        num_partitions=num_partitions,
+    )
     totals = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__qn")))
     return (
         ranked.crossJoin(totals)

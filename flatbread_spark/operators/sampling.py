@@ -396,8 +396,11 @@ def fps_select(
         chosen.append((rank, row["__id"], int(row["__d"])))
         last_codes = row["__c"]
 
+    # result id field keeps the INPUT id type — nothing in the algorithm
+    # needs integer ids (string doc ids are common in web corpora)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.sparkSession.createDataFrame(
-        chosen, f"rank bigint, {id_col} bigint, min_dist bigint"
+        chosen, f"rank bigint, {id_col} {id_type}, min_dist bigint"
     )
 
 

@@ -55,10 +55,14 @@ def drift_from_counts(
     (``(cat, n)`` — e.g. the whole-corpus mix, or last week's) with the exact
     integer TVD: ``tvd_ppm = Σ_c |n_w(c)·R − r(c)·N_w| · 1e6 div
     (2·N_w·R)``. Pure batch count-table algebra over the drained
-    ``(bucket, cat, n)`` table: the window×category grid comes from a
-    broadcast cross of the (tiny) reference with per-window totals, so
-    categories missing from a window count as zeros — the classic
-    false-negative in mix monitors.
+    ``(bucket, cat, n)`` table: the window×category grid covers the UNION
+    of reference and window categories (mirroring the batch sibling
+    ``operators/trend.tvd_drift``'s full-outer join) — categories missing
+    from a window count as zeros AND categories absent from the reference
+    still contribute their full window mass. The latter is exactly the
+    "crawler starts returning 90% errors" scenario this monitor exists
+    for: a reference-only grid would silently drop the novel category's
+    mass and underreport drift by up to 2×.
 
     Returns ``(bucket, n_window, tvd_ppm)`` — one row per window.
     """
@@ -77,7 +81,8 @@ def drift_from_counts(
         F.col("cat").alias("__c"),
         F.col("n").cast("bigint").alias("n"),
     )
-    grid = (
+    # reference block: every window × every reference category, zero-filled
+    ref_grid = (
         wtot.crossJoin(F.broadcast(ref))
         .join(
             cts,
@@ -89,6 +94,21 @@ def drift_from_counts(
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
         )
     )
+    # novel block: window categories with NO reference row (rn = 0) — a
+    # broadcast anti-join against the tiny reference, then the per-window
+    # total reattached (wtot is bounded by the watermark horizon)
+    novel = (
+        cts.join(F.broadcast(ref), cts["__c"] == ref["cat"], "left_anti")
+        .join(wtot, F.col("__b") == F.col("bucket"), "inner")
+        .select(
+            "bucket",
+            F.col("__c").alias("cat"),
+            F.lit(0).cast("bigint").alias("rn"),
+            "n_window",
+            "n",
+        )
+    )
+    grid = ref_grid.unionByName(novel)
     dec = "decimal(38,0)"
     gap = F.expr(
         f"abs(CAST(n AS {dec}) * CAST(R AS {dec}) "

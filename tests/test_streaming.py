@@ -409,6 +409,32 @@ def test_stream_mix_drift_matches_python(spark, events, tmp_path):
     expect = {}
     for w, c in per_w.items():
         Nw = sum(c.values())
-        G = sum(abs(c[k] * R - ref[k] * Nw) for k in ref)
+        G = sum(abs(c[k] * R - ref[k] * Nw) for k in set(ref) | set(c))
         expect[w] = (Nw, G * 1_000_000 // (2 * Nw * R))
     assert got == expect
+
+
+def test_drift_counts_novel_category_matches_batch(spark):
+    """A window category ABSENT from the reference must still contribute
+    its mass to the TVD (the 'crawler starts returning 90% errors' case):
+    ref={A:100}, window={A:10, B:90} ⇒ TVD = ½(|0.1−1.0| + |0.9−0.0|)
+    = 0.9 ⇒ 900000 ppm — and must equal the batch sibling tvd_drift."""
+    from flatbread_spark.operators.trend import tvd_drift
+    from flatbread_spark.streaming.drift import drift_from_counts
+
+    counts = spark.createDataFrame(
+        [(1, "A", 10), (1, "B", 90)], "bucket bigint, cat string, n bigint"
+    )
+    reference = spark.createDataFrame(
+        [("A", 100)], "cat string, n bigint"
+    )
+    row = drift_from_counts(counts, reference).collect()[0]
+    assert (row["bucket"], row["n_window"], row["tvd_ppm"]) == (1, 100, 900000)
+
+    # batch cross-check: expand both count tables into row-per-event frames
+    win_rows = spark.createDataFrame(
+        [("A",)] * 10 + [("B",)] * 90, "c string"
+    )
+    ref_rows = spark.createDataFrame([("A",)] * 100, "c string")
+    batch = tvd_drift(ref_rows, win_rows, "c").collect()[0]
+    assert batch["tvd_ppm"] == row["tvd_ppm"] == 900000
