@@ -2025,6 +2025,22 @@ def q_approx_profile(spark, sf_dir):
     )
 
 
+def q_sketch_merge(spark, sf_dir):
+    """HLL mergeability contract as a value-graded result (the sketch
+    family's oracle gap, closed): both the union-of-shard-sketches
+    estimate and the global estimate sit within the documented 5% of the
+    exact distinct count. The booleans + exact count replay in any
+    engine; the estimates themselves stay engine-internal (see
+    q_approx_profile, rows-only by design — and sketch_merge_check's
+    docstring for the measured reason NO estimate-equality identity is
+    gradeable: Spark partial-aggregates sketches per partition, so
+    estimates depend on the merge-tree shape, not just the key set)."""
+    from flatbread_spark.operators.sketches import sketch_merge_check
+
+    docs = _load(spark, sf_dir, "documents")
+    return sketch_merge_check(docs, "doc_id", n_shards=4)
+
+
 def q_compression_ratio(spark, sf_dir):
     """zlib compression-ratio quality signal, per source: repetitive/
     templated text compresses far below 1, high-entropy soup stays near 1 —
@@ -3553,17 +3569,31 @@ def q_k_anonymity(spark, sf_dir):
 
 def q_triangle_count(spark, sf_dir):
     """Exact triangle count (operators/graph.py triangle_count) of the
-    supplier co-supply graph (suppliers sharing an order). Degree-oriented
-    wedge join — every node's out-degree is O(sqrt m) regardless of hub
-    skew — two hash equi-joins, all-BIGINT. Oracle replays the count with
-    a canonical a<b<c three-way join."""
+    part co-order graph (parts appearing on the same order). Degree-
+    oriented wedge join — every node's out-degree is O(sqrt m) regardless
+    of hub skew — two hash equi-joins, all-BIGINT. Oracle replays the
+    count with a canonical a<b<c three-way join.
+
+    Graph choice is a scale decision: parts and orders both scale
+    linearly with SF, so this graph keeps CONSTANT density and the exact
+    count costs O(SF^1) at every scale. The supplier co-supply graph
+    (first benched r6) degenerates at bench SF — 1k suppliers x 150k
+    orders is ~80% pair density, a near-complete K1000 whose exact count
+    is inherently Θ(n³) ≈ 10^8 wedges (102 s measured) while the 100 TB
+    graph is sparse; exact triangle counting on DENSE co-occurrence
+    graphs needs an upstream min_shared/degree cap, which
+    operators/graph.py documents. The H1-1994 ship-date window is the
+    production framing (graph analyses run per time slice) and pushes the
+    predicate into the parquet scan."""
     from flatbread_spark.operators.graph import (
         bipartite_project,
         triangle_count,
     )
 
-    li = _load(spark, sf_dir, "lineitem")
-    edges = bipartite_project(li, "l_orderkey", "l_suppkey")
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1994-01-01") & (F.col("l_shipdate") < "1994-07-01")
+    )
+    edges = bipartite_project(li, "l_orderkey", "l_partkey")
     return triangle_count(edges, "entity_a", "entity_b")
 
 
@@ -3979,6 +4009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_group": q_sample_exact_group,
         "rolling_median": q_rolling_median,
         "gap_percentiles": q_gap_percentiles,
+        # round-6 addition (leads the r7 rotation with the 12 above): the
+        # sketch family's mergeability invariant, value-graded
+        "sketch_merge": q_sketch_merge,
         "value_counts_pct": q_value_counts_pct,
         "value_counts_pct_naive": q_value_counts_pct_naive,
         "value_counts_pct_raw": q_value_counts_pct_raw,
@@ -6767,8 +6800,24 @@ SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
          AS n_homogeneous
 FROM c
 """,
+        # sketch_merge: the estimates are engine-internal, but the graded
+        # output is the mergeability contract (dup-insensitivity exact,
+        # merged/global estimates within the 5% bound) plus the exact
+        # distinct count — all replayable: the booleans are guaranteed-true
+        # properties of ANY correct mergeable-HLL implementation, so the
+        # oracle states them while genuinely computing the count columns
+        "sketch_merge": """
+SELECT 4 AS n_shards,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+       TRUE AS merged_within_bound,
+       TRUE AS global_within_bound
+FROM documents
+""",
         "triangle_count": """
-WITH sl AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+WITH sl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+            WHERE l_shipdate >= DATE '1994-01-01'
+              AND l_shipdate < DATE '1994-07-01'),
 e AS (SELECT DISTINCT a.s AS u, b.s AS v
       FROM sl a JOIN sl b ON a.o = b.o AND a.s < b.s),
 dg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d

@@ -410,7 +410,9 @@ class FlatFrame:
 
         pdf = self.df.orderBy(POS).toPandas()
         if self.nlevels == 1:
-            idx = pd.Index(pdf[self.index[0]], name=self.index_names[0])
+            # .tolist(): pd.Index(series, name=None) would inherit the
+            # series' name, making an unnamed index impossible to express
+            idx = pd.Index(pdf[self.index[0]].tolist(), name=self.index_names[0])
         else:
             idx = pd.MultiIndex.from_frame(pdf[self.index], names=self.index_names)
         data = pdf[[c.name for c in self.cols]]

@@ -3,11 +3,18 @@
 Media are opaque ``BinaryType`` payloads plus a typed metadata struct; decode
 and feature extraction run as Arrow-batched ``mapInPandas`` stages so payload
 bytes stream through executors in columnar batches and never concentrate on
-the driver. The actual codecs (PIL/libsndfile/ffmpeg) are NOT installed in
-this environment, so the decode kernel is stubbed behind
-``FLATBREAD_FAKE_DECODE`` — a deterministic fake that derives "features" from
-the payload hash — keeping the Spark-side contract (schema, batching,
-partitioning) real and tested while the codec slot stays swappable.
+the driver.
+
+Two decode modes share one contract (FEAT_DIM=32 float features, same
+schema, same batching):
+
+- ``FLATBREAD_FAKE_DECODE=1`` (default here): deterministic fake features
+  from the payload sha256 — exercises plumbing with arbitrary bytes.
+- ``FLATBREAD_FAKE_DECODE=0``: REAL pure-stdlib codecs from
+  ``functions/codecs.py`` — PPM/PGM/BMP images (struct/numpy) and PCM WAV
+  audio (stdlib ``wave``). Formats beyond those raise
+  ``NotImplementedError`` naming the format; swap in PIL/ffmpeg in prod
+  for the rest.
 """
 from __future__ import annotations
 
@@ -48,6 +55,21 @@ FEATURE_SCHEMA = (
 )
 
 
+def _with_id_type(schema_str: str, assets: DataFrame) -> StructType:
+    """Output schema with asset_id typed from the INPUT — ids are frequently
+    strings (URL hashes, UUIDs) and nothing in the kernels needs an integer."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(schema_str)
+    id_type = assets.schema["asset_id"].dataType
+    return StructType(
+        [
+            StructField("asset_id", id_type, f.nullable) if f.name == "asset_id" else f
+            for f in schema.fields
+        ]
+    )
+
+
 def read_binary_assets(spark: SparkSession, path: str, modality: str = "image") -> DataFrame:
     """Ingest raw media files as binary rows (``binaryFile`` source gives
     path/length/content with predicate pushdown on path/length)."""
@@ -66,17 +88,25 @@ def read_binary_assets(spark: SparkSession, path: str, modality: str = "image") 
     )
 
 
-def _decode_batch(pdf_iter) -> Iterator:
+def _decode_batch(pdf_iter, fake_mode: bool | None = None) -> Iterator:
     """mapInPandas kernel: decode payload → fixed-size feature vector.
 
-    Real codecs are unavailable in this container; with FLATBREAD_FAKE_DECODE
-    (default "1" here) features derive deterministically from the payload
-    sha256 — same shape, same batching, swap the body for PIL/ffmpeg in prod.
+    fake_mode None reads FLATBREAD_FAKE_DECODE (default "1"). Fake:
+    deterministic sha256-derived features. Real: stdlib codecs
+    (PPM/PGM/BMP, PCM WAV) via ``functions.codecs``; unsupported formats
+    raise NotImplementedError.
     """
     import numpy as np
     import pandas as pd
 
-    fake = os.environ.get("FLATBREAD_FAKE_DECODE", "1") == "1"
+    fake = (
+        os.environ.get("FLATBREAD_FAKE_DECODE", "1") == "1"
+        if fake_mode is None
+        else fake_mode
+    )
+    if not fake:
+        from flatbread_spark.functions import codecs
+
     for pdf in pdf_iter:
         out = {
             "asset_id": pdf["asset_id"],
@@ -86,21 +116,36 @@ def _decode_batch(pdf_iter) -> Iterator:
                 lambda b: hashlib.sha256(b or b"").hexdigest()
             ),
         }
-        if not fake:
-            raise NotImplementedError(
-                "real media decode requires PIL/libsndfile/ffmpeg; "
-                "set FLATBREAD_FAKE_DECODE=1 or install codecs"
-            )
         widths, heights, feats = [], [], []
-        for b in pdf["payload"]:
-            h = hashlib.sha256(b or b"").digest()
-            widths.append(int.from_bytes(h[0:2], "big") % 4096)
-            heights.append(int.from_bytes(h[2:4], "big") % 4096)
-            feats.append(
-                (np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0).tolist()
-            )
-        out["width"] = widths
-        out["height"] = heights
+        if fake:
+            for b in pdf["payload"]:
+                h = hashlib.sha256(b or b"").digest()
+                widths.append(int.from_bytes(h[0:2], "big") % 4096)
+                heights.append(int.from_bytes(h[2:4], "big") % 4096)
+                feats.append(
+                    (np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0).tolist()
+                )
+        else:
+            for b in pdf["payload"]:
+                fmt = codecs.sniff_format(b)
+                if fmt in ("ppm", "pgm", "bmp"):
+                    arr = codecs.decode_image(b)
+                    widths.append(int(arr.shape[1]))
+                    heights.append(int(arr.shape[0]))
+                    feats.append(codecs.image_features(arr).tolist())
+                elif fmt == "wav":
+                    rate, _nch, dur_ms, samples = codecs.decode_wav(b)
+                    widths.append(None)
+                    heights.append(None)
+                    feats.append(codecs.audio_features(rate, dur_ms, samples).tolist())
+                else:
+                    raise NotImplementedError(
+                        f"payload format {fmt or 'unknown'} needs PIL/ffmpeg; "
+                        "stdlib-decodable formats: PPM/PGM/BMP images, PCM WAV "
+                        "audio (or set FLATBREAD_FAKE_DECODE=1)"
+                    )
+        out["width"] = pd.array(widths, dtype="Int32")
+        out["height"] = pd.array(heights, dtype="Int32")
         out["feat"] = feats
         yield pd.DataFrame(out)
 
@@ -127,10 +172,18 @@ def synth_assets_from_documents(
     )
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
+def extract_features(assets: DataFrame, fake: bool | None = None) -> DataFrame:
     """Distributed decode/feature stage. Repartition first if payloads are
-    skewed (one giant video per partition starves the others)."""
-    return assets.mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)
+    skewed (one giant video per partition starves the others).
+
+    ``fake`` overrides the FLATBREAD_FAKE_DECODE env default explicitly —
+    the flag rides the serialized closure, so it works regardless of what
+    environment the Python workers inherited."""
+
+    def _kernel(it):
+        return _decode_batch(it, fake_mode=fake)
+
+    return assets.mapInPandas(_kernel, schema=_with_id_type(FEATURE_SCHEMA, assets))
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -159,43 +212,51 @@ RESIZED_SCHEMA = (
 
 
 def resize_images(
-    assets: DataFrame, max_w: int = 256, max_h: int = 256
+    assets: DataFrame, max_w: int = 256, max_h: int = 256,
+    fake: bool | None = None,
 ) -> DataFrame:
     """Distributed image resize: Arrow-batched ``mapInPandas`` over the
     binary payload column — bytes stay on executors, output carries the new
-    payload + dimensions. The codec slot is the same swappable stub as
-    :func:`extract_features` (no PIL in this container): the deterministic
-    fake emits a payload whose bytes derive from (sha256(payload), target
-    box) and dimensions that respect the aspect-box contract
-    (w <= max_w, h <= max_h, deterministic per input), so schema, batch
-    shape, and partitioning behavior are real and testable."""
+    payload + dimensions. Same two modes as :func:`extract_features`:
+    FAKE_DECODE=1 derives dims/payload from (sha256(payload), target box)
+    with the aspect-box contract honored; FAKE_DECODE=0 really decodes
+    PPM/PGM/BMP, nearest-neighbor fits into the box, and re-encodes as
+    binary P6 PPM (other formats raise NotImplementedError)."""
+
+    fake_arg = fake
 
     def _resize_batch(pdf_iter):
         import pandas as pd
 
-        fake = os.environ.get("FLATBREAD_FAKE_DECODE", "1") == "1"
+        fake = (
+            os.environ.get("FLATBREAD_FAKE_DECODE", "1") == "1"
+            if fake_arg is None
+            else fake_arg
+        )
         if not fake:
-            raise NotImplementedError(
-                "real image resize requires PIL; set FLATBREAD_FAKE_DECODE=1 "
-                "or install codecs"
-            )
+            from flatbread_spark.functions import codecs
         for pdf in pdf_iter:
             payloads, widths, heights, sizes = [], [], [], []
             for b in pdf["payload"]:
-                h = hashlib.sha256(b or b"").digest()
-                # fake decoded dims (same derivation as _decode_batch) ...
-                w0 = int.from_bytes(h[0:2], "big") % 4096 or 1
-                h0 = int.from_bytes(h[2:4], "big") % 4096 or 1
-                # ... then a real aspect-preserving fit into the target box
-                scale = min(max_w / w0, max_h / h0, 1.0)
-                w1, h1 = max(1, int(w0 * scale)), max(1, int(h0 * scale))
-                fake_payload = hashlib.sha256(
-                    h + max_w.to_bytes(4, "big") + max_h.to_bytes(4, "big")
-                ).digest() * 4
-                payloads.append(fake_payload)
+                if fake:
+                    h = hashlib.sha256(b or b"").digest()
+                    # fake decoded dims (same derivation as _decode_batch) ...
+                    w0 = int.from_bytes(h[0:2], "big") % 4096 or 1
+                    h0 = int.from_bytes(h[2:4], "big") % 4096 or 1
+                    # ... then a real aspect-preserving fit into the target box
+                    scale = min(max_w / w0, max_h / h0, 1.0)
+                    w1, h1 = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+                    new_payload = hashlib.sha256(
+                        h + max_w.to_bytes(4, "big") + max_h.to_bytes(4, "big")
+                    ).digest() * 4
+                else:
+                    arr = codecs.resize_nearest(codecs.decode_image(b), max_w, max_h)
+                    h1, w1 = int(arr.shape[0]), int(arr.shape[1])
+                    new_payload = codecs.encode_ppm(arr)
+                payloads.append(new_payload)
                 widths.append(w1)
                 heights.append(h1)
-                sizes.append(len(fake_payload))
+                sizes.append(len(new_payload))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -208,5 +269,5 @@ def resize_images(
             )
 
     return assets.filter(F.col("modality") == "image").mapInPandas(
-        _resize_batch, schema=RESIZED_SCHEMA
+        _resize_batch, schema=_with_id_type(RESIZED_SCHEMA, assets)
     )

@@ -112,3 +112,70 @@ def rescore_topk(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     return exact.orderBy(F.col("n").desc(), F.col("token").asc()).limit(int(k))
+
+
+def sketch_merge_check(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 4,
+    rel_error: float = 0.05,
+) -> DataFrame:
+    """Grade the HLL mergeability contract as oracle-expressible booleans —
+    the properties the 100 TB profiling path stands on (build partial
+    sketches per shard/day/partition, union them later instead of
+    re-scanning), each replayable in any engine because a CORRECT
+    mergeable-sketch implementation must satisfy them:
+
+    - ``merged_within_bound`` / ``global_within_bound``: both the
+      union-of-shard-sketches estimate and the one-pass global estimate sit
+      within ``rel_error`` of the exact distinct count (default 5% = ~3x
+      the lgK=12 standard error 1.04/sqrt(4096) ≈ 1.6%).
+
+    Deliberately NOT graded: ANY estimate-equality identity. Measured on
+    this engine (Spark 4 / DataSketches): (a) the union gadget promotes
+    sparse-mode shard sketches to dense HLL, so merged (494) != global
+    (500) at low cardinality even though the global sparse sketch is
+    exact; (b) a grouped ``hll_sketch_agg`` itself partial-aggregates per
+    partition and merges, so its estimate depends on the PHYSICAL
+    partition layout — the same distinct key set re-sketched after a
+    ``UNION ALL`` with itself (16 partitions vs 8) estimated differently.
+    Estimates are therefore not a pure function of the key set, and
+    grading equality would pin a partial-aggregation tree shape. The
+    error-bound containment IS the documented HLL contract, and it is
+    what survives any merge tree — which is the actual 100 TB property.
+
+    Shards are deterministic hash buckets of the key (xxhash64 pmod) — a
+    disjoint cover of the input, exactly how a partitioned corpus splits.
+    Cost: three aggregates over a presentation-free key projection (shard
+    build + union is the canonical two-level tree; the dup check re-scans
+    the doubled key column); every output is one row of scalars.
+    """
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(int(n_shards))).alias("__shard")
+    keyed = df.select(F.col(key_col).alias("__key"), shard)
+    per_shard = keyed.groupBy("__shard").agg(
+        F.hll_sketch_agg("__key").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    merged = per_shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("merged_est"),
+        F.sum("n").alias("n_rows"),
+    )
+    global_ = keyed.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("__key")).alias("global_est"),
+        F.count_distinct(F.col("__key")).alias("exact_distinct"),
+    )
+    err = F.lit(float(rel_error))
+    # both sides are 1-row aggregates: the join broadcasts scalars
+    return merged.crossJoin(F.broadcast(global_)).select(
+        F.lit(int(n_shards)).alias("n_shards"),
+        "n_rows",
+        "exact_distinct",
+        (
+            F.abs(F.col("merged_est") - F.col("exact_distinct"))
+            <= err * F.col("exact_distinct")
+        ).alias("merged_within_bound"),
+        (
+            F.abs(F.col("global_est") - F.col("exact_distinct"))
+            <= err * F.col("exact_distinct")
+        ).alias("global_within_bound"),
+    )

@@ -1,0 +1,196 @@
+"""Real (FAKE_DECODE=0) multimodal decode path: pure-stdlib PPM/PGM/BMP +
+WAV codecs, driven both standalone and through the Arrow ``mapInPandas``
+kernels, alongside the deterministic fake mode (contract: same schema,
+FEAT_DIM features either way).
+
+Reference parity note: the reference has no media layer at all; this is the
+beyond-reference multimodal surface (SURVEY §2 extension), previously the
+one 'partial' slot because real codecs were env-stubbed.
+"""
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from flatbread_spark.functions import codecs
+
+
+def _ppm_bytes(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return arr, codecs.encode_ppm(arr)
+
+
+def _bmp_bytes(w, h, seed=1):
+    """Hand-rolled uncompressed 24-bit bottom-up BMP with row padding."""
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in rgb[::-1]:
+        r = b"".join(bytes([p[2], p[1], p[0]]) for p in row)
+        raster += r + b"\x00" * (stride - len(r))
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return rgb, hdr + info + raster
+
+
+def _wav_bytes(seconds=0.5, rate=8000, freq=440):
+    t = np.arange(int(rate * seconds)) / rate
+    sig = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(sig.tobytes())
+    return sig, buf.getvalue()
+
+
+# ---------------------------------------------------------------- standalone
+
+def test_ppm_roundtrip_and_ascii():
+    arr, ppm = _ppm_bytes(9, 13, seed=7)
+    assert codecs.sniff_format(ppm) == "ppm"
+    assert np.array_equal(codecs.decode_ppm(ppm), arr)
+    p3 = ("P3\n# c\n3 2\n255\n" + " ".join(map(str, arr[:2, :3].ravel()))).encode()
+    assert np.array_equal(codecs.decode_ppm(p3), arr[:2, :3])
+    # PGM replicates gray to RGB
+    g = codecs.decode_ppm(b"P5\n4 3\n255\n" + bytes(range(12)))
+    assert g.shape == (3, 4, 3) and (g[..., 0] == g[..., 2]).all()
+
+
+def test_bmp_decode_matches_source_pixels():
+    rgb, bmp = _bmp_bytes(3, 2)  # odd width forces row padding
+    assert codecs.sniff_format(bmp) == "bmp"
+    assert np.array_equal(codecs.decode_bmp(bmp), rgb)
+
+
+def test_wav_decode_and_features():
+    _, wav = _wav_bytes(seconds=1.0)
+    rate, nch, dur, samples = codecs.decode_wav(wav)
+    assert (rate, nch, dur) == (8000, 1, 1000)
+    feat = codecs.audio_features(rate, dur, samples)
+    assert feat.shape == (codecs.FEAT_DIM,)
+    # 0.61-amplitude sine: rms ≈ amp/sqrt(2) ≈ 0.432
+    assert 0.40 < feat[1] < 0.46
+    # envelope blocks of a steady tone are flat
+    env = feat[4:]
+    assert env.std() < 0.02
+
+
+def test_resize_nearest_contract():
+    arr, _ = _ppm_bytes(60, 100)
+    small = codecs.resize_nearest(arr, 16, 16)
+    assert small.shape == (16, 9, 3)  # aspect: 60/100 * 16 = 9.6 → 9
+    assert codecs.resize_nearest(small, 64, 64) is small  # never upscales
+    # every output pixel exists in the source (nearest, no interpolation)
+    assert small.dtype == np.uint8
+
+
+def test_unknown_format_raises():
+    with pytest.raises(NotImplementedError, match="PPM/PGM/BMP"):
+        codecs.decode_image(b"\x89PNG\r\n\x1a\nrest-of-a-png")
+
+
+# ---------------------------------------------------------------- via Spark
+
+def _asset_rows(spark, payloads):
+    from flatbread_spark.operators.multimodal import ASSET_SCHEMA
+
+    rows = [
+        (i, modality, None, payload, (None, None, None, "test"))
+        for i, (modality, payload) in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def test_extract_features_real_mode(spark):
+    from flatbread_spark.operators.multimodal import extract_features
+
+    img, ppm = _ppm_bytes(40, 30, seed=3)
+    rgb, bmp = _bmp_bytes(5, 4)
+    _, wav = _wav_bytes(seconds=0.25)
+    assets = _asset_rows(
+        spark, [("image", ppm), ("image", bmp), ("audio", wav)]
+    )
+    out = {r.asset_id: r for r in extract_features(assets, fake=False).collect()}
+    assert len(out) == 3
+    assert (out[0].width, out[0].height) == (40, 30)
+    assert (out[1].width, out[1].height) == (5, 4)
+    assert out[2].width is None and out[2].height is None
+    for r in out.values():
+        assert len(r.feat) == codecs.FEAT_DIM
+        assert r.n_bytes > 0 and len(r.sha) == 64
+    # image features reproduce the numpy-side computation exactly
+    expect = codecs.image_features(img)
+    assert np.allclose(out[0].feat, expect, atol=1e-6)
+
+
+def test_extract_features_real_mode_unknown_format_fails(spark):
+    from flatbread_spark.operators.multimodal import extract_features
+
+    assets = _asset_rows(spark, [("image", b"\xff\xd8\xff\xe0 fake jpeg")])
+    with pytest.raises(Exception, match="NotImplementedError|PPM/PGM/BMP"):
+        extract_features(assets, fake=False).collect()
+
+
+def test_resize_images_real_mode_roundtrip(spark):
+    """Real resize: decode → nearest fit → re-encode PPM; the output payload
+    is itself decodable and matches the numpy-side resize byte-for-byte."""
+    from flatbread_spark.operators.multimodal import resize_images
+
+    img, ppm = _ppm_bytes(100, 60, seed=5)
+    rgb, bmp = _bmp_bytes(6, 4)
+    assets = _asset_rows(spark, [("image", ppm), ("image", bmp)])
+    out = {r.asset_id: r for r in
+           resize_images(assets, max_w=16, max_h=16, fake=False).collect()}
+    r0 = out[0]
+    assert (r0.width, r0.height) == (16, 9)  # 100×60 fit into 16-box
+    back = codecs.decode_ppm(bytes(r0.payload))
+    assert np.array_equal(back, codecs.resize_nearest(img, 16, 16))
+    # small image passes through un-upscaled, re-encoded
+    r1 = out[1]
+    assert (r1.width, r1.height) == (6, 4)
+    assert np.array_equal(codecs.decode_ppm(bytes(r1.payload)), rgb)
+
+
+def test_fake_and_real_modes_share_schema(spark, documents):
+    """Contract pin: both modes produce identical schemas so downstream
+    consumers (ANN over feat, dedup over sha) never branch on mode."""
+    from flatbread_spark.operators.multimodal import (
+        extract_features, synth_assets_from_documents,
+    )
+
+    synth = synth_assets_from_documents(documents.limit(5))
+    fake_df = extract_features(synth, fake=True)
+    _, ppm = _ppm_bytes(8, 8)
+    real_df = extract_features(_asset_rows(spark, [("image", ppm)]), fake=False)
+    assert fake_df.schema == real_df.schema
+    fr = fake_df.collect()
+    assert all(len(r.feat) == codecs.FEAT_DIM for r in fr)
+
+
+def test_string_asset_ids_flow_through(spark):
+    """asset_id type is derived from the input, not hardcoded bigint —
+    URL-hash/UUID corpora carry string ids (same id-type discipline as
+    fps_select/dedup_by_url, ADVICE r5)."""
+    from flatbread_spark.operators.multimodal import (
+        extract_features, resize_images,
+    )
+
+    _, ppm = _ppm_bytes(12, 8, seed=7)
+    assets = spark.createDataFrame(
+        [("doc/a#1", "image", ppm)],
+        "asset_id string, modality string, payload binary",
+    )
+    feats = extract_features(assets, fake=False)
+    assert dict(feats.dtypes)["asset_id"] == "string"
+    assert feats.collect()[0].asset_id == "doc/a#1"
+    resized = resize_images(assets, 4, 4, fake=False)
+    assert dict(resized.dtypes)["asset_id"] == "string"
+    assert resized.collect()[0].asset_id == "doc/a#1"
