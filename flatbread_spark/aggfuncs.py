@@ -48,23 +48,30 @@ def column_agg(aggfunc: str) -> Callable[[Column], Column]:
 
 
 def _nn_array(cols: list[Column]) -> Column:
-    """Array of the row's non-null values, cast to double."""
+    """Array of the row's non-null values, cast to double.
+
+    NaN is filtered alongside NULL: the reference's pandas semantics treat
+    NaN as *missing* (skipna), while Spark treats NaN as an ordinary double
+    that propagates through arithmetic — without this filter a single NaN
+    cell would poison the whole row margin."""
     arr = F.array(*[c.cast("double") for c in cols])
-    return F.filter(arr, lambda x: x.isNotNull())
+    return F.filter(arr, lambda x: x.isNotNull() & ~F.isnan(x))
 
 
-def row_wise(aggfunc: str, cols: list[Column]) -> Column:
+def row_wise(aggfunc: str, cols: list[Column], integral: bool = False) -> Column:
     """Row-wise (axis=1) aggregate across value columns.
 
     Matches pandas NaN-skipping semantics: ``sum`` of an all-null row is 0.0
     (pandas ``sum(axis=1)`` with skipna), ``mean``/``std`` of an all-null row
-    is null.
+    is null. ``integral=True`` (all input columns are integer types) keeps
+    sum/min/max as bigint — pandas dtype semantics, where a row margin over
+    an int frame stays int while mean/std float.
     """
     nn = _nn_array(cols)
     n = F.size(nn)
     total = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x)
     if aggfunc == "sum":
-        return total
+        return total.cast("bigint") if integral else total
     if aggfunc == "count":
         return n.cast("bigint")
     if aggfunc == "size":
@@ -72,9 +79,9 @@ def row_wise(aggfunc: str, cols: list[Column]) -> Column:
     if aggfunc == "mean":
         return F.when(n > 0, total / n)
     if aggfunc == "min":
-        return F.array_min(nn)
+        return F.array_min(nn).cast("bigint") if integral else F.array_min(nn)
     if aggfunc == "max":
-        return F.array_max(nn)
+        return F.array_max(nn).cast("bigint") if integral else F.array_max(nn)
     if aggfunc == "nunique":
         return F.size(F.array_distinct(nn)).cast("bigint")
     if aggfunc == "median":

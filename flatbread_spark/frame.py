@@ -306,6 +306,19 @@ class FlatFrame:
             flat[c] = flat[c].astype(str)
         flat[POS] = [float(i + 1) for i in range(len(flat))]
         sdf = spark.createDataFrame(flat)
+        # pandas NaN means *missing*; Spark keeps it as a double value that
+        # propagates through sums. Normalize NaN -> NULL at ingestion so the
+        # engine's null-skipping aggregates reproduce pandas skipna margins.
+        from pyspark.sql.types import DoubleType, FloatType
+
+        for f in sdf.schema.fields:
+            if f.name in vnames and isinstance(f.dataType, (DoubleType, FloatType)):
+                sdf = sdf.withColumn(
+                    f.name,
+                    F.when(F.isnan(F.col(f.name)), F.lit(None)).otherwise(
+                        F.col(f.name)
+                    ),
+                )
         ff = cls.from_df(
             sdf, index=index_names, value_cols=vnames,
             col_labels=col_labels, col_names=col_names,

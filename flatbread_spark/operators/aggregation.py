@@ -125,7 +125,19 @@ def add_agg(
     return _record_key(out, key)
 
 
-def _row_expr(aggfunc, cols: list[ColInfo], *args, **kwargs):
+def _all_integral(df, cols: list[ColInfo]) -> bool:
+    """True when every named column is an integer type — lets row margins
+    keep pandas dtype semantics (int frame -> int sum/min/max margin)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    kinds = {f.name: f.dataType for f in df.schema.fields}
+    return all(
+        isinstance(kinds.get(c.name), (ByteType, ShortType, IntegerType, LongType))
+        for c in cols
+    )
+
+
+def _row_expr(aggfunc, cols: list[ColInfo], *args, integral: bool = False, **kwargs):
     """Row-wise aggregate expression over value columns: named aggfuncs stay
     JVM-side (``row_wise`` codegen expressions); callables run through an
     Arrow-batched pandas UDF that hands each row to the callable as a Series
@@ -137,7 +149,7 @@ def _row_expr(aggfunc, cols: list[ColInfo], *args, **kwargs):
         labels = [c.labels[0] if len(c.labels) == 1 else c.labels for c in cols]
         kernel = make_row_agg_udf(aggfunc, labels, args, kwargs)
         return kernel(F.array(*[F.col(c.name).cast("double") for c in cols]))
-    return row_wise(aggfunc, [F.col(c.name) for c in cols])
+    return row_wise(aggfunc, [F.col(c.name) for c in cols], integral=integral)
 
 
 def _add_agg_column(
@@ -161,7 +173,10 @@ def _add_agg_column(
     if any(c.labels == new_labels for c in ff.cols):
         raise ValueError(f"Aggregation column with key {new_labels} already exists")
     name = make_col_name(new_labels, ff.df.columns)
-    expr = _row_expr(aggfunc, data_cols, *args, **kwargs)
+    expr = _row_expr(
+        aggfunc, data_cols, *args,
+        integral=_all_integral(ff.df, data_cols), **kwargs,
+    )
     return ff._copy(
         df=ff.df.withColumn(name, expr),
         cols=ff.cols + [ColInfo(new_labels, name)],
@@ -255,7 +270,10 @@ def _subagg_columns(
                 raise ValueError(f"Aggregation column with key {labels} already exists")
             name = make_col_name(labels, used)
             used.append(name)
-            df = df.withColumn(name, _row_expr(aggfunc, members))
+            df = df.withColumn(
+                name,
+                _row_expr(aggfunc, members, integral=_all_integral(df, members)),
+            )
             insert_at = max(i for i, c in enumerate(new_cols) if c in members) + 1
             new_cols.insert(insert_at, ColInfo(labels, name))
         out = out._copy(df=df, cols=new_cols)
