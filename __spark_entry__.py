@@ -2100,7 +2100,11 @@ def q_tablespec_json(spark, sf_dir):
     byte-identical across sf0.001/0.01/0.1) and return its canonical-JSON
     md5 + shape facts. The oracle pins the serialization byte-for-byte, so
     any drift in value/column/index/dtype/formatOptions encoding flips the
-    driver row red."""
+    driver row red. Re-pinned in round 6: row margins over all-integer
+    pivots now keep bigint (pandas dtype semantics, live-reference
+    byte-parity sweep in tests/test_reference_oracle.py), so the spec
+    serializes `123` / dtype `int` where it previously upcast to
+    `123.0` / `float`."""
     import hashlib
 
     from flatbread_spark import pivot_table
@@ -4320,8 +4324,8 @@ ORDER BY t.doc_id
         # so the canonical-JSON md5 is a constant the oracle can assert.
         # Any drift in TableSpecBuilder serialization flips this red.
         "tablespec_json": """
-SELECT '756ef9b32d4db54ad23f7b746550daba' AS spec_md5,
-       CAST(412 AS BIGINT) AS spec_len,
+SELECT '488fd3dcffb737f82b0f7431cc36838d' AS spec_md5,
+       CAST(398 AS BIGINT) AS spec_len,
        CAST(6 AS BIGINT) AS n_rows,
        CAST(3 AS BIGINT) AS n_cols,
        FALSE AS truncated
