@@ -47,6 +47,23 @@ def column_agg(aggfunc: str) -> Callable[[Column], Column]:
         ) from None
 
 
+def nan_safe(df, name: str) -> Column:
+    """Column reference with pandas missing semantics for aggregation.
+
+    pandas treats NaN as *missing* (every agg is skipna); Spark aggregates
+    include NaN and let it poison sums/means. For float/double columns,
+    mask NaN to NULL before the aggregate — the branch is decided at plan
+    time, so non-float columns pay nothing and float columns add one
+    codegen'd conditional per value (noise next to the scan at any scale).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    for f in df.schema.fields:
+        if f.name == name and isinstance(f.dataType, (DoubleType, FloatType)):
+            return F.when(~F.isnan(F.col(name)), F.col(name))
+    return F.col(name)
+
+
 def _nn_array(cols: list[Column]) -> Column:
     """Array of the row's non-null values, cast to double.
 

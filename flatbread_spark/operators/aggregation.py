@@ -28,7 +28,7 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flatbread_spark.aggfuncs import column_agg, get_label, row_wise
+from flatbread_spark.aggfuncs import column_agg, get_label, nan_safe, row_wise
 from flatbread_spark.frame import POS, ColInfo, FlatFrame, make_col_name, union_aligned
 
 
@@ -112,7 +112,9 @@ def add_agg(
         agg_row = _callable_agg_row(ff.df.filter(mask), vnames, aggfunc, *args, **kwargs)
     else:
         fn = column_agg(aggfunc)
-        agg_row = ff.df.filter(mask).agg(*[fn(F.col(c)).alias(c) for c in vnames])
+        agg_row = ff.df.filter(mask).agg(
+            *[fn(nan_safe(ff.df, c)).alias(c) for c in vnames]
+        )
 
     # place after the current last row; max over ALL rows incl. earlier margins
     maxpos = ff.df.agg((F.coalesce(F.max(POS), F.lit(0.0)) + 1.0).alias(POS))
@@ -317,7 +319,7 @@ def _subagg_one(
             ff.df.filter(mask)
             .groupBy(*grp)
             .agg(
-                *[fn(F.col(c)).alias(c) for c in vnames],
+                *[fn(nan_safe(ff.df, c)).alias(c) for c in vnames],
                 F.count(F.lit(1)).alias("__n__"),
             )
         )

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flatbread_spark.cache import pin
-from flatbread_spark.aggfuncs import column_agg
+from flatbread_spark.aggfuncs import column_agg, nan_safe
 from flatbread_spark.frame import ColInfo, FlatFrame, make_col_name
 
 _SEP = "\x1f"
@@ -64,7 +64,7 @@ def pivot_table(
     fn = column_agg(aggfunc)
 
     if not columns:
-        agged = df.groupBy(*index).agg(*[fn(F.col(v)).alias(v) for v in values])
+        agged = df.groupBy(*index).agg(*[fn(nan_safe(df, v)).alias(v) for v in values])
         if persist:
             agged = pin(agged, tag="pivot")
         ff = FlatFrame.from_df(agged, index=index)
@@ -87,9 +87,9 @@ def pivot_table(
         piv = gb.pivot("__piv__")
 
     if len(values) == 1:
-        agged = piv.agg(fn(F.col(values[0])))
+        agged = piv.agg(fn(nan_safe(df, values[0])))
     else:
-        agged = piv.agg(*[fn(F.col(v)).alias(v) for v in values])
+        agged = piv.agg(*[fn(nan_safe(df, v)).alias(v) for v in values])
 
     # Spark names pivoted columns "<pivval>" or "<pivval>_<aggalias>"
     pivoted = [c for c in agged.columns if c not in index]

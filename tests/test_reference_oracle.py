@@ -608,3 +608,38 @@ def _json_values(s):
 
     d = _json.loads(s)
     return d["values"], d["index"]["values"], d["columns"]["values"]
+
+
+def test_pivot_nan_skipna_parity_and_pinned_empty_sum(spark):
+    """NaN in the fact table is *missing* on both engines: the pivot's
+    aggregates skip NaN (``nan_safe`` masks NaN->NULL before the JVM agg,
+    matching pandas skipna), and margins over the pivot skip the resulting
+    NULLs. ONE pinned divergence: a group whose values are ALL NaN sums to
+    0.0 in pandas (``min_count=0``) but NULL here — SQL semantics, which is
+    what the driver's DuckDB oracle replays (``SUM`` over all-NULL is NULL).
+    Zero-row combos are missing on both engines."""
+    from flatbread_spark import pivot_table
+
+    fact_pd = pd.DataFrame(
+        {
+            "g": ["a", "a", "b", "b"],
+            "c": ["x", "y", "x", "y"],
+            "v": [1.0, float("nan"), 3.0, 4.0],
+        }
+    )
+    ours = (
+        pivot_table(spark.createDataFrame(fact_pd), index="g", columns="c",
+                    values="v", aggfunc="sum")
+        .add_totals(axis=2)
+        .to_pandas()
+    )
+    ref = fact_pd.pivot_table(index="g", columns="c", values="v", aggfunc="sum")
+    # data cells agree where pandas has data; the all-NaN group (a,y) is
+    # 0.0 in pandas, NULL here (pinned)
+    assert ours.loc["a", "x"] == ref.loc["a", "x"] == 1.0
+    assert ours.loc["b", "y"] == ref.loc["b", "y"] == 4.0
+    assert ref.loc["a", "y"] == 0.0
+    assert pd.isna(ours.loc["a", "y"])
+    # margins skip the missing cell: row total for 'a' is 1.0, not NaN
+    assert ours.loc["a", "Totals"] == 1.0
+    assert ours.loc["Totals", "x"] == 4.0 and ours.loc["Totals", "Totals"] == 8.0
