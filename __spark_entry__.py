@@ -2069,6 +2069,36 @@ def q_compression_ratio(spark, sf_dir):
     )
 
 
+def q_compression_check(spark, sf_dir):
+    """zlib CONTRACT gate (the sketch_merge_check pattern): the codec's
+    VALUES are engine-specific (compression_ratio stays rows-only), but its
+    invariants are exact booleans the SQL oracle replays — per source,
+    every document must round-trip losslessly, stay within zlib's
+    documented worst-case stored-block bound, and compress
+    deterministically. Any codec/encoding drift flips a count."""
+    from flatbread_spark.functions._arrow_kernels import (
+        make_compression_check_udf,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    kern = make_compression_check_udf()
+    c = F.col("__c")
+    return (
+        docs.withColumn("__c", kern(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(c["roundtrip_ok"].cast("int")).cast("bigint")
+            .alias("n_roundtrip_ok"),
+            F.sum(c["within_bound"].cast("int")).cast("bigint")
+            .alias("n_within_bound"),
+            F.sum(c["deterministic"].cast("int")).cast("bigint")
+            .alias("n_deterministic"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: synthesize binary payloads from document text
     (the container has no codecs — decode is a deterministic fake; the Spark
@@ -3938,15 +3968,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # interval join, k-anonymity, JSON extraction, conversion funnel
     # rates. url_dedup closes the window at position 50 (its sibling
     # url_normalize grades earlier) in case the driver window is 49.
-    # DEFERRED to round 7 — the only 12 queries still ungraded, every one
-    # a variant whose operator family keeps an in-window or already-green
+    # DEFERRED to round 7 — the only still-ungraded queries, every one a
+    # variant whose operator family keeps an in-window or already-green
     # representative: quantile_normalize, winsorize_lengths,
     # group_percentiles, standardize, group_weighted_pct, mojibake_scores,
     # lang_segments, lexical_diversity, knn_quantized_recall,
-    # sample_exact_group, rolling_median, gap_percentiles. They lead the
-    # tail so any window overrun grades them first; after them the
-    # previously-graded queries keep their r5 relative order (all green,
-    # heavy similarity last).
+    # sample_exact_group, rolling_median, gap_percentiles, plus the two
+    # round-6 contract-grade additions sketch_merge_check and
+    # compression_check (each converts a rows-only-by-design family to a
+    # value-hash oracle). They lead the tail so any window overrun grades
+    # them first; after them the previously-graded queries keep their r5
+    # relative order (all green, heavy similarity last).
     return {
         "tpch_q6": q_tpch_q6,
         "trimmed_margin": q_trimmed_margin,
@@ -4016,6 +4048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 addition (leads the r7 rotation with the 12 above): the
         # sketch family's mergeability invariant, value-graded
         "sketch_merge": q_sketch_merge,
+        "compression_check": q_compression_check,
         "value_counts_pct": q_value_counts_pct,
         "value_counts_pct_naive": q_value_counts_pct_naive,
         "value_counts_pct_raw": q_value_counts_pct_raw,
@@ -4323,6 +4356,14 @@ ORDER BY t.doc_id
         # region/nation dims (verified byte-identical at sf0.001/0.01/0.1),
         # so the canonical-JSON md5 is a constant the oracle can assert.
         # Any drift in TableSpecBuilder serialization flips this red.
+        "compression_check": """
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_roundtrip_ok,
+       COUNT(*)::BIGINT AS n_within_bound,
+       COUNT(*)::BIGINT AS n_deterministic
+FROM documents GROUP BY source ORDER BY source
+""",
         "tablespec_json": """
 SELECT '488fd3dcffb737f82b0f7431cc36838d' AS spec_md5,
        CAST(398 AS BIGINT) AS spec_len,

@@ -338,6 +338,45 @@ def make_compression_ratio_udf(level=6):
     return comp
 
 
+def make_compression_check_udf(level=6):
+    """zlib CONTRACT checker — the oracle-gradeable sibling of
+    :func:`make_compression_ratio_udf` (the sketch_merge_check pattern:
+    engine-specific VALUES are rows-only, but the codec's invariants are
+    exact booleans a SQL oracle replays). Per document:
+
+    - ``roundtrip_ok``: ``decompress(compress(x)) == x`` (losslessness)
+    - ``within_bound``: ``len(compress(x)) <= len(x) + 11 + 5*ceil(len(x)/16384)``
+      (zlib's documented worst-case stored-block expansion, padded)
+    - ``deterministic``: two independent ``compress`` calls byte-match
+
+    Returns a pandas UDF: string -> struct<roundtrip_ok:boolean,
+    within_bound:boolean, deterministic:boolean> (all true on empty/None —
+    vacuous contract).
+    """
+    import zlib
+
+    @pandas_udf("struct<roundtrip_ok:boolean,within_bound:boolean,deterministic:boolean>")
+    def check(texts: pd.Series) -> pd.DataFrame:
+        rt, wb, det = [], [], []
+        for t in texts:
+            if not t:
+                rt.append(True)
+                wb.append(True)
+                det.append(True)
+                continue
+            b = t.encode("utf-8")
+            c1 = zlib.compress(b, level)
+            c2 = zlib.compress(b, level)
+            rt.append(zlib.decompress(c1) == b)
+            wb.append(len(c1) <= len(b) + 11 + 5 * ((len(b) + 16383) // 16384))
+            det.append(c1 == c2)
+        return pd.DataFrame(
+            {"roundtrip_ok": rt, "within_bound": wb, "deterministic": det}
+        )
+
+    return check
+
+
 def make_bpe_apply_udf(merges):
     """Apply an ordered BPE merge table to a whitespace-token array,
     row-local. Each merge (a, b) rewrites every adjacent occurrence of

@@ -995,3 +995,24 @@ def test_apportioned_ranged_null_propagation(spark):
     null_keys = {f"r{i:04d}" for i in range(n) if i % 5 == 0}
     for k in null_keys:
         assert rows_r[k][0] is None
+
+
+def test_compression_check_contract(spark):
+    """The zlib contract kernel: all three invariants hold for real text,
+    empty/None are vacuous-true, and the bound is the documented zlib
+    worst case (random bytes may expand, but never past it)."""
+    import pandas as pd
+
+    from flatbread_spark.functions._arrow_kernels import (
+        make_compression_check_udf,
+    )
+
+    kern = make_compression_check_udf()
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "t": ["hello world " * 50, "", None, "x", "αβγ" * 1000],
+        })
+    ).withColumn("c", kern("t"))
+    rows = df.select("c.*").collect()
+    assert all(r.roundtrip_ok and r.within_bound and r.deterministic
+               for r in rows)
