@@ -258,7 +258,29 @@ class Display:
         return self.builder.get_spec_as_json()
 
     def _repr_html_(self) -> str:
-        return render_html(self.get_json(), self.config)
+        """Render the web-component HTML.
+
+        Truncation contract at scale: the reference embeds the FULL frame
+        and lets ``<flatbread-table>`` trim client-side via ``max-rows`` /
+        ``trim-size`` — unbounded payload, a non-starter for a Spark result.
+        This engine ships only the head+tail the component would display
+        anyway (``TableSpecBuilder._fetch``, 2·trim_size rows), and when it
+        truncated, lowers the rendered ``max-rows`` attribute below the
+        shipped row count so the component's own trim UI (the ``separator``
+        ellipsis rows) still engages on exactly those rows — the rendered
+        view matches the reference's pixel-for-pixel while the payload
+        stays bounded."""
+        spec = self.get_json()
+        if self.builder.truncated:
+            import dataclasses
+
+            shown = dataclasses.replace(
+                self.config,
+                max_rows=max(1, 2 * self.builder.trim_size - 1),
+                margin_labels=set(self.config.margin_labels),
+            )
+            return render_html(spec, shown)
+        return render_html(spec, self.config)
 
     to_html = _repr_html_
     # reference accessor aliases (``display.py:305-307``)

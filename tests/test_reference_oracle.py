@@ -643,3 +643,41 @@ def test_pivot_nan_skipna_parity_and_pinned_empty_sum(spark):
     # margins skip the missing cell: row total for 'a' is 1.0, not NaN
     assert ours.loc["a", "Totals"] == 1.0
     assert ours.loc["Totals", "x"] == 4.0 and ours.loc["Totals", "Totals"] == 8.0
+
+
+def test_display_truncation_pinned_payload_with_trim_cue(spark):
+    """Pinned scale divergence + rendered-view parity for big frames:
+    the reference embeds the FULL frame in get_json/_repr_html_ and lets
+    the web component trim client-side (max-rows=30, trim-size=5) — an
+    unbounded payload this engine will never ship. The engine ships
+    exactly the 2*trim_size head+tail rows the component would display,
+    and lowers the rendered max-rows attribute below the shipped count so
+    the component's separator/trim UI still engages — same pixels, bounded
+    bytes. Small frames keep byte-parity (swept above) and the configured
+    max-rows."""
+    import json as _json
+    import re
+
+    big = pd.DataFrame(
+        {"x": range(100)},
+        index=pd.Index([f"r{i:03d}" for i in range(100)], name="k"),
+    )
+    ref_rows = _json.loads(big.pita.get_json())["values"]
+    assert len(ref_rows) == 100  # reference: unbounded payload
+
+    d = FlatFrame.from_pandas(spark, big).display()
+    ours = _json.loads(d.get_json())
+    assert len(ours["values"]) == 10  # head 5 + tail 5
+    assert ours["index"]["values"][:5] == ["r000", "r001", "r002", "r003", "r004"]
+    assert ours["index"]["values"][-5:] == ["r095", "r096", "r097", "r098", "r099"]
+    html = d._repr_html_()
+    attrs = dict(re.findall(r'setAttribute\("([^"]+)",\s*"?([^")]*)"?\)', html))
+    assert attrs["max-rows"] == "9"      # < shipped 10 -> trim UI engages
+    assert attrs["trim-size"] == "5" and attrs["separator"] == "..."
+
+    small = FlatFrame.from_pandas(
+        spark, pd.DataFrame({"x": [1, 2]}, index=pd.Index(["a", "b"], name="k"))
+    ).display()
+    h2 = small._repr_html_()
+    a2 = dict(re.findall(r'setAttribute\("([^"]+)",\s*"?([^")]*)"?\)', h2))
+    assert a2["max-rows"] == "30" and not small.builder.truncated
