@@ -250,11 +250,16 @@ def field_association(
     )
     wa = Window.partitionBy(col_a)
     wb = Window.partitionBy(col_b)
-    wt = Window.partitionBy()
+    # grand total as a broadcast 1-row scalar, NOT Window.partitionBy():
+    # an unpartitioned window funnels the whole count table through one
+    # partition, which stops being "model-sized" for high-cardinality
+    # field pairs (domain x lang); the scalar join costs one extra tiny
+    # stage and keeps every row where it is
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
     out = (
         counts.withColumn("n_a", F.sum("n").over(wa).cast("bigint"))
         .withColumn("n_b", F.sum("n").over(wb).cast("bigint"))
-        .withColumn("total", F.sum("n").over(wt).cast("bigint"))
+        .crossJoin(F.broadcast(total))
     )
     dec = "decimal(38,0)"
     return out.withColumn(
