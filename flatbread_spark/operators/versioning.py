@@ -54,7 +54,9 @@ def merge_upsert(
     """
     keys = list(keys)
     cols = [c for c in base.columns if c != delete_col]
-    if [c for c in delta.columns if c != delete_col] != cols:
+    # order-insensitive: the merge unions by NAME, so a delta whose columns
+    # arrive in a different order is valid input, not a schema mismatch
+    if {c for c in delta.columns if c != delete_col} != set(cols):
         raise ValueError(
             f"base/delta schemas differ: {base.columns} vs {delta.columns}"
         )

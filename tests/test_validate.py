@@ -90,3 +90,21 @@ class TestValidate:
     def test_unique_only(self, frame):
         got = _report(frame, [unique("id")])
         assert got["unique(id)"][1] == 2
+
+
+def test_merge_upsert_accepts_reordered_delta_columns(spark):
+    """The merge unions by NAME; a delta with the same columns in a
+    different order is valid input (previously rejected by an
+    order-sensitive schema check)."""
+    from flatbread_spark.operators.versioning import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 1)], "k int, payload string, v int"
+    )
+    delta = spark.createDataFrame(
+        [(2, 2, "b")], "v int, k int, payload string"
+    )
+    out = merge_upsert(base, delta, keys=["k"], version_col="v").orderBy("k")
+    assert [(r.k, r.payload, r.v) for r in out.collect()] == [
+        (1, "a", 1), (2, "b", 2),
+    ]
