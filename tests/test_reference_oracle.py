@@ -681,3 +681,44 @@ def test_display_truncation_pinned_payload_with_trim_cue(spark):
     h2 = small._repr_html_()
     a2 = dict(re.findall(r'setAttribute\("([^"]+)",\s*"?([^")]*)"?\)', h2))
     assert a2["max-rows"] == "30" and not small.builder.truncated
+
+
+@given(
+    nan_at=st.sets(st.integers(0, 5), max_size=3),
+    axis=st.sampled_from([0, 1, 2]),
+    nd=st.sampled_from([0, 1]),
+)
+@settings(**SET)
+def test_nan_margin_chain_matches_reference(spark, nan_at, axis, nd):
+    """Random NaN positions through the full margin chain
+    (add_totals(axis=2) -> as_percentages with apportioned rounding):
+    NaN is missing on both engines — skipped by sums, NaN/NULL pct cells
+    align, apportionment over the remaining cells matches to one grid
+    step (the documented decimal-vs-float-cumsum tolerance)."""
+    from flatbread.transforms import totals as rtot
+    from flatbread.transforms.percentages import as_percentages as ref_aspct
+
+    vals = [10.0, 20.0, 30.0, 5.0, 25.0, 15.0]
+    for i in nan_at:
+        vals[i] = float("nan")
+    pdf = pd.DataFrame(
+        {"x": vals[:3], "y": vals[3:]},
+        index=pd.Index(["a", "b", "c"], name="k"),
+    )
+    if pdf.sum().min() == 0 or pdf.sum(axis=1).min() == 0:
+        return  # all-NaN row/col: pinned 0.0-vs-NULL divergence, tested above
+    ref = ref_aspct(
+        rtot.add_totals(pdf, axis=2, label="TOT"),
+        axis=axis, ndigits=nd, base=100, label_totals="TOT",
+    )
+    ours = (
+        FlatFrame.from_pandas(spark, pdf).add_totals(axis=2, label="TOT")
+        .as_percentages(axis=axis, ndigits=nd, base=100)
+        .to_pandas()
+    )
+    assert list(ref.index) == list(ours.index)
+    assert list(ref.columns) == list(ours.columns)
+    assert np.allclose(
+        ref.values.astype(float), ours.values.astype(float),
+        atol=GRID_ATOL, equal_nan=True,
+    )
