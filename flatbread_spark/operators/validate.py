@@ -20,8 +20,11 @@ Rules (all constructors return plain dicts — serializable, loggable):
   violate (NULLs are not_null's job — composable rules stay orthogonal).
 - ``in_range(col, lo, hi)`` — non-null values outside [lo, hi] violate.
 - ``matches_regex(col, pattern)`` — non-null values not matching violate.
-- ``satisfies(name, predicate)`` — escape hatch: non-null rows where the
-  boolean Column is false violate.
+- ``satisfies(name, predicate)`` — escape hatch: rows where the boolean
+  Column is not definitively TRUE violate (a NULL predicate — e.g. a
+  comparison over a NULL field — counts as a violation: unknown fails the
+  gate, the conservative choice for a release gate; wrap the predicate in
+  ``coalesce`` to opt out).
 
 Report: one row per rule — ``rule, kind, n_violations, passed`` — bounded
 by the rule list, never the data. All counts are BIGINT (hash-stable).
