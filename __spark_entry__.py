@@ -3409,6 +3409,35 @@ def q_group_weighted_pct(spark, sf_dir):
     ).orderBy("lang", "q_ppm")
 
 
+def q_group_weighted_pct_skew(spark, sf_dir):
+    """Adversarial group-size skew for the per-group weighted-percentile
+    kernel (VERDICT r6 #7): 1-row singleton groups (every 97th doc keyed
+    by its own id) next to one bulk group holding everything else, with
+    the edge quantiles q_ppm=1 and q_ppm=1_000_000 alongside the median —
+    pins the BIGINT/DECIMAL(38,0) interval match at both extremes (a
+    singleton's single interval must absorb every target; the bulk
+    group's first/last rows must win the edge targets exactly)."""
+    from flatbread_spark.operators.ranking import group_weighted_percentiles
+
+    docs = _load(spark, sf_dir, "documents")
+    staged = docs.select(
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(F.lit("singleton_"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.lit("bulk"))
+        .alias("grp"),
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+        .alias("n_tokens"),
+    )
+    return group_weighted_percentiles(
+        staged, "grp", "n_chars", "n_tokens", "doc_id",
+        [1, 500_000, 1_000_000],
+    ).orderBy("grp", "q_ppm")
+
+
 def q_truncation_curve(spark, sf_dir):
     """Context-length selection (operators/packing.py truncation_curve):
     token loss of truncate-at-L for candidate sequence lengths — ONE
@@ -3957,32 +3986,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05.json grades exactly the r5 prefix) and benches in
     # THIS order with no warm-up — the first queries absorb JVM JIT +
     # Arrow-worker cold start.
-    # Round-6 window = 2 cheap warm-up leads (tpch_q6: scan-agg codegen;
+    # Round-7 window = 2 cheap warm-up leads (tpch_q6: scan-agg codegen;
     # trimmed_margin: spawns the reusable Arrow worker pool — both green
-    # r5) + 48 of the 60 queries that have NEVER had a driver grade
-    # (declared by r5, all green on the local DuckDB gate and the round-5
-    # judge's independent rerun, but lacking the hard CORRECTNESS
-    # signal). Families with no other green representative lead:
-    # source-format round-trips + partition pruning, the drift monitors,
-    # incremental minhash, quantized ANN, graph stats (triangles/degree),
-    # interval join, k-anonymity, JSON extraction, conversion funnel
-    # rates. url_dedup closes the window at position 50 (its sibling
-    # url_normalize grades earlier) in case the driver window is 49.
-    # DEFERRED to round 7 — the only still-ungraded queries, every one a
-    # variant whose operator family keeps an in-window or already-green
-    # representative: quantile_normalize, winsorize_lengths,
-    # group_percentiles, standardize, group_weighted_pct, mojibake_scores,
-    # lang_segments, lexical_diversity, knn_quantized_recall,
-    # sample_exact_group, rolling_median, gap_percentiles, plus the two
-    # round-6 contract-grade additions sketch_merge_check and
-    # compression_check (each converts a rows-only-by-design family to a
-    # value-hash oracle). They lead the tail so any window overrun grades
-    # them first; after them the previously-graded queries keep their r5
-    # relative order (all green, heavy similarity last).
+    # r6) + the FINAL 14 never-driver-graded queries (the r6 deferral
+    # list, all green on the local DuckDB gate and the round-6 judge's
+    # independent oracle rerun) + the one round-7 addition
+    # group_weighted_pct_skew (VERDICT r6 #7: adversarial group-size skew
+    # for the weighted-percentile kernel) + re-grades of the r6 rotation
+    # in its r6 relative order to fill the 50-slot window (regression
+    # signal on the newest families). A green r7 row for positions 3-17
+    # puts ALL 192 declared queries on the hard driver signal — backlog
+    # zero for the first time.
     return {
         "tpch_q6": q_tpch_q6,
         "trimmed_margin": q_trimmed_margin,
-        # -- 48 never-driver-graded: the hard-signal rotation --
+        # -- the last 14 never-driver-graded (r6 deferrals) --
+        "quantile_normalize": q_quantile_normalize,
+        "winsorize_lengths": q_winsorize_lengths,
+        "group_percentiles": q_group_percentiles,
+        "standardize": q_standardize,
+        "group_weighted_pct": q_group_weighted_pct,
+        "mojibake_scores": q_mojibake_scores,
+        "lang_segments": q_lang_segments,
+        "lexical_diversity": q_lexical_diversity,
+        "knn_quantized_recall": q_knn_quantized_recall,
+        "sample_exact_group": q_sample_exact_group,
+        "rolling_median": q_rolling_median,
+        "gap_percentiles": q_gap_percentiles,
+        "sketch_merge": q_sketch_merge,
+        "compression_check": q_compression_check,
+        # -- round-7 addition (never graded, by construction) --
+        "group_weighted_pct_skew": q_group_weighted_pct_skew,
+        # -- r6-rotation re-grades fill the window (r6 relative order) --
         "csv_roundtrip": q_csv_roundtrip,
         "json_roundtrip": q_json_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
@@ -4031,24 +4066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_association": q_field_association,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
-        # ---- tail (51+): the 12 round-7 deferrals first, then all
-        # ---- previously-graded queries in their r5 relative order
-        "quantile_normalize": q_quantile_normalize,
-        "winsorize_lengths": q_winsorize_lengths,
-        "group_percentiles": q_group_percentiles,
-        "standardize": q_standardize,
-        "group_weighted_pct": q_group_weighted_pct,
-        "mojibake_scores": q_mojibake_scores,
-        "lang_segments": q_lang_segments,
-        "lexical_diversity": q_lexical_diversity,
-        "knn_quantized_recall": q_knn_quantized_recall,
-        "sample_exact_group": q_sample_exact_group,
-        "rolling_median": q_rolling_median,
-        "gap_percentiles": q_gap_percentiles,
-        # round-6 addition (leads the r7 rotation with the 12 above): the
-        # sketch family's mergeability invariant, value-graded
-        "sketch_merge": q_sketch_merge,
-        "compression_check": q_compression_check,
+        # ---- tail (51+): every query here is already driver-green;
+        # ---- previously-graded queries keep their r5 relative order
         "value_counts_pct": q_value_counts_pct,
         "value_counts_pct_naive": q_value_counts_pct_naive,
         "value_counts_pct_raw": q_value_counts_pct_raw,
@@ -6717,6 +6736,31 @@ JOIN (VALUES (500000), (990000)) q(q_ppm)
  AND q.q_ppm * CAST(c.total_w AS HUGEINT)
        <= CAST(c.cw AS HUGEINT) * 1000000
 ORDER BY lang, q_ppm
+""",
+        "group_weighted_pct_skew": r"""
+WITH t AS (SELECT CASE WHEN doc_id % 97 = 0
+                       THEN 'singleton_' || CAST(doc_id AS VARCHAR)
+                       ELSE 'bulk' END AS grp,
+             doc_id, CAST(n_chars AS BIGINT) AS v,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS w
+           FROM documents),
+f AS (SELECT * FROM t WHERE w > 0),
+c AS (SELECT grp, doc_id, v, w,
+        SUM(w) OVER (PARTITION BY grp ORDER BY v, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cw,
+        CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+        CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS total_w
+      FROM f)
+SELECT grp, CAST(q.q_ppm AS BIGINT) AS q_ppm, c.n, c.total_w,
+       c.v AS n_chars
+FROM c
+JOIN (VALUES (1), (500000), (1000000)) q(q_ppm)
+  ON CAST(c.cw - c.w AS HUGEINT) * 1000000
+       < q.q_ppm * CAST(c.total_w AS HUGEINT)
+ AND q.q_ppm * CAST(c.total_w AS HUGEINT)
+       <= CAST(c.cw AS HUGEINT) * 1000000
+ORDER BY grp, q_ppm
 """,
         "truncation_curve": r"""
 WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))

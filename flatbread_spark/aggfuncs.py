@@ -87,8 +87,23 @@ def row_wise(aggfunc: str, cols: list[Column], integral: bool = False) -> Column
     nn = _nn_array(cols)
     n = F.size(nn)
     total = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x)
+    # integral=True promises bigint results — accumulate in BIGINT over the
+    # uncast integer values, not by casting the double total: int64 rows
+    # summing past 2^53 would silently lose precision through the double
+    # lane (ADVICE r6). Integer columns can't hold NaN, so a plain
+    # isNotNull filter matches _nn_array's missing semantics exactly.
+    if integral and aggfunc in ("sum", "min", "max"):
+        nn_i = F.filter(
+            F.array(*[c.cast("bigint") for c in cols]),
+            lambda x: x.isNotNull(),
+        )
+        if aggfunc == "sum":
+            return F.aggregate(
+                nn_i, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            )
+        return F.array_min(nn_i) if aggfunc == "min" else F.array_max(nn_i)
     if aggfunc == "sum":
-        return total.cast("bigint") if integral else total
+        return total
     if aggfunc == "count":
         return n.cast("bigint")
     if aggfunc == "size":
@@ -96,9 +111,9 @@ def row_wise(aggfunc: str, cols: list[Column], integral: bool = False) -> Column
     if aggfunc == "mean":
         return F.when(n > 0, total / n)
     if aggfunc == "min":
-        return F.array_min(nn).cast("bigint") if integral else F.array_min(nn)
+        return F.array_min(nn)
     if aggfunc == "max":
-        return F.array_max(nn).cast("bigint") if integral else F.array_max(nn)
+        return F.array_max(nn)
     if aggfunc == "nunique":
         return F.size(F.array_distinct(nn)).cast("bigint")
     if aggfunc == "median":

@@ -140,6 +140,22 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             f"BMP bpp={bpp} compression={compression} not supported "
             "(only uncompressed 24/32-bit)"
         )
+    if compression == 3:
+        # BI_BITFIELDS: the R/G/B channel masks follow the info header
+        # (offset 54 for both the 3-DWORD BITMAPINFOHEADER extension and
+        # the V4/V5 bV4RedMask field). Only the identity BGRA layout is
+        # decodable by the fixed `rows[:, :, 2::-1]` swizzle below —
+        # anything else would silently swap channels (ADVICE r6).
+        if bpp != 32 or len(payload) < 66:
+            raise NotImplementedError(
+                "BI_BITFIELDS BMP supported only at 32bpp with readable masks"
+            )
+        masks = struct.unpack_from("<III", payload, 54)
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise NotImplementedError(
+                f"BI_BITFIELDS masks {tuple(hex(m) for m in masks)} are not "
+                "the identity BGRA layout; needs a real imaging library"
+            )
     h = abs(h_signed)
     if w <= 0 or h == 0:
         raise ValueError(f"bad BMP dims {w}x{h_signed}")

@@ -159,12 +159,18 @@ def dedup_by_url(
     """
     canon = canonical_url(F.col(url_col)).alias(out_url)
     slim = df.select(canon, F.col(id_col), F.col(quality_col))
-    # min_by over (-quality, id): fieldwise struct compare = quality desc
-    # winner with the smallest id breaking ties. Only QUALITY is negated
-    # (a score, numeric by contract); the id is compared with its native
-    # ordering, so string doc ids — common in URL corpora — work too.
+    # min_by over (null_flag, -quality, id): fieldwise struct compare =
+    # quality desc winner with the smallest id breaking ties. Only QUALITY
+    # is negated (a score, numeric by contract); the id is compared with
+    # its native ordering, so string doc ids — common in URL corpora —
+    # work too. The leading null flag is load-bearing: a NULL struct
+    # field sorts FIRST in Spark's struct ordering, so without it a
+    # NULL-quality row would beat every scored row in its group
+    # (ADVICE r6); flag 1 pushes unscored rows after all scored ones.
     key = F.struct(
-        (-F.col(quality_col)).alias("nq"), F.col(id_col).alias("i")
+        F.col(quality_col).isNull().cast("int").alias("nf"),
+        (-F.col(quality_col)).alias("nq"),
+        F.col(id_col).alias("i"),
     )
     payload = F.struct(
         F.col(id_col).alias("i"), F.col(quality_col).alias("q")

@@ -127,6 +127,17 @@ def _decode_batch(pdf_iter, fake_mode: bool | None = None) -> Iterator:
                 )
         else:
             for b in pdf["payload"]:
+                # NULL-payload contract (ADVICE r6): payloads are nullable
+                # in ASSET_SCHEMA, and fake mode tolerates None — real
+                # mode must not abort the whole Arrow batch on one bad
+                # row. A NULL payload yields NULL width/height/features
+                # (n_bytes 0 and the empty-bytes sha are already set
+                # above), keeping the row observable for triage.
+                if b is None:
+                    widths.append(None)
+                    heights.append(None)
+                    feats.append(None)
+                    continue
                 fmt = codecs.sniff_format(b)
                 if fmt in ("ppm", "pgm", "bmp"):
                     arr = codecs.decode_image(b)
