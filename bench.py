@@ -18,7 +18,11 @@ this host in a healthy state) to separate host drift from real regressions.
 Each query is timed as plan-build + full execution (``collect`` for small
 results; results are margin tables / top-k / per-doc stats so driver-side
 materialization is bounded by design). A warm-up query runs first so JVM/
-codegen startup is not billed to the first query.
+codegen startup is not billed to the first query. Since round 7 every
+query runs twice and reports the min (``"timing": "min_of_2"``) — this
+host's burst throttle made single-shot sub-5 s timings incomparable
+across same-day runs; ``first_pass_sec`` preserves the single-shot total
+for comparisons against pre-r7 snapshots.
 """
 from __future__ import annotations
 
@@ -224,36 +228,36 @@ def main() -> None:
     # suite (stream/trigram/kmeans families re-paying their inputs) and
     # saved only ~8 s of tail GC drag on the late TPC-H queries — keep the
     # accumulate-and-share behavior; 128 GiB of executor memory absorbs it.
-    # Outlier self-retry: this VM's multi-core throttle arrives in bursts —
-    # rounds 5-6 each recorded a ~1 s query at 9-29 s in-suite, and every
-    # such spike solo-reruns to its tracked time (bench_triage_r6.json: 5/5
-    # host_drift, 0 real). A single same-session retry of any query slower
-    # than RETRY_SEC, reporting the min, removes that noise class at the
-    # source; genuinely heavy queries pay one extra warm run (bounded, and
-    # the retried run is the steadier measurement anyway). Retried queries
-    # are listed in "retried" for transparency.
-    RETRY_SEC = 5.0
-    retried: dict[str, float] = {}
+    # Min-of-2 timing (round 7, VERDICT r6 #3): EVERY query runs twice
+    # back-to-back and reports the MIN. Round 6's >5 s-outlier-only retry
+    # removed the worst burst-throttle spikes, but sub-5 s queries still
+    # swung up to ~2.5x between same-day snapshots on this host
+    # (eff 0.26-0.95), forcing manual solo-reruns to adjudicate every
+    # cross-round diff. The second run shares the session's accumulated
+    # cache, so it costs far less than 2x wall and is the steadier
+    # measurement; "timing": "min_of_2" marks the semantics so readers
+    # never compare these values 1:1 against pre-r7 single-shot rounds
+    # (ADVICE r6), and "first_pass_sec" keeps the old single-shot total
+    # for exactly that comparison.
+    first_pass = 0.0
     for name in names:
         fn = qs[name]
-        t0 = time.perf_counter()
-        try:
-            n = len(fn(spark, sf_dir).collect())
-        except Exception as e:  # keep the harness alive; a failed query = inf
-            print(f"# FAIL {name}: {e}", file=sys.stderr)
+        runs: list[float] = []
+        n = 0
+        for _attempt in range(2):
+            t0 = time.perf_counter()
+            try:
+                n = len(fn(spark, sf_dir).collect())
+            except Exception as e:  # keep the harness alive; failure = inf
+                if not runs:
+                    print(f"# FAIL {name}: {e}", file=sys.stderr)
+                break
+            runs.append(round(time.perf_counter() - t0, 3))
+        if not runs:
             times[name] = float("inf")
             continue
-        elapsed = round(time.perf_counter() - t0, 3)
-        if elapsed > RETRY_SEC:
-            t1 = time.perf_counter()
-            try:
-                fn(spark, sf_dir).collect()
-                second = round(time.perf_counter() - t1, 3)
-                retried[name] = elapsed
-                elapsed = min(elapsed, second)
-            except Exception:
-                pass  # keep the first measurement
-        times[name] = elapsed
+        first_pass += runs[0]
+        times[name] = min(runs)
         print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     probe = min(probe_before, host_probe())
@@ -265,7 +269,8 @@ def main() -> None:
     # gracefully) goes first.
     print(json.dumps({
         "queries": times,
-        "retried": retried,
+        "timing": "min_of_2",
+        "first_pass_sec": round(first_pass, 3),
         "sf": sf,
         "host_probe_sec": round(probe, 3),
         "host_probe_ref_sec": HOST_PROBE_REF_SEC,

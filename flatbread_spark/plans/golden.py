@@ -1,0 +1,81 @@
+"""Tracked per-query plan-fingerprint golden (VERDICT r6 #2).
+
+``plan_facts`` counts are asserted as booleans by the per-family plan
+tests; this module pins the EXACT counts for every declared query in a
+committed snapshot (``plans_golden.json``) so that any edit that changes a
+query's physical shape — one more Exchange, a BroadcastHashJoin that
+degraded to SortMergeJoin, a new Arrow boundary, a dropped cache — fails
+``tests/test_plan_golden.py`` mechanically with a per-fact diff, instead
+of surfacing rounds later as a bench regression.
+
+Determinism contract: fingerprints are only comparable under one fixed
+environment, pinned in ``GOLDEN_ENV`` (the test-session config: local[4],
+4 shuffle partitions, the sf0.001 tables — AQE's initial plan, broadcast
+threshold decisions, and partition counts are all functions of these).
+``spark.catalog.clearCache()`` runs before every query so a fingerprint
+never depends on which query built its plan first; queries whose
+construction DRAINS a stream (the replay harnesses) are excluded because
+their batch result plan is a trivial LocalTableScan with no structure to
+pin.
+
+Regenerate DELIBERATELY after a plan-shape change you intend:
+
+    python scripts/plan_audit.py --write-golden
+
+and review the diff in the commit — the review is the point.
+"""
+from __future__ import annotations
+
+import os
+
+from flatbread_spark.plans.audit import plan_facts
+
+GOLDEN_ENV = {
+    "master": "local[4]",
+    "shuffle_partitions": 4,
+    "sf_dir": "/root/testdata/sf0.001",
+}
+GOLDEN_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "plans_golden.json",
+)
+
+# Stream-replay harnesses: building the result DataFrame executes the
+# micro-batch drain and returns an in-memory batch frame — nothing of the
+# streaming plan survives to fingerprint, and the drain makes the "build
+# the plan" pass execute real work. The STREAMING plans are covered by
+# tests/test_streaming.py's own assertions.
+SKIP = {
+    "stream_replay",
+    "stream_dedup_replay",
+    "stream_quality_gate",
+    "stream_topk",
+    "stream_upsert",
+    "stream_drift",
+    "stream_rate_anomaly",
+}
+
+
+def collect_fingerprints(spark, verbose: bool = False) -> dict[str, dict[str, int]]:
+    """Plan facts for every declared non-streaming query under GOLDEN_ENV.
+
+    The caller is responsible for providing a session whose master /
+    shuffle-partition config matches ``GOLDEN_ENV`` — fingerprints taken
+    under any other config are not comparable to the tracked golden.
+    """
+    # Deferred import: the entry module lives at the repo root (driver
+    # contract), outside the package — the library proper must not depend
+    # on it at import time.
+    import __spark_entry__ as _entry
+
+    out: dict[str, dict[str, int]] = {}
+    for name, fn in _entry.queries().items():
+        if name in SKIP:
+            continue
+        spark.catalog.clearCache()
+        out[name] = plan_facts(fn(spark, GOLDEN_ENV["sf_dir"]))
+        if verbose:
+            line = " ".join(f"{k}={v}" for k, v in out[name].items() if v)
+            print(f"{name}: {line}")
+    spark.catalog.clearCache()
+    return out
