@@ -92,7 +92,12 @@ def funnel(
             "r.step",
             "r.step_name",
             "r.n_users",
-            F.round(F.col("r.n_users") / F.col("__s1"), 6).alias("pct_of_first"),
+            # NULL (not an ANSI divide-by-zero crash) when no user reached
+            # step 1 — caught by the round-7 event property sweep
+            F.when(
+                F.col("__s1") > 0,
+                F.round(F.col("r.n_users") / F.col("__s1"), 6),
+            ).alias("pct_of_first"),
         )
     )
 

@@ -74,7 +74,16 @@ def two_phase_offset(
     for pid, off in sorted(offsets.items()):
         entries.append(F.lit(pid))
         entries.append(F.lit(off).cast("bigint"))
-    off_map = F.create_map(*entries)
+    # EMPTY input ⇒ zero partitions reported ⇒ create_map() with no
+    # entries types as map<void,void> and map()[__pid__] fails analysis
+    # (caught by the round-7 event property sweep: conversion_lag with no
+    # converting keys). A typed empty map keeps the plan valid; the frame
+    # has no rows for the lookup to run against anyway.
+    off_map = (
+        F.create_map(*entries)
+        if entries
+        else F.lit(None).cast("map<int,bigint>")
+    )
     return local.withColumn(
         out_col, (F.col("__lv__") + off_map[F.col("__pid__")]).cast(out_type)
     ).drop("__pid__", "__lv__")
