@@ -93,6 +93,12 @@ def _funnel(d):
     )
 
 
+def _sketch_merge_tree(d):
+    from flatbread_spark.operators.sketches import sketch_merge_check
+
+    return sketch_merge_check(d.select("doc_id"), "doc_id", n_shards=16)
+
+
 def main():
     spark = fb.get_spark(app="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -545,6 +551,38 @@ def main():
                 ).agg(F.count(F.lit(1)).cast("bigint").alias("y")),
                 "source", "x", "y",
             )
+        ),
+        # round-7 probes (VERDICT r6 #6): the r6 tail operators under
+        # adversarial shapes
+        # HLL union tree at 16 shards: cost must follow the key scan, not
+        # the (fixed-size) sketch merge
+        "sketch_merge_tree": lambda d, e: run_count(
+            _sketch_merge_tree(d)
+        ),
+        # interval-length skew bomb: 0.1% of left intervals cover 4000
+        # buckets — just under the 4096 max_buckets_per_row guard; the
+        # banded join must absorb the explode linearly, not quadratically
+        "interval_join_skew": lambda d, e: run_count(
+            fb.interval_join(
+                d.select(
+                    "source", F.col("doc_id").alias("lid"),
+                    F.col("doc_id").alias("ls"),
+                    (F.col("doc_id") + F.when(
+                        F.col("doc_id") % 1000 == 0, 32_000
+                    ).otherwise(8)).alias("le"),
+                ),
+                d.select("source", F.col("doc_id").alias("rid"),
+                         (F.col("doc_id") + 4).alias("rs"),
+                         (F.col("doc_id") + 12).alias("re")),
+                ["source"], "lid", "ls", "le", "rid", "rs", "re",
+                bucket_width=8,
+            )
+        ),
+        # FPS at 8x the baseline k: together with the coreset_fps row this
+        # separates the two cost axes — wall vs k (k sequential scans, so
+        # ~linear in k at fixed input) and wall vs input at fixed k
+        "coreset_fps_k64": lambda d, e: run_count(
+            fb.fps_select(e, "vec_id", "embedding", k=64)
         ),
     }
     only = sys.argv[1:]
