@@ -3438,6 +3438,78 @@ def q_group_weighted_pct_skew(spark, sf_dir):
     ).orderBy("grp", "q_ppm")
 
 
+def q_cms_frequency(spark, sf_dir):
+    """Count-min sketch point-frequency contract (operators/sketches.py
+    cms_build/cms_estimate): CMS cells over the document token stream via
+    the PORTABLE md5 hash, exact top-20 tokens with their CMS estimates
+    and the one-sided ``est ≥ true`` invariant. Unlike HLL (sketch_merge,
+    bound-only), CMS cells are plain SUMS — they commute across any
+    partition layout — so the oracle replays the estimate VALUES
+    bit-identically, not just a bound. Shuffle is O(depth×width×
+    partitions) for the sketch (map-side combine collapses each partition
+    to ≤ d×w cells); the exact top-20 side is the grading scaffold."""
+    from flatbread_spark.operators.sketches import cms_frequency_check
+
+    docs = _load(spark, sf_dir, "documents")
+    return cms_frequency_check(docs, "text", k=20, depth=4, width=256)
+
+
+def q_containment_dedup(spark, sf_dir):
+    """Within-corpus asymmetric-inclusion dedup (operators/dedup.py
+    ngram_containment_pairs): containment = |∩|/min(|A|,|B|) over 4-gram
+    shingle sets — the signal that catches a document quoted WHOLESALE
+    inside a longer one, where Jaccard → 0 (ngram_jaccard's blind spot;
+    contamination_pairs is the bipartite eval-side variant). Every 13th
+    document is re-emitted as a planted superset (id+1_000_000, six
+    doc-keyed pad tokens appended): the original's shingles are fully
+    contained, so each plants an exact containment-1.0 pair while its
+    Jaccard degrades. Two-phase: candidates share ≥1 shingle hash within
+    a lang block (id+hash pairs only move), exact verify on full arrays."""
+    from flatbread_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "lang", "text"
+    )
+    pad = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(f"zqpad{i}x"), F.col("doc_id").cast("string"))
+            for i in range(6)
+        ],
+    )
+    aug = base.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        "lang",
+        F.concat(F.col("text"), F.lit(" "), pad).alias("text"),
+    )
+    corpus = base.unionByName(aug)
+    return (
+        ngram_containment_pairs(
+            corpus, "doc_id", "text", n=4, threshold=0.9, block_col="lang"
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_quantile_contract(spark, sf_dir):
+    """percentile_approx error-bound contract (operators/ranking.py
+    approx_percentile_check): per (lang, q), the rank interval occupied by
+    the one-pass sketch's answer must intersect the exact target rank ±
+    2·⌈n/accuracy⌉ — the sketch_merge_check grading pattern applied to
+    quantiles (the approximate VALUE is partial-aggregation-tree-shaped,
+    like HLL, so only the documented error bound is layout-stable). Exact
+    nearest-rank values replay in SQL; the boolean is asserted TRUE."""
+    from flatbread_spark.operators.ranking import approx_percentile_check
+
+    docs = _load(spark, sf_dir, "documents")
+    return approx_percentile_check(
+        docs, "lang", "n_chars", "doc_id",
+        [50_000, 500_000, 950_000, 990_000],
+        accuracy=1000, slack=2,
+    )
+
+
 def q_truncation_curve(spark, sf_dir):
     """Context-length selection (operators/packing.py truncation_curve):
     token loss of truncate-at-L for candidate sequence lengths — ONE
@@ -3990,13 +4062,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # trimmed_margin: spawns the reusable Arrow worker pool — both green
     # r6) + the FINAL 14 never-driver-graded queries (the r6 deferral
     # list, all green on the local DuckDB gate and the round-6 judge's
-    # independent oracle rerun) + the one round-7 addition
+    # independent oracle rerun) + the four round-7 additions:
     # group_weighted_pct_skew (VERDICT r6 #7: adversarial group-size skew
-    # for the weighted-percentile kernel) + re-grades of the r6 rotation
-    # in its r6 relative order to fill the 50-slot window (regression
-    # signal on the newest families). A green r7 row for positions 3-17
-    # puts ALL 192 declared queries on the hard driver signal — backlog
-    # zero for the first time.
+    # for the weighted-percentile kernel), cms_frequency (count-min sketch
+    # with bit-replayable estimates), containment_dedup (asymmetric
+    # n-gram inclusion — the Jaccard blind spot), quantile_contract
+    # (percentile_approx error-bound grading) + re-grades of the r6
+    # rotation in its r6 relative order to fill the 50-slot window
+    # (regression signal on the newest families). A green r7 row for
+    # positions 3-20 puts ALL 195 declared queries on the hard driver
+    # signal — backlog zero for the first time.
     return {
         "tpch_q6": q_tpch_q6,
         "trimmed_margin": q_trimmed_margin,
@@ -4015,8 +4090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_percentiles": q_gap_percentiles,
         "sketch_merge": q_sketch_merge,
         "compression_check": q_compression_check,
-        # -- round-7 addition (never graded, by construction) --
+        # -- round-7 additions (never graded, by construction) --
         "group_weighted_pct_skew": q_group_weighted_pct_skew,
+        "cms_frequency": q_cms_frequency,
+        "containment_dedup": q_containment_dedup,
+        "quantile_contract": q_quantile_contract,
         # -- r6-rotation re-grades fill the window (r6 relative order) --
         "csv_roundtrip": q_csv_roundtrip,
         "json_roundtrip": q_json_roundtrip,
@@ -6761,6 +6839,85 @@ JOIN (VALUES (1), (500000), (1000000)) q(q_ppm)
  AND q.q_ppm * CAST(c.total_w AS HUGEINT)
        <= CAST(c.cw AS HUGEINT) * 1000000
 ORDER BY grp, q_ppm
+""",
+        # CMS cells are plain sums over the portable md5 hash, so the
+        # oracle replays the ESTIMATE VALUES bit-identically (contrast
+        # sketch_merge: HLL estimates are merge-tree-shaped, bound-only).
+        "cms_frequency": r"""
+WITH t AS (SELECT u.token AS token
+           FROM documents,
+                UNNEST(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  u(token)
+           WHERE u.token <> ''),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS true_n FROM t GROUP BY 1),
+cells AS (SELECT g.r,
+            CAST('0x' || substr(md5(token || '#' || g.r || '#cms'), 1, 15)
+                 AS BIGINT) % 256 AS col,
+            SUM(true_n) AS cell
+          FROM c, generate_series(0, 3) g(r)
+          GROUP BY 1, 2),
+top AS (SELECT token, true_n FROM c
+        QUALIFY row_number() OVER (ORDER BY true_n DESC, token ASC) <= 20),
+probe AS (SELECT t.token, t.true_n, g.r,
+            CAST('0x' || substr(md5(t.token || '#' || g.r || '#cms'), 1, 15)
+                 AS BIGINT) % 256 AS col
+          FROM top t, generate_series(0, 3) g(r)),
+est AS (SELECT p.token, p.true_n,
+          CAST(MIN(cells.cell) AS BIGINT) AS cms_est
+        FROM probe p JOIN cells ON cells.r = p.r AND cells.col = p.col
+        GROUP BY 1, 2)
+SELECT token, true_n, cms_est, cms_est >= true_n AS est_ge_true
+FROM est ORDER BY token
+""",
+        # same 4-gram shingle construction as ngram_jaccard's CTE, over
+        # the planted-superset corpus; containment = |∩|/min(|A|,|B|),
+        # filtered on the ROUNDED value exactly as the Spark side does
+        "containment_dedup": r"""
+WITH sel AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 13 = 0),
+aug AS (
+  SELECT doc_id, lang, text FROM sel
+  UNION ALL
+  SELECT doc_id + 1000000, lang,
+         text || ' zqpad0x' || CAST(doc_id AS VARCHAR)
+              || ' zqpad1x' || CAST(doc_id AS VARCHAR)
+              || ' zqpad2x' || CAST(doc_id AS VARCHAR)
+              || ' zqpad3x' || CAST(doc_id AS VARCHAR)
+              || ' zqpad4x' || CAST(doc_id AS VARCHAR)
+              || ' zqpad5x' || CAST(doc_id AS VARCHAR)
+  FROM sel),
+tok AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM aug),
+sh AS (SELECT DISTINCT doc_id, lang, u.s
+       FROM tok, UNNEST(list_transform(generate_series(1, greatest(len(t)-3,1)),
+                                       i -> array_to_string(t[i:i+3], ' '))) u(s)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b
+            ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(i * 1.0 / least(x.n, y.n), 6) AS containment
+FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE round(i * 1.0 / least(x.n, y.n), 6) >= 0.9
+ORDER BY id_a, id_b
+""",
+        # exact nearest-rank values replay (the group_percentiles CTE);
+        # the sketch's error-bound boolean is asserted TRUE — a correct
+        # percentile_approx cannot miss the target rank by more than
+        # 2·⌈n/accuracy⌉ under any partition layout
+        "quantile_contract": r"""
+WITH r AS (SELECT lang, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n_chars, doc_id) AS BIGINT)
+               AS pos,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+           FROM documents),
+q AS (SELECT CAST(unnest([50000, 500000, 950000, 990000]) AS BIGINT)
+        AS q_ppm)
+SELECT r.lang, q.q_ppm, r.n, r.n_chars, TRUE AS rank_within_bound
+FROM r JOIN q
+  ON (r.pos - 1) * 1000000 < q.q_ppm * r.n
+ AND q.q_ppm * r.n <= r.pos * 1000000
+ORDER BY lang, q_ppm
 """,
         "truncation_curve": r"""
 WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))

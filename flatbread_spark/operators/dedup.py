@@ -190,6 +190,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) whose smaller shingle set is ≥ ``threshold``
+    CONTAINED in the larger: containment = |∩| / min(|A|, |B|).
+
+    The asymmetric-inclusion blind spot of Jaccard dedup: a short document
+    quoted WHOLESALE inside a long one (news wire inside an aggregator
+    page, a README inside a vendored repo dump) has containment 1.0 but
+    Jaccard ≈ |short|/|long| → 0, so :func:`ngram_jaccard_pairs` at any
+    meaningful threshold never flags it. Pre-training corpora dedup on
+    BOTH signals (cf. the bipartite eval-side variant
+    :func:`contamination_pairs`; this is the symmetric within-corpus one).
+
+    Same two-phase scale shape as Jaccard: candidates share ≥ 1 shingle
+    hash — only (id, hash) pairs move, text never shuffles — then exact
+    verification on full hashed-shingle arrays, so emitted containments
+    are exact regardless of ``max_shingle_df`` candidate capping.
+    ``block_col`` / ``max_shingle_df`` carry the same 100 TB contract as
+    :func:`ngram_jaccard_pairs` (hot-shingle pair blowup is quadratic;
+    always cap at corpus scale). Returns ``(id_a, id_b, containment)``.
+    """
+    blocks = [block_col] if block_col else []
+    base = (
+        with_shingles(
+            df.select(F.col(id_col).alias("__id"), *[F.col(b) for b in blocks], text_col),
+            text_col, n,
+        )
+        .select(
+            "__id", *blocks,
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh"),
+        )
+        .transform(_pin)
+    )
+    sh = base.select("__id", *blocks, F.explode("__sh").alias("__h"))
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+        hot = dfreq.filter(F.col("__df") > max_shingle_df).select("__h")
+        sh = sh.join(hot, "__h", "left_anti")
+
+    a, b = sh.alias("a"), sh.alias("b")
+    join_cond = (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id"))
+    for blk in blocks:
+        join_cond &= F.col(f"a.{blk}") == F.col(f"b.{blk}")
+    cands = (
+        a.join(b, join_cond)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = base.select("__id", "__sh")
+    cands = (
+        cands.join(sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        cands.withColumn(
+            "containment",
+            F.round(inter.cast("double") / smaller.cast("double"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,

@@ -288,6 +288,93 @@ def group_percentiles(
     )
 
 
+def approx_percentile_check(
+    df: DataFrame,
+    group_cols: "Sequence[str] | str",
+    value_col: str,
+    key_col: str,
+    q_ppm: Sequence[int],
+    accuracy: int = 1000,
+    slack: int = 2,
+) -> DataFrame:
+    """Contract-grade ``percentile_approx`` (Spark's one-pass GK-family
+    quantile sketch — the 100 TB path where :func:`exact_percentiles`'
+    full rank pass is unaffordable) against the exact nearest-rank answer:
+    per (group, q), the RANK INTERVAL occupied by the approximate value
+    must intersect the target rank ± ``slack·⌈n/accuracy⌉`` — ``slack``×
+    the sketch's documented worst-case rank error ``n/accuracy``.
+
+    Graded like ``sketch_merge_check``: the approximate VALUE is
+    deliberately not emitted — like HLL, the sketch partial-aggregates
+    per partition, so the value can depend on the physical merge-tree
+    shape; the error-bound boolean is the documented contract and is what
+    survives any partition layout. Tie handling is exact: a value tied
+    across ranks [count_lt+1, count_le] passes iff that whole interval
+    intersects the tolerance band, so heavy ties neither mask nor fake a
+    violation. All comparisons are BIGINT products (no division, no libm).
+
+    Scale shape: one groupBy sketch pass (map-side partial aggregation,
+    O(groups × sketch) shuffle), one broadcast probe join for the rank
+    counts (the (group, q, est) frame is groups×k rows by construction),
+    plus the exact side's per-group window — the exact pass is the
+    GRADING scaffold only, priced like any per-stratum statistic.
+
+    Returns ``(<group_cols...>, q_ppm, n, <value_col> (exact nearest-rank
+    value), rank_within_bound)`` — exact values replay in ANSI SQL, the
+    boolean is asserted TRUE by the oracle.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    qs = sorted({int(q) for q in q_ppm})
+    exact = group_percentiles(df, groups, value_col, key_col, qs)
+    probs = F.array(*[F.lit(q / 1_000_000.0) for q in qs])
+    est = (
+        df.groupBy(*groups)
+        .agg(
+            F.percentile_approx(F.col(value_col), probs, F.lit(int(accuracy)))
+            .alias("__est")
+        )
+        .select(
+            *groups,
+            F.posexplode("__est").alias("__qi", "__est_v"),
+        )
+        .withColumn(
+            "q_ppm",
+            F.element_at(
+                F.array(*[F.lit(q).cast("bigint") for q in qs]),
+                F.col("__qi") + 1,
+            ),
+        )
+        .drop("__qi")
+    )
+    ranks = (
+        df.select(*groups, F.col(value_col).alias("__v"))
+        .join(F.broadcast(est), groups)
+        .groupBy(*groups, "q_ppm")
+        .agg(
+            F.sum((F.col("__v") <= F.col("__est_v")).cast("bigint"))
+            .alias("__count_le"),
+            F.sum((F.col("__v") < F.col("__est_v")).cast("bigint"))
+            .alias("__count_lt"),
+        )
+    )
+    joined = exact.join(ranks, [*groups, "q_ppm"])
+    # tol = slack · ⌈n/accuracy⌉ in pure BIGINT; target rank is exact's pos
+    acc = F.lit(int(accuracy)).cast("bigint")
+    tol = F.lit(int(slack)).cast("bigint") * (
+        (F.col("n") + acc - F.lit(1).cast("bigint")) / acc
+    ).cast("bigint")
+    within = (F.col("__count_lt") + 1 <= F.col("pos") + tol) & (
+        F.col("__count_le") >= F.col("pos") - tol
+    )
+    return joined.select(
+        *groups,
+        "q_ppm",
+        "n",
+        value_col,
+        within.alias("rank_within_bound"),
+    ).orderBy(*groups, "q_ppm")
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

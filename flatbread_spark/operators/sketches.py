@@ -179,3 +179,142 @@ def sketch_merge_check(
             <= err * F.col("exact_distinct")
         ).alias("global_within_bound"),
     )
+
+
+# ----------------------------------------------------------- count-min sketch
+
+def _cms_cell_col(key: "F.Column", r: int, width: int, salt: str) -> "F.Column":
+    """Column index of ``key`` in CMS row ``r`` — portable md5 arithmetic
+    (``dedup.portable_hash60``), so a SQL oracle replays the EXACT cells:
+    ``CAST('0x'||substr(md5(key||'#r#salt'),1,15) AS BIGINT) % width``."""
+    from flatbread_spark.operators.dedup import portable_hash60
+
+    return portable_hash60(
+        F.concat(key, F.lit(f"#{r}#{salt}"))
+    ) % F.lit(int(width))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: "str | F.Column",
+    depth: int = 4,
+    width: int = 256,
+    weight_col: "str | None" = None,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` occurrences → cell table
+    ``(r INT, col BIGINT, cell BIGINT)`` with at most ``depth × width``
+    rows. Mergeable by construction: CMS cells of two corpora (same
+    depth/width/salt) ADD — union the cell tables and re-sum — which is
+    what makes it the per-shard/per-day frequency summary at 100 TB.
+
+    Scale shape: one projection explodes each occurrence into ``depth``
+    (r, col) cells, and the groupBy's map-side partial aggregation
+    collapses every partition to ≤ depth×width rows BEFORE the exchange —
+    the shuffle is O(depth × width × partitions) regardless of input size
+    or vocabulary (the property the exact explode→groupBy wordcount plan
+    loses on open-web vocabularies; cf. the Misra-Gries note above).
+    Estimates are biased UP only: est ≥ true always; est ≤ true + εN with
+    ε = e/width at the usual probabilistic guarantee.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    w = F.lit(1).cast("bigint") if weight_col is None else F.col(weight_col).cast("bigint")
+    cells = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).cast("int").alias("r"),
+                    _cms_cell_col(key, r, width, salt).alias("col"),
+                )
+                for r in range(int(depth))
+            ])
+        ).alias("rc"),
+        w.alias("__w"),
+    )
+    return (
+        cells.groupBy(F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
+        .agg(F.sum("__w").alias("cell"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a :func:`cms_build`
+    cell table: est(key) = min over rows r of cell[r, h_r(key)].
+
+    The cell table is ≤ depth×width rows by construction, so it
+    BROADCASTS; the probe never shuffles the key frame. Keys absent from
+    the sketched corpus can still hash to occupied cells (the upward bias);
+    a fully empty cell coalesces to 0. Returns ``(key_col, cms_est)``.
+    """
+    key = F.col(key_col)
+    probes = keys.select(
+        key,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).cast("int").alias("r"),
+                    _cms_cell_col(key, r, width, salt).alias("col"),
+                )
+                for r in range(int(depth))
+            ])
+        ).alias("rc"),
+    ).select(key_col, F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).cast("bigint").alias("cms_est"))
+    )
+
+
+def cms_frequency_check(
+    df: DataFrame,
+    text_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """CMS grading harness over the token stream of ``text_col``: exact
+    top-``k`` tokens (count desc, token asc — the deterministic order) with
+    their CMS estimates and the one-sided contract ``est ≥ true`` that a
+    correct CMS can never violate. Estimates use the portable md5 hash, so
+    they are BIT-IDENTICAL in any engine — the oracle replays values, not
+    just booleans (contrast sketch_merge_check, where HLL estimates are
+    merge-tree-shaped and only the error bound is gradeable; CMS cells are
+    plain sums, which commute).
+
+    The exact-count side is the grading scaffold (vocabulary-sized
+    shuffle — fine at test SF); the production pairing at open-web scale
+    is :func:`cms_build` for frequencies + Misra-Gries
+    (:func:`approx_topk_tokens`) for the candidate set.
+    Returns ``(token, true_n, cms_est, est_ge_true)`` ordered by token.
+    """
+    toks = df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    cells = cms_build(toks, "token", depth=depth, width=width, salt=salt)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("token").asc())
+        .limit(int(k))
+    )
+    est = cms_estimate(cells, top.select("token"), "token",
+                       depth=depth, width=width, salt=salt)
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            "true_n",
+            "cms_est",
+            (F.col("cms_est") >= F.col("true_n")).alias("est_ge_true"),
+        )
+        .orderBy("token")
+    )
