@@ -77,6 +77,7 @@ from flatbread_spark.operators.dedup import (  # noqa: E402
     embedding_dup_pairs,
     minhash_lsh_pairs,
     minhash_probe,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -146,7 +147,11 @@ from flatbread_spark.operators.sampling import (  # noqa: E402
     sample_token_budget,
     sample_weighted,
 )
-from flatbread_spark.operators.sketches import approx_topk_tokens  # noqa: E402
+from flatbread_spark.operators.sketches import (  # noqa: E402
+    approx_topk_tokens,
+    cms_build,
+    cms_estimate,
+)
 from flatbread_spark.operators.spans import (  # noqa: E402
     hot_ngram_coverage,
     hot_ngram_hashes,
@@ -192,6 +197,7 @@ from flatbread_spark.operators.skew import (  # noqa: E402
 from flatbread_spark.operators.timeseries import rate_anomaly  # noqa: E402
 from flatbread_spark.operators.curation import label_vote  # noqa: E402
 from flatbread_spark.operators.ranking import (  # noqa: E402
+    approx_percentile_check,
     curriculum_order,
     exact_percentiles,
     group_percentiles,
@@ -255,6 +261,7 @@ __all__ = [
     "quantile_bucketize", "exact_percentiles", "boilerplate_prefixes",
     "strip_boilerplate_prefix", "ngram_novelty", "knn_quantized",
     "quantile_normalize", "winsorize", "group_percentiles", "standardize", "event_transitions",
+    "cms_build", "cms_estimate", "ngram_containment_pairs", "approx_percentile_check",
     "session_paths", "conversion_lag", "rolling_counts", "vocab_overlap",
     "gini_concentration", "characteristic_terms", "doc_freq_spectrum",
     "fps_select", "theil_sen", "weighted_percentiles", "rrf_fuse",

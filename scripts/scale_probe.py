@@ -584,6 +584,41 @@ def main():
         "coreset_fps_k64": lambda d, e: run_count(
             fb.fps_select(e, "vec_id", "embedding", k=64)
         ),
+        # round-15 operators
+        # CMS over the full token stream: shuffle is bounded at
+        # depth×width×partitions by map-side combine, so 10x input should
+        # cost ~the token scan, and the cell count stays ≤ d×w
+        "cms_build": lambda d, e: run_count(
+            fb.cms_build(
+                d.select(
+                    F.explode(
+                        F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                    ).alias("k")
+                ),
+                "k", depth=4, width=256,
+            )
+        ),
+        # adversarial for containment on purpose: every doc is a 10-way
+        # near-dup family sharing its whole suffix, so each family is
+        # ~45 high-containment pairs; candidate growth must stay
+        # family-quadratic (bounded), never corpus-quadratic. The
+        # hot-shingle cap is exercised live (family-shared shingles have
+        # df≈10; cross-family boilerplate above 64 is dropped from
+        # candidate generation only).
+        "containment_pairs": lambda d, e: run_count(
+            fb.ngram_containment_pairs(
+                d, "doc_id", "text", n=4, threshold=0.9,
+                max_shingle_df=64,
+            )
+        ),
+        # sketch-vs-exact quantile contract per lang: one sketch groupBy +
+        # broadcast rank probe + per-group window — all group-bounded
+        "quantile_contract": lambda d, e: run_count(
+            fb.approx_percentile_check(
+                d.select("doc_id", "lang", "n_chars"), "lang", "n_chars",
+                "doc_id", [50_000, 500_000, 990_000], accuracy=1000,
+            )
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():
