@@ -68,10 +68,22 @@ def collect_fingerprints(spark, verbose: bool = False) -> dict[str, dict[str, in
     # on it at import time.
     import __spark_entry__ as _entry
 
+    from flatbread_spark.cache import release
+
     out: dict[str, dict[str, int]] = {}
     for name, fn in _entry.queries().items():
         if name in SKIP:
             continue
+        # Full cache-state reset, not just clearCache(): the entry module
+        # memoizes the shared bruteforce baseline (_BF_CACHE) as an
+        # ALREADY-EXECUTED persisted DataFrame, whose memoized physical
+        # plan keeps its InMemoryTableScan even after clearCache() — so a
+        # fingerprint taken after any test/query that warmed the memo
+        # would read cached=1 while a fresh session reads 0. Dropping the
+        # memo (and unpinning) makes every fingerprint the fresh-session
+        # one, independent of what ran before in this session.
+        _entry._BF_CACHE.clear()
+        release()
         spark.catalog.clearCache()
         out[name] = plan_facts(fn(spark, GOLDEN_ENV["sf_dir"]))
         if verbose:
