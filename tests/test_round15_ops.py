@@ -153,6 +153,39 @@ class TestApproxPercentileContract:
         solo = [r for r in out if r["g"] == "solo"]
         assert all(r["v"] == 42 and r["n"] == 1 for r in solo)
 
+    def test_empty_inputs_yield_empty_not_crash(self, spark):
+        """The bug class the event-family sweep caught in r6, pinned for
+        the round-15 ops: empty frames flow through to empty results."""
+        from pyspark.sql import functions as F
+
+        from flatbread_spark.operators.dedup import ngram_containment_pairs
+        from flatbread_spark.operators.ranking import approx_percentile_check
+        from flatbread_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+            cms_frequency_check,
+        )
+
+        empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+        assert cms_frequency_check(empty_docs, "text").count() == 0
+        cells = cms_build(
+            empty_docs.select(F.col("text").alias("k")), "k"
+        )
+        assert cells.count() == 0
+        probe = spark.createDataFrame([("x",)], "k string")
+        # unseen key against an empty sketch: bias floor is 0, not NULL
+        assert cms_estimate(cells, probe, "k").collect()[0]["cms_est"] == 0
+        assert (
+            ngram_containment_pairs(empty_docs, "doc_id", "text").count() == 0
+        )
+        empty_v = spark.createDataFrame([], "g string, k bigint, v bigint")
+        assert (
+            approx_percentile_check(
+                empty_v, "g", "v", "k", [500_000]
+            ).count()
+            == 0
+        )
+
     def test_exact_value_is_nearest_rank(self, spark):
         from flatbread_spark.operators.ranking import approx_percentile_check
 
