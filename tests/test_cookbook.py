@@ -115,3 +115,79 @@ def test_monitoring_retrieval_cookbook(spark, documents, embeddings):
     assert coreset.count() == 4
     fixed = sample_exact_n(documents, "doc_id", 25)
     assert fixed.count() == 25
+
+
+def test_dedup_playbook_cookbook(spark, documents):
+    """Integration guard for the README "dedup playbook" cookbook: the
+    four pair producers and the cluster/survivor step compose, and the
+    family's ordering invariants hold on real corpus data — containment
+    dominates Jaccard pairwise, banded MinHash never invents a pair the
+    full Jaccard scan wouldn't, survivors are the cluster minima, and CMS
+    never undercounts the exact token frequencies."""
+    from flatbread_spark import (
+        cms_build,
+        cms_estimate,
+        dedup_clusters,
+        dedup_exact,
+        minhash_lsh_pairs,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = documents.select("doc_id", "lang", "text")
+
+    exact = dedup_exact(docs, "doc_id", "text")
+    assert exact.agg(F.sum("n_dups")).first()[0] == docs.count()
+
+    near = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, block_col="lang"
+    )
+    incl = ngram_containment_pairs(
+        docs, "doc_id", "text", threshold=0.5, block_col="lang"
+    )
+    banded = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+
+    jp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in near.collect()}
+    cp = {(r["id_a"], r["id_b"]): r["containment"] for r in incl.collect()}
+    # containment = |∩|/min ≥ |∩|/|∪| = jaccard, so at EQUAL thresholds the
+    # jaccard pair set embeds in the containment pair set, value-wise too
+    assert set(jp) <= set(cp)
+    assert all(cp[k] >= jp[k] - 1e-9 for k in jp)
+    # banding is candidate-capped recall over the SAME verified score:
+    # never a pair the full scan lacks, never a different value. MinHash
+    # has no block argument, so compare against the UNBLOCKED full scan
+    # (the lang-blocked run above drops legitimate cross-lang pairs).
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    bp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in banded.collect()}
+    assert set(bp) <= set(full)
+    assert all(abs(bp[k] - full[k]) < 1e-9 for k in bp)
+
+    pairs = (
+        near.select("id_a", "id_b")
+        .unionByName(incl.filter("containment >= 0.9").select("id_a", "id_b"))
+        .dropDuplicates()
+    )
+    labeled = dedup_clusters(docs, pairs)
+    rows = labeled.collect()
+    assert len(rows) == docs.count()
+    roots = {r["cluster_id"] for r in rows}
+    assert sum(1 for r in rows if r["is_survivor"]) == len(roots)
+    assert all(r["cluster_id"] <= r["doc_id"] for r in rows)
+
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).filter("token <> ''")
+    truth = (
+        toks.groupBy("token").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token").limit(5)
+    )
+    est = cms_estimate(
+        cms_build(toks, "token"), truth.select("token"), "token"
+    )
+    for r in truth.join(est, "token").collect():
+        assert r["cms_est"] >= r["n"]
