@@ -358,10 +358,12 @@ def approx_percentile_check(
         )
     )
     joined = exact.join(ranks, [*groups, "q_ppm"])
-    # tol = slack · ⌈n/accuracy⌉ in pure BIGINT; target rank is exact's pos
+    # tol = slack · ⌈n/accuracy⌉ — integral DIV keeps the whole predicate
+    # in BIGINT arithmetic (the docstring's no-division contract means no
+    # FLOATING division anywhere in the graded path)
     acc = F.lit(int(accuracy)).cast("bigint")
-    tol = F.lit(int(slack)).cast("bigint") * (
-        (F.col("n") + acc - F.lit(1).cast("bigint")) / acc
+    tol = F.lit(int(slack)).cast("bigint") * F.expr(
+        f"(n + {int(accuracy)} - 1) DIV {int(accuracy)}"
     ).cast("bigint")
     within = (F.col("__count_lt") + 1 <= F.col("pos") + tol) & (
         F.col("__count_le") >= F.col("pos") - tol
