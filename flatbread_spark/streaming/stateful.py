@@ -82,16 +82,27 @@ def stream_sessionize(
     schema,
     gap_minutes: int = 30,
     user_col: str = "user_id",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File stream → per-user stateful session stats (update mode).
 
     Returns the streaming DataFrame; caller attaches ``writeStream``. Each
     micro-batch emits the refreshed totals for users seen in that batch.
     ``schema`` must be the FILE schema; the kernel's int64-ns contract is
-    restored by normalizing right after the source."""
-    stream = ensure_epoch_ns(
-        spark.readStream.schema(schema).parquet(source_path), "ts"
-    )
+    restored by normalizing right after the source.
+
+    ``max_files_per_trigger`` rate-limits the drain to that many files per
+    micro-batch (availableNow honors it), exercising the cross-batch state
+    carry instead of folding everything in one batch. Batch-operator
+    equality then requires per-user TIME-ORDERED batches (the normal
+    daily-ingest shape): a late event arriving in a later batch than a
+    newer one computes a negative gap and merges into the CURRENT session,
+    where the batch sort might have split differently — the same
+    first-wins caveat every O(users)-state sessionizer carries."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = ensure_epoch_ns(reader.parquet(source_path), "ts")
     return (
         stream.groupBy(F.col(user_col))
         .applyInPandasWithState(

@@ -1,0 +1,146 @@
+"""Property sweep for the stateful streaming sessionizer: a randomized
+event log, split into per-user TIME-ORDERED micro-batches (the kernel's
+documented arrival contract — normal daily-ingest shape), drained with
+``maxFilesPerTrigger=1`` must equal the batch ``sessionize`` exactly.
+
+This is the guarantee the example-based replay tests can't give: they
+drain in ONE batch, so the cross-batch state carry (last_ts handoff,
+session continuation across a file boundary, gap-exactly-equal NOT
+splitting) was never exercised under random shapes. Timestamps are drawn
+tie-heavy and gap-straddling on purpose."""
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SET = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+GAP_MIN = 1
+GAP_NS = GAP_MIN * 60 * 1_000_000_000
+
+# events as (user, ts_step) where consecutive per-user deltas are multiples
+# / fractions of the gap: 0 (tie), half-gap (same session), EXACTLY the gap
+# (contract: NOT a new session — the rule is strict >), gap+1ns (new)
+delta = st.sampled_from([0, GAP_NS // 2, GAP_NS, GAP_NS + 1, 3 * GAP_NS])
+event = st.tuples(st.integers(0, 2), delta)
+log = st.lists(event, min_size=1, max_size=18)
+
+
+def build_rows(data):
+    """Cumulate per-user deltas into absolute ns timestamps; event_id is
+    the global sequence number (the deterministic tiebreaker)."""
+    cur = {}
+    rows = []
+    for i, (u, d) in enumerate(data):
+        cur[u] = cur.get(u, 1_000_000_000_000) + d
+        rows.append((u, i, cur[u]))
+    return rows  # (user_id, event_id, ts)
+
+
+@given(data=log, n_files=st.integers(1, 3))
+@settings(**SET)
+def test_multibatch_drain_equals_batch_sessionize(spark, data, n_files, tmp_path_factory):
+    from flatbread_spark.streaming.stateful import stream_sessionize
+    from flatbread_spark.streaming.windows import sessionize
+
+    rows = build_rows(data)
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, ts bigint")
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["max_session_events"])
+        for r in sessionize(df, gap_minutes=GAP_MIN).collect()
+    }
+
+    # split by GLOBAL time into contiguous files: per-user batch arrival is
+    # then time-ordered, the kernel's documented contract
+    ordered = sorted(rows, key=lambda r: (r[2], r[1]))
+    per_file = max(1, (len(ordered) + n_files - 1) // n_files)
+    stream_dir = tmp_path_factory.mktemp("sess_sweep")
+    for fi in range(n_files):
+        part = ordered[fi * per_file : (fi + 1) * per_file]
+        if not part:
+            continue
+        spark.createDataFrame(
+            part, "user_id bigint, event_id bigint, ts bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(stream_dir / f"f{fi}.parquet")
+        )
+    # each f{fi}.parquet is a DIRECTORY of one part-file; stream the glob
+    sdf = stream_sessionize(
+        spark,
+        str(stream_dir / "*" / "*.parquet"),
+        df.schema,
+        gap_minutes=GAP_MIN,
+        max_files_per_trigger=1,
+    )
+    name = f"sess_sweep_{abs(hash((tuple(data), n_files))) % 10**9}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    got = {
+        int(r.user_id): (
+            int(r.n_sessions), int(r.n_events), int(r.max_session_events)
+        )
+        for r in pdf.groupby("user_id").tail(1).itertuples()
+    }
+    spark.catalog.dropTempView(name)
+    assert got == batch
+
+
+def test_session_straddles_file_boundary(spark, tmp_path):
+    """Directed proof the sweep exercises the cross-batch carry: one
+    user's 6 events across 3 single-row-pair files, with one SESSION
+    straddling the second file boundary (half-gap step across files) —
+    update mode must emit one refreshed row per micro-batch (3 rows) and
+    the final totals must equal the batch answer."""
+    from flatbread_spark.streaming.stateful import stream_sessionize
+    from flatbread_spark.streaming.windows import sessionize
+
+    t0 = 1_000_000_000_000
+    rows = [
+        (7, 0, t0),
+        (7, 1, t0 + GAP_NS // 2),            # same session
+        (7, 2, t0 + 4 * GAP_NS),             # new session   | file 1 ends
+        (7, 3, t0 + 4 * GAP_NS + GAP_NS // 2),  # continues across boundary
+        (7, 4, t0 + 9 * GAP_NS),             # new session   | file 2 ends
+        (7, 5, t0 + 9 * GAP_NS + GAP_NS),    # EXACTLY gap: continues (strict >)
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, ts bigint")
+    batch = sessionize(df, gap_minutes=GAP_MIN).collect()[0]
+    assert (batch["n_sessions"], batch["n_events"], batch["max_session_events"]) \
+        == (3, 6, 2)
+
+    for fi in range(3):
+        spark.createDataFrame(
+            rows[2 * fi : 2 * fi + 2], "user_id bigint, event_id bigint, ts bigint"
+        ).coalesce(1).write.parquet(str(tmp_path / f"f{fi}.parquet"))
+    sdf = stream_sessionize(
+        spark, str(tmp_path / "*" / "*.parquet"), df.schema,
+        gap_minutes=GAP_MIN, max_files_per_trigger=1,
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sess_straddle")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pdf = spark.sql("SELECT * FROM sess_straddle").toPandas()
+    spark.catalog.dropTempView("sess_straddle")
+    # one update row per micro-batch: the drain really ran 3 batches
+    assert len(pdf) == 3
+    last = pdf.iloc[-1]
+    assert (int(last.n_sessions), int(last.n_events),
+            int(last.max_session_events)) == (3, 6, 2)
