@@ -144,3 +144,43 @@ def test_session_straddles_file_boundary(spark, tmp_path):
     last = pdf.iloc[-1]
     assert (int(last.n_sessions), int(last.n_events),
             int(last.max_session_events)) == (3, 6, 2)
+
+
+def test_stream_dedup_drops_cross_batch_duplicate(spark, tmp_path):
+    """Cross-batch dedup state: a duplicate fingerprint arriving in a
+    LATER micro-batch (within the watermark delay) must be dropped — the
+    existing replay test drains one batch, so the keyed state lookup
+    across batches was never exercised. Also pins the survivor: the FIRST
+    arrival's row is the one emitted."""
+    from flatbread_spark.streaming.dedup import stream_dedup_exact
+
+    base = 1_700_000_000
+    f1 = [(0, "alpha text", base), (1, "beta text", base + 1)]
+    f2 = [(2, "alpha text", base + 60),   # dup of doc 0, next batch
+          (3, "gamma text", base + 61)]
+    schema = "doc_id bigint, text string, sec bigint"
+    for fi, rows in enumerate((f1, f2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"f{fi}.parquet")
+        )
+    sdf = (
+        spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "*" / "*.parquet"))
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    )
+    deduped = stream_dedup_exact(sdf, "text", "ts", delay="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_xbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, text FROM dedup_xbatch").collect()
+    spark.catalog.dropTempView("dedup_xbatch")
+    got = {r["doc_id"] for r in rows}
+    assert got == {0, 1, 3}, got  # doc 2 (the cross-batch dup) dropped
