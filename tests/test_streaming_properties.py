@@ -184,3 +184,46 @@ def test_stream_dedup_drops_cross_batch_duplicate(spark, tmp_path):
     spark.catalog.dropTempView("dedup_xbatch")
     got = {r["doc_id"] for r in rows}
     assert got == {0, 1, 3}, got  # doc 2 (the cross-batch dup) dropped
+
+
+def test_stream_heavy_hitters_recall_across_batches(spark, tmp_path):
+    """Misra-Gries recall must survive the CROSS-BATCH state merge: a
+    token whose global frequency clears N/(width+1) only when both
+    micro-batches are combined (8+8=16 of N=48 > 48/5) must be in the
+    drained candidates even though each batch alone also brings 16 fresh
+    noise tokens competing for the 4 counters. The existing heavy-hitter
+    test drains one batch, so the state-carry decrement path was never
+    exercised."""
+    from flatbread_spark.streaming.topk import (
+        drain_final_summary,
+        stream_heavy_hitters,
+    )
+
+    schema = "doc_id bigint, text string"
+    mk = lambda fi: [
+        (fi * 100 + i, f"hot noise{fi}a{i} noise{fi}b{i}") for i in range(8)
+    ]
+    for fi in range(2):
+        spark.createDataFrame(mk(fi), schema).coalesce(1).write.parquet(
+            str(tmp_path / f"f{fi}.parquet")
+        )
+    sdf = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "*" / "*.parquet"))
+    )
+    hh = stream_heavy_hitters(sdf, "text", width=4, n_buckets=2)
+    q = (
+        hh.writeStream.format("memory")
+        .queryName("hh_xbatch")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM hh_xbatch")
+    # the drain really ran 2 micro-batches: summary seq advances past 1
+    assert emitted.agg(F.max("seq")).first()[0] >= 2
+    cand = {r["token"] for r in drain_final_summary(emitted).collect()}
+    spark.catalog.dropTempView("hh_xbatch")
+    assert "hot" in cand
