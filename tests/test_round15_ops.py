@@ -69,6 +69,23 @@ class TestCountMin:
             merged[rc] = merged.get(rc, 0) + v
         assert merged == whole
 
+    def test_weighted_cells_equal_pre_aggregated_counts(self, spark):
+        """The weight lane: building from (key, weight) rows must equal
+        building from the exploded occurrence stream — i.e. CMS cells are
+        linear in the weights, the property that lets the 100 TB path
+        sketch pre-aggregated per-shard counts instead of raw tokens."""
+        from flatbread_spark.operators.sketches import cms_build
+
+        occ = self._keys(spark)
+        agg = occ.groupBy("k").agg(F.count(F.lit(1)).alias("w"))
+
+        def cellmap(cells):
+            return {(r["r"], r["col"]): r["cell"] for r in cells.collect()}
+
+        assert cellmap(
+            cms_build(agg, "k", depth=4, width=16, weight_col="w")
+        ) == cellmap(cms_build(occ, "k", depth=4, width=16))
+
     def test_unseen_key_estimate_is_bias_only(self, spark):
         from flatbread_spark.operators.sketches import cms_build, cms_estimate
 
