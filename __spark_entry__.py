@@ -3461,9 +3461,12 @@ def q_containment_dedup(spark, sf_dir):
     inside a longer one, where Jaccard → 0 (ngram_jaccard's blind spot;
     contamination_pairs is the bipartite eval-side variant). Every 13th
     document is re-emitted as a planted superset (id+1_000_000, six
-    doc-keyed pad tokens appended): the original's shingles are fully
-    contained, so each plants an exact containment-1.0 pair while its
-    Jaccard degrades. Two-phase: candidates share ≥1 shingle hash within
+    doc-keyed pad tokens appended): for documents of ≥ n tokens the
+    original's shingles are fully contained, so each plants an exact
+    containment-1.0 pair while its Jaccard degrades. (A < n-token base
+    doc yields one whole-text gram that no padded superset shares — such
+    rows plant nothing on EITHER engine, so parity holds; this corpus
+    has none. Cf. q_contamination_planted's explicit empty-text filter.) Two-phase: candidates share ≥1 shingle hash within
     a lang block (id+hash pairs only move), exact verify on full arrays."""
     from flatbread_spark.operators.dedup import ngram_containment_pairs
 

@@ -238,7 +238,10 @@ def main() -> None:
     # measurement; "timing": "min_of_2" marks the semantics so readers
     # never compare these values 1:1 against pre-r7 single-shot rounds
     # (ADVICE r6), and "first_pass_sec" keeps the old single-shot total
-    # for exactly that comparison.
+    # for exactly that comparison. (Caveat even for first_pass_sec: each
+    # first pass now runs after every EARLIER query executed twice, so
+    # GC/JIT/cache conditions differ slightly from true pre-r7 runs —
+    # treat cross-round first-pass diffs as indicative, not exact.)
     first_pass = 0.0
     for name in names:
         fn = qs[name]
@@ -251,6 +254,11 @@ def main() -> None:
             except Exception as e:  # keep the harness alive; failure = inf
                 if not runs:
                     print(f"# FAIL {name}: {e}", file=sys.stderr)
+                else:
+                    # a flaky SECOND run must not hide behind the first's
+                    # healthy time — surface it for the snapshot reader
+                    print(f"# FLAKY {name} (2nd run failed): {e}",
+                          file=sys.stderr)
                 break
             runs.append(round(time.perf_counter() - t0, 3))
         if not runs:

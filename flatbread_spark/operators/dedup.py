@@ -118,33 +118,20 @@ def dedup_incremental(
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 4,
-    threshold: float = 0.5,
-    block_col: str | None = None,
-    max_shingle_df: int | None = None,
+    n: int,
+    block_col: str | None,
+    max_shingle_df: int | None,
 ) -> DataFrame:
-    """All pairs (a < b) with word-n-gram Jaccard ≥ threshold.
-
-    Returns (id_a, id_b, jaccard). Two-phase: (1) candidate pairs share ≥1
-    shingle hash (self-join on one bigint per (doc, shingle) — content never
-    moves); (2) candidates are verified with exact Jaccard on the full
-    shingle-hash arrays, so the output value is exact regardless of capping.
-
-    Scale controls — at corpus scale always use at least one:
-    - ``block_col`` restricts candidates to equal blocks (language, source,
-      length bucket …).
-    - ``max_shingle_df`` drops shingles whose document frequency exceeds the
-      cap from CANDIDATE GENERATION only (the standard hot-shingle
-      mitigation: a shingle in 10⁶ docs would otherwise contribute ~10¹²/2
-      candidate pairs). Verification still uses full shingle sets, so
-      emitted Jaccards are exact; the recall trade-off is that a pair is
-      missed only if EVERY shared shingle is above the cap — for near-dups
-      at a meaningful threshold this requires the documents to be built
-      almost entirely of boilerplate.
+    """Shared two-phase machinery of :func:`ngram_jaccard_pairs` and
+    :func:`ngram_containment_pairs`: shingle → hash → pin, hot-shingle
+    candidate cap, blocked self-join, full-array rejoin. Returns the
+    verified-candidate frame ``(id_a, id_b, sh_a, sh_b)``; the caller
+    applies its score expression — the ONLY thing the two operators
+    differ in, so cap/block/pin semantics can never diverge between them.
     """
     blocks = [block_col] if block_col else []
     base = (
@@ -177,9 +164,42 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sets = base.select("__id", "__sh")
-    cands = (
+    return (
         cands.join(sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with word-n-gram Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, jaccard). Two-phase: (1) candidate pairs share ≥1
+    shingle hash (self-join on one bigint per (doc, shingle) — content never
+    moves); (2) candidates are verified with exact Jaccard on the full
+    shingle-hash arrays, so the output value is exact regardless of capping.
+
+    Scale controls — at corpus scale always use at least one:
+    - ``block_col`` restricts candidates to equal blocks (language, source,
+      length bucket …).
+    - ``max_shingle_df`` drops shingles whose document frequency exceeds the
+      cap from CANDIDATE GENERATION only (the standard hot-shingle
+      mitigation: a shingle in 10⁶ docs would otherwise contribute ~10¹²/2
+      candidate pairs). Verification still uses full shingle sets, so
+      emitted Jaccards are exact; the recall trade-off is that a pair is
+      missed only if EVERY shared shingle is above the cap — for near-dups
+      at a meaningful threshold this requires the documents to be built
+      almost entirely of boilerplate.
+    """
+    cands = _shingle_pair_candidates(
+        df, id_col, text_col, n, block_col, max_shingle_df
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -210,7 +230,8 @@ def ngram_containment_pairs(
     BOTH signals (cf. the bipartite eval-side variant
     :func:`contamination_pairs`; this is the symmetric within-corpus one).
 
-    Same two-phase scale shape as Jaccard: candidates share ≥ 1 shingle
+    Same two-phase scale shape as Jaccard (shared machinery:
+    :func:`_shingle_pair_candidates`): candidates share ≥ 1 shingle
     hash — only (id, hash) pairs move, text never shuffles — then exact
     verification on full hashed-shingle arrays, so emitted containments
     are exact regardless of ``max_shingle_df`` candidate capping.
@@ -218,37 +239,8 @@ def ngram_containment_pairs(
     :func:`ngram_jaccard_pairs` (hot-shingle pair blowup is quadratic;
     always cap at corpus scale). Returns ``(id_a, id_b, containment)``.
     """
-    blocks = [block_col] if block_col else []
-    base = (
-        with_shingles(
-            df.select(F.col(id_col).alias("__id"), *[F.col(b) for b in blocks], text_col),
-            text_col, n,
-        )
-        .select(
-            "__id", *blocks,
-            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh"),
-        )
-        .transform(_pin)
-    )
-    sh = base.select("__id", *blocks, F.explode("__sh").alias("__h"))
-    if max_shingle_df is not None:
-        dfreq = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
-        hot = dfreq.filter(F.col("__df") > max_shingle_df).select("__h")
-        sh = sh.join(hot, "__h", "left_anti")
-
-    a, b = sh.alias("a"), sh.alias("b")
-    join_cond = (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id"))
-    for blk in blocks:
-        join_cond &= F.col(f"a.{blk}") == F.col(f"b.{blk}")
-    cands = (
-        a.join(b, join_cond)
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sets = base.select("__id", "__sh")
-    cands = (
-        cands.join(sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
-        .join(sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    cands = _shingle_pair_candidates(
+        df, id_col, text_col, n, block_col, max_shingle_df
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     smaller = F.least(F.size("sh_a"), F.size("sh_b"))

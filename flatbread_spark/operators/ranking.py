@@ -325,6 +325,14 @@ def approx_percentile_check(
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     qs = sorted({int(q) for q in q_ppm})
+    # NULL values carry no rank on ANY side of this contract:
+    # percentile_approx skips them, but group_percentiles' window would
+    # rank them FIRST and count them into n/pos, and the probe sums
+    # (__v <= est) would silently drop them — three different NULL
+    # semantics that would false-fail a conforming sketch (and could emit
+    # a NULL row as the "exact" low quantile). Dropping them up front
+    # gives every side the same population.
+    df = df.filter(F.col(value_col).isNotNull())
     exact = group_percentiles(df, groups, value_col, key_col, qs)
     probs = F.array(*[F.lit(q / 1_000_000.0) for q in qs])
     est = (

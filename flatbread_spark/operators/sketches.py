@@ -219,6 +219,11 @@ def cms_build(
     """
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     w = F.lit(1).cast("bigint") if weight_col is None else F.col(weight_col).cast("bigint")
+    # NULL keys carry no frequency: concat(NULL,...) hashes to a NULL
+    # column index, which would mint (r, NULL) cells — past the
+    # depth×width bound, invisible to every probe (joins never match
+    # NULL), and unaccounted in the row-sum merge invariant.
+    df = df.filter(key.isNotNull())
     cells = df.select(
         F.explode(
             F.array(*[
@@ -251,9 +256,12 @@ def cms_estimate(
     The cell table is ≤ depth×width rows by construction, so it
     BROADCASTS; the probe never shuffles the key frame. Keys absent from
     the sketched corpus can still hash to occupied cells (the upward bias);
-    a fully empty cell coalesces to 0. Returns ``(key_col, cms_est)``.
+    a fully empty cell coalesces to 0. NULL keys are dropped (they carry
+    no frequency — the :func:`cms_build` contract).
+    Returns ``(key_col, cms_est)``.
     """
     key = F.col(key_col)
+    keys = keys.filter(key.isNotNull())
     probes = keys.select(
         key,
         F.explode(
@@ -296,9 +304,20 @@ def cms_frequency_check(
     (:func:`approx_topk_tokens`) for the candidate set.
     Returns ``(token, true_n, cms_est, est_ge_true)`` ordered by token.
     """
-    toks = df.select(
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token")
-    ).filter(F.col("token") != "")
+    from flatbread_spark.cache import pin
+
+    # Two consumers read the token stream (sketch cells + exact top-k), so
+    # the GRADING harness pins it — same discipline as the dedup base
+    # frames. Production never materializes tokens: it calls cms_build
+    # directly (one streaming pass, nothing persisted).
+    toks = pin(
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("token")
+        ).filter(F.col("token") != ""),
+        tag="sketch",
+    )
     cells = cms_build(toks, "token", depth=depth, width=width, salt=salt)
     top = (
         toks.groupBy("token")

@@ -69,6 +69,25 @@ class TestCountMin:
             merged[rc] = merged.get(rc, 0) + v
         assert merged == whole
 
+    def test_null_keys_carry_no_frequency(self, spark):
+        """NULL keys would hash to a NULL column index and mint (r, NULL)
+        cells — past the depth×width bound, invisible to probes,
+        unaccounted in row sums. The contract drops them on both sides."""
+        from flatbread_spark.operators.sketches import cms_build, cms_estimate
+
+        rows = [("a",)] * 3 + [(None,)] * 5 + [("b",)]
+        df = spark.createDataFrame(rows, "k string")
+        cells = cms_build(df, "k", depth=3, width=8)
+        collected = cells.collect()
+        assert all(r["col"] is not None for r in collected)
+        by_row = {}
+        for r in collected:
+            by_row[r["r"]] = by_row.get(r["r"], 0) + r["cell"]
+        assert set(by_row.values()) == {4}  # non-NULL occurrences only
+        probe = spark.createDataFrame([("a",), (None,)], "k string")
+        est = cms_estimate(cells, probe, "k", depth=3, width=8).collect()
+        assert [(r["k"], r["cms_est"] >= 3) for r in est] == [("a", True)]
+
     def test_weighted_cells_equal_pre_aggregated_counts(self, spark):
         """The weight lane: building from (key, weight) rows must equal
         building from the exploded occurrence stream — i.e. CMS cells are
@@ -202,6 +221,26 @@ class TestApproxPercentileContract:
             ).count()
             == 0
         )
+
+    def test_null_values_carry_no_rank(self, spark):
+        """NULL values have three different semantics across the contract's
+        sides (window ranks them first, percentile_approx skips them, the
+        probe sums drop them) — the operator must drop them up front so a
+        conforming sketch can't false-fail and the low quantile can't be
+        a NULL row."""
+        from flatbread_spark.operators.ranking import approx_percentile_check
+
+        rows = [("g", i, None) for i in range(10)] + [
+            ("g", 100 + i, (i + 1) * 10) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "g string, k bigint, v bigint")
+        out = approx_percentile_check(
+            df, "g", "v", "k", [50_000, 500_000, 990_000], accuracy=100
+        ).collect()
+        assert len(out) == 3
+        assert all(r["n"] == 100 for r in out)          # NULLs not counted
+        assert all(r["v"] is not None for r in out)     # never a NULL row
+        assert all(r["rank_within_bound"] for r in out)
 
     def test_exact_value_is_nearest_rank(self, spark):
         from flatbread_spark.operators.ranking import approx_percentile_check
