@@ -74,3 +74,31 @@ def test_type_guard_catches_width_drift():
     assert type_mismatches([("ts", "timestamp_ntz")], ["ts"], ["TIMESTAMP"])
     # column missing on the duck side is the main compare's job, not ours
     assert type_mismatches(spark_dtypes, ["other"], ["BIGINT"]) == []
+
+
+def test_value_comparator_sensitivity():
+    """Negative controls for the gate's own comparator: the pieces that
+    decide pass/fail must themselves be provably sensitive. The driver
+    hashes BYTES, so the local stand-in repr-compares floats — -0.0 vs
+    0.0 and a last-ulp drift must FAIL here even though == calls them
+    equal; NaN must compare EQUAL to NaN (both engines emit it for
+    defined NaN results); and the multiset row-compare must be blind to
+    row/column order yet catch a single changed cell."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_oracle import norm_cell, norm_rows
+
+    assert norm_cell(-0.0) != norm_cell(0.0)
+    x = 48.5
+    assert norm_cell(x) != norm_cell(x + 2**-46)  # last-ulp drift fails
+    assert norm_cell(float("nan")) == norm_cell(float("nan"))
+    assert norm_cell(None) is None
+
+    cols = ["b", "a"]
+    spark_rows = [(1, "x"), (2, "y")]
+    # same multiset, different row order and pre-sorted column order
+    duck_rows = [(2, "y"), (1, "x")]
+    assert norm_rows(cols, spark_rows) == norm_rows(cols, duck_rows)
+    # one changed cell is caught
+    assert norm_rows(cols, spark_rows) != norm_rows(cols, [(1, "x"), (2, "z")])
+    # a renamed column changes the key even with identical values
+    assert norm_rows(["b", "c"], spark_rows)[0] != norm_rows(cols, spark_rows)[0]
