@@ -102,6 +102,19 @@ def type_mismatches(spark_dtypes, duck_cols, duck_types):
 # three straight rounds — never let a graded column shadow these.
 ROW_ATTR_HAZARDS = frozenset(dir(tuple())) | {"asDict"}
 
+# These oracles embed VALUES literals computed from the sf0.01 dataset
+# (pinned recall tables, FPS picks, LSH candidate pair lists) because the
+# quantity they grade is a deterministic function of THAT corpus, not a
+# recomputable expression. Off sf0.01 the literal — not the operator — is
+# wrong by construction (verified: exactly these 8 fail at sf0.1 AND at
+# sf0.001, whose embeddings are a different 500-row draw; every
+# data-parameterized oracle passes at all SFs), so the sweep skips them
+# with a note unless explicitly requested on the CLI.
+PINNED_SF001 = {
+    "knn_lsh", "knn_ivf", "knn_ivf_sweep", "knn_quantized_recall",
+    "coreset_fps", "mmr_rerank", "embedding_dups_lsh", "semantic_dedup",
+}
+
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -136,8 +149,12 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failed = []
+    pinned_off_sf = "sf0.01" not in os.path.normpath(sf_dir)
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if pinned_off_sf and name in PINNED_SF001 and name not in only:
+            print(f"skip  {name}: oracle literal pinned to sf0.01")
             continue
         t0 = time.time()
         try:
