@@ -79,6 +79,7 @@ from flatbread_spark.operators.dedup import (  # noqa: E402
     minhash_probe,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+    ngram_pair_scores,
     simhash_pairs,
 )
 from flatbread_spark.operators.bloom import (  # noqa: E402
@@ -261,7 +262,7 @@ __all__ = [
     "quantile_bucketize", "exact_percentiles", "boilerplate_prefixes",
     "strip_boilerplate_prefix", "ngram_novelty", "knn_quantized",
     "quantile_normalize", "winsorize", "group_percentiles", "standardize", "event_transitions",
-    "cms_build", "cms_estimate", "ngram_containment_pairs", "approx_percentile_check",
+    "cms_build", "cms_estimate", "ngram_containment_pairs", "ngram_pair_scores", "approx_percentile_check",
     "session_paths", "conversion_lag", "rolling_counts", "vocab_overlap",
     "gini_concentration", "characteristic_terms", "doc_freq_spectrum",
     "fps_select", "theil_sen", "weighted_percentiles", "rrf_fuse",

@@ -254,6 +254,50 @@ def ngram_containment_pairs(
     )
 
 
+def ngram_pair_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    jaccard_threshold: float = 0.5,
+    containment_threshold: float = 0.8,
+    block_col: str | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """BOTH near-dup scores from ONE candidate pass: pairs (a < b) passing
+    EITHER the Jaccard or the containment threshold, with both values.
+
+    The dedup playbook wants both signals over the same corpus (Jaccard
+    for symmetric near-dups, containment for wholesale inclusion); calling
+    the two single-score operators runs the shared shingle/hash/self-join
+    machinery — the single most expensive stage — twice and pins two
+    copies of the identical base frame. This derives both scores from one
+    verified-candidate frame, halving that cost and the cache footprint.
+    Returns ``(id_a, id_b, jaccard, containment)``; filter on either
+    column downstream.
+    """
+    cands = _shingle_pair_candidates(
+        df, id_col, text_col, n, block_col, max_shingle_df
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        cands.withColumn(
+            "jaccard", F.round(inter.cast("double") / union.cast("double"), 6)
+        )
+        .withColumn(
+            "containment",
+            F.round(inter.cast("double") / smaller.cast("double"), 6),
+        )
+        .filter(
+            (F.col("jaccard") >= jaccard_threshold)
+            | (F.col("containment") >= containment_threshold)
+        )
+        .select("id_a", "id_b", "jaccard", "containment")
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,

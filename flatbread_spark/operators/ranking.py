@@ -321,7 +321,9 @@ def approx_percentile_check(
 
     Returns ``(<group_cols...>, q_ppm, n, <value_col> (exact nearest-rank
     value), rank_within_bound)`` — exact values replay in ANSI SQL, the
-    boolean is asserted TRUE by the oracle.
+    boolean is asserted TRUE by the oracle. Rows with NULL *values* are
+    dropped (they carry no rank on any side); strata with NULL *group
+    keys* are graded like any other (null-safe joins throughout).
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     qs = sorted({int(q) for q in q_ppm})
@@ -354,9 +356,21 @@ def approx_percentile_check(
         )
         .drop("__qi")
     )
+    # NULL-SAFE stratum joins: a NULL group key (unclassified lang, absent
+    # source) is a real stratum — groupBy and the exact side's window both
+    # compute it, so plain EqualTo joins here would silently drop its
+    # contract rows and a bound violation in that stratum would pass
+    # ungraded. eqNullSafe keeps every stratum on the hook.
+    gsafe = [f"__g{i}" for i in range(len(groups))]
+    est = est.select(
+        *[F.col(g).alias(a) for g, a in zip(groups, gsafe)], "q_ppm", "__est_v"
+    )
+    probe = df.select(*groups, F.col(value_col).alias("__v"))
+    cond = F.lit(True)
+    for g, a in zip(groups, gsafe):
+        cond = cond & F.col(g).eqNullSafe(F.col(a))
     ranks = (
-        df.select(*groups, F.col(value_col).alias("__v"))
-        .join(F.broadcast(est), groups)
+        probe.join(F.broadcast(est), cond)
         .groupBy(*groups, "q_ppm")
         .agg(
             F.sum((F.col("__v") <= F.col("__est_v")).cast("bigint"))
@@ -365,7 +379,16 @@ def approx_percentile_check(
             .alias("__count_lt"),
         )
     )
-    joined = exact.join(ranks, [*groups, "q_ppm"])
+    rsafe = ranks.select(
+        *[F.col(g).alias(a) for g, a in zip(groups, gsafe)],
+        F.col("q_ppm").alias("__rq"),
+        "__count_le",
+        "__count_lt",
+    )
+    jcond = F.col("q_ppm") == F.col("__rq")
+    for g, a in zip(groups, gsafe):
+        jcond = jcond & F.col(g).eqNullSafe(F.col(a))
+    joined = exact.join(rsafe, jcond)
     # tol = slack · ⌈n/accuracy⌉ — integral DIV keeps the whole predicate
     # in BIGINT arithmetic (the docstring's no-division contract means no
     # FLOATING division anywhere in the graded path)

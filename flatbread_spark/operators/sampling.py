@@ -349,7 +349,14 @@ def fps_select(
 
     Returns ``(rank, <id_col>, min_dist)`` — selection order starting at
     the smallest id (rank 0, min_dist 0 by convention), each later row
-    carrying its max-min code distance at selection time.
+    carrying its max-min code distance at selection time. MAY RETURN
+    FEWER THAN ``k`` ROWS: a point whose int8 codes exactly equal a
+    chosen point's adds zero diversity and is never selected (that
+    includes true duplicates AND distinct vectors that quantize to the
+    same codes — common in near-dup-heavy pools), so the scan stops when
+    only code-duplicates remain. Callers that need exactly ``k`` rows
+    (fixed-size eval splits) should check ``count()`` and pad from
+    :func:`sample_deterministic`.
     """
     if k < 1:
         raise ValueError("fps_select requires k >= 1")

@@ -194,6 +194,21 @@ def _cms_cell_col(key: "F.Column", r: int, width: int, salt: str) -> "F.Column":
     ) % F.lit(int(width))
 
 
+def _cms_rc(key: "F.Column", depth: int, width: int, salt: str) -> "F.Column":
+    """The exploded (r, col) address array for ``key`` — ONE definition of
+    cell addressing shared by build and probe, so a salt/width change can
+    never make them address different cells."""
+    return F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(r).cast("int").alias("r"),
+                _cms_cell_col(key, r, width, salt).alias("col"),
+            )
+            for r in range(int(depth))
+        ])
+    )
+
+
 def cms_build(
     df: DataFrame,
     key_col: "str | F.Column",
@@ -225,15 +240,7 @@ def cms_build(
     # NULL), and unaccounted in the row-sum merge invariant.
     df = df.filter(key.isNotNull())
     cells = df.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(r).cast("int").alias("r"),
-                    _cms_cell_col(key, r, width, salt).alias("col"),
-                )
-                for r in range(int(depth))
-            ])
-        ).alias("rc"),
+        _cms_rc(key, depth, width, salt).alias("rc"),
         w.alias("__w"),
     )
     return (
@@ -264,15 +271,7 @@ def cms_estimate(
     keys = keys.filter(key.isNotNull())
     probes = keys.select(
         key,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(r).cast("int").alias("r"),
-                    _cms_cell_col(key, r, width, salt).alias("col"),
-                )
-                for r in range(int(depth))
-            ])
-        ).alias("rc"),
+        _cms_rc(key, depth, width, salt).alias("rc"),
     ).select(key_col, F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
     return (
         probes.join(F.broadcast(cells), ["r", "col"], "left")

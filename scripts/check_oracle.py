@@ -149,7 +149,11 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failed = []
-    pinned_off_sf = "sf0.01" not in os.path.normpath(sf_dir)
+    # realpath+basename, not substring: a symlink alias of sf0.01 must
+    # still grade the pinned set, and a future sf0.015 must not
+    pinned_off_sf = (
+        os.path.basename(os.path.realpath(sf_dir)) != "sf0.01"
+    )
     for name, fn in qs.items():
         if only and name not in only:
             continue

@@ -132,6 +132,7 @@ def test_dedup_playbook_cookbook(spark, documents):
         minhash_lsh_pairs,
         ngram_containment_pairs,
         ngram_jaccard_pairs,
+        ngram_pair_scores,
     )
 
     docs = documents.select("doc_id", "lang", "text")
@@ -149,6 +150,17 @@ def test_dedup_playbook_cookbook(spark, documents):
 
     jp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in near.collect()}
     cp = {(r["id_a"], r["id_b"]): r["containment"] for r in incl.collect()}
+    # the single-pass dual-score op must agree with both single-score ops
+    both = {
+        (r["id_a"], r["id_b"]): (r["jaccard"], r["containment"])
+        for r in ngram_pair_scores(
+            docs, "doc_id", "text", jaccard_threshold=0.5,
+            containment_threshold=0.5, block_col="lang",
+        ).collect()
+    }
+    assert set(both) == set(cp)  # containment >= jaccard -> union = cp keys
+    assert all(both[k][0] == jp[k] for k in jp)
+    assert all(both[k][1] == cp[k] for k in cp)
     # containment = |∩|/min ≥ |∩|/|∪| = jaccard, so at EQUAL thresholds the
     # jaccard pair set embeds in the containment pair set, value-wise too
     assert set(jp) <= set(cp)

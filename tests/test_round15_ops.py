@@ -242,6 +242,25 @@ class TestApproxPercentileContract:
         assert all(r["v"] is not None for r in out)     # never a NULL row
         assert all(r["rank_within_bound"] for r in out)
 
+    def test_null_group_key_is_a_graded_stratum(self, spark):
+        """A NULL group key (unclassified lang) is a real stratum: plain
+        EqualTo joins would silently drop its contract rows, letting a
+        bound violation there pass ungraded — the null-safe joins keep it
+        on the hook."""
+        from flatbread_spark.operators.ranking import approx_percentile_check
+
+        rows = [(None, i, i) for i in range(50)] + [
+            ("en", 100 + i, i * 2) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "g string, k bigint, v bigint")
+        out = approx_percentile_check(
+            df, "g", "v", "k", [500_000], accuracy=100
+        ).collect()
+        by_g = {r["g"]: r for r in out}
+        assert set(by_g) == {None, "en"}
+        assert by_g[None]["n"] == 50 and by_g[None]["rank_within_bound"]
+        assert by_g["en"]["rank_within_bound"]
+
     def test_exact_value_is_nearest_rank(self, spark):
         from flatbread_spark.operators.ranking import approx_percentile_check
 
