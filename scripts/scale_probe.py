@@ -619,6 +619,15 @@ def main():
                 "doc_id", [50_000, 500_000, 990_000], accuracy=1000,
             )
         ),
+        # BOTH near-dup scores from one candidate pass: wall should track
+        # the single-score containment_pairs row, not 2x it — the point
+        # of the shared-machinery entry point
+        "pair_scores": lambda d, e: run_count(
+            fb.ngram_pair_scores(
+                d, "doc_id", "text", n=4, jaccard_threshold=0.5,
+                containment_threshold=0.9, max_shingle_df=64,
+            )
+        ),
     }
     only = sys.argv[1:]
     for name, op in OPS.items():
