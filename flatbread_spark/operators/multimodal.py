@@ -70,14 +70,46 @@ def _with_id_type(schema_str: str, assets: DataFrame) -> StructType:
     )
 
 
-def read_binary_assets(spark: SparkSession, path: str, modality: str = "image") -> DataFrame:
+def read_binary_assets(
+    spark: SparkSession, path: str, modality: str = "image"
+) -> DataFrame:
     """Ingest raw media files as binary rows (``binaryFile`` source gives
-    path/length/content with predicate pushdown on path/length)."""
+    path/length/content with predicate pushdown on path/length).
+
+    ``modality="sniff"`` classifies EACH file from its payload magic bytes
+    with JVM-side substring comparisons (no Python in the scan) — the
+    realistic shape for a mixed crawl directory: PNM/BMP → ``image`` with
+    the matching mime, RIFF/WAVE → ``audio``, anything else ``unknown``
+    (downstream decode keeps its loud-failure contract for those; mirrors
+    ``functions.codecs.sniff_format``). A literal modality skips the
+    classification expressions for homogeneous directories."""
     raw = spark.read.format("binaryFile").load(path)
+    if modality == "sniff":
+        p2 = F.substring("content", 1, 2)
+        is_ppm = (p2 == F.lit(b"P6")) | (p2 == F.lit(b"P3"))
+        is_pgm = (p2 == F.lit(b"P5")) | (p2 == F.lit(b"P2"))
+        is_bmp = p2 == F.lit(b"BM")
+        is_wav = (F.substring("content", 1, 4) == F.lit(b"RIFF")) & (
+            F.substring("content", 9, 4) == F.lit(b"WAVE")
+        )
+        mime = (
+            F.when(is_ppm, F.lit("image/x-portable-pixmap"))
+            .when(is_pgm, F.lit("image/x-portable-graymap"))
+            .when(is_bmp, F.lit("image/bmp"))
+            .when(is_wav, F.lit("audio/wav"))
+        )
+        modality_col = (
+            F.when(is_ppm | is_pgm | is_bmp, F.lit("image"))
+            .when(is_wav, F.lit("audio"))
+            .otherwise(F.lit("unknown"))
+        )
+    else:
+        mime = F.lit(None).cast("string")
+        modality_col = F.lit(modality)
     return raw.select(
         F.xxhash64("path").alias("asset_id"),
-        F.lit(modality).alias("modality"),
-        F.lit(None).cast("string").alias("mime"),
+        modality_col.alias("modality"),
+        mime.alias("mime"),
         F.col("content").alias("payload"),
         F.struct(
             F.lit(None).cast("int").alias("width"),

@@ -194,3 +194,39 @@ def test_string_asset_ids_flow_through(spark):
     resized = resize_images(assets, 4, 4, fake=False)
     assert dict(resized.dtypes)["asset_id"] == "string"
     assert resized.collect()[0].asset_id == "doc/a#1"
+
+
+def test_sniff_ingest_mixed_directory_real_decode(spark, tmp_path):
+    """End-to-end raw-file ingest: a MIXED media directory through the
+    binaryFile source with magic-byte sniffing (JVM-side classification,
+    no caller-supplied modality), then the REAL stdlib decode path —
+    the full crawl-directory → features pipeline with no parquet
+    intermediary."""
+    from flatbread_spark.operators.multimodal import (
+        extract_features,
+        read_binary_assets,
+    )
+
+    img, ppm = _ppm_bytes(16, 12, seed=9)
+    _, wav = _wav_bytes(seconds=0.25)
+    (tmp_path / "a.ppm").write_bytes(ppm)
+    (tmp_path / "b.wav").write_bytes(wav)
+    (tmp_path / "c.bin").write_bytes(b"\x00" * 64)  # unclassifiable
+
+    assets = read_binary_assets(spark, str(tmp_path), modality="sniff")
+    rows = {r["meta"]["source"].rsplit("/", 1)[-1]: r for r in assets.collect()}
+    assert rows["a.ppm"]["modality"] == "image"
+    assert rows["a.ppm"]["mime"] == "image/x-portable-pixmap"
+    assert rows["b.wav"]["modality"] == "audio"
+    assert rows["b.wav"]["mime"] == "audio/wav"
+    assert rows["c.bin"]["modality"] == "unknown"
+    assert rows["c.bin"]["mime"] is None
+
+    decodable = assets.filter("modality <> 'unknown'")
+    feats = {
+        r["modality"]: r
+        for r in extract_features(decodable, fake=False).collect()
+    }
+    assert (feats["image"]["width"], feats["image"]["height"]) == (16, 12)
+    assert feats["audio"]["width"] is None
+    assert len(feats["image"]["feat"]) == codecs.FEAT_DIM
