@@ -55,6 +55,23 @@ def test_multibatch_drain_equals_batch_sessionize(spark, data, n_files, tmp_path
         r["user_id"]: (r["n_sessions"], r["n_events"], r["max_session_events"])
         for r in sessionize(df, gap_minutes=GAP_MIN).collect()
     }
+    # independent pure-Python oracle: stream==batch alone would pass if
+    # BOTH were identically wrong — anchor the pair to a third derivation
+    expect = {}
+    by_user = {}
+    for u, eid, ts in sorted(rows, key=lambda r: (r[2], r[1])):
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        n_sessions, cur, mx, last = 0, 0, 0, None
+        for ts in tss:
+            if last is None or ts - last > GAP_NS:
+                n_sessions += 1
+                cur = 0
+            cur += 1
+            mx = max(mx, cur)
+            last = ts
+        expect[u] = (n_sessions, len(tss), mx)
+    assert batch == expect
 
     # split by GLOBAL time into contiguous files: per-user batch arrival is
     # then time-ordered, the kernel's documented contract
