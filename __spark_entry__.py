@@ -4056,99 +4056,112 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (round 6): the driver grades a bounded prefix of
-    # this dict (49-50 entries every round so far, r5 included:
-    # CORRECTNESS_r05.json grades exactly the r5 prefix) and benches in
-    # THIS order with no warm-up — the first queries absorb JVM JIT +
-    # Arrow-worker cold start.
-    # Round-7 window = 2 cheap warm-up leads (tpch_q6: scan-agg codegen;
-    # trimmed_margin: spawns the reusable Arrow worker pool — both green
-    # r6) + the FINAL 14 never-driver-graded queries (the r6 deferral
-    # list, all green on the local DuckDB gate and the round-6 judge's
-    # independent oracle rerun) + the four round-7 additions:
-    # group_weighted_pct_skew (VERDICT r6 #7: adversarial group-size skew
-    # for the weighted-percentile kernel), cms_frequency (count-min sketch
-    # with bit-replayable estimates), containment_dedup (asymmetric
-    # n-gram inclusion — the Jaccard blind spot), quantile_contract
-    # (percentile_approx error-bound grading) + re-grades of the r6
-    # rotation in its r6 relative order to fill the 50-slot window
-    # (regression signal on the newest families). A green r7 row for
-    # positions 3-20 puts ALL 195 declared queries on the hard driver
-    # signal — backlog zero for the first time.
+    # ORDERING CONTRACT (round 8 — stale-first rotation): the driver grades
+    # a bounded prefix of this dict (49-50 entries every round so far) and
+    # benches in THIS order with no warm-up — the first queries absorb JVM
+    # JIT + Arrow-worker cold start.
+    #
+    # ROTATION RULE (VERDICT r7 #1, now the standing contract): each round,
+    # re-sort this dict by "round of most recent driver grade" ASCENDING,
+    # keeping within-cohort relative order, so the grading prefix always
+    # re-grades the STALEST queries first and the maximum grade age stays
+    # bounded (~195/50 = 4 rounds). All 195 declared queries have carried
+    # the hard driver signal at least once (backlog hit zero in r7); from
+    # round 8 on the window's job is freshness, not first grades.
+    #
+    # Round-8 window = the 35 r3-era grades (the engine's SURVEY.md section-2
+    # heart: the pivot/margin/percentage family, TPC-H q9/q15/q19, the
+    # embedding-dedup family) + the 13 oldest r4 grades, with two cheap
+    # r3-stale leads in front (tpch_q15: scan-agg codegen warm-up;
+    # multimodal_features: spawns the reusable Arrow worker pool) so the
+    # warm-up slots themselves still re-grade stale queries.
     return {
-        "tpch_q6": q_tpch_q6,
-        "trimmed_margin": q_trimmed_margin,
-        # -- the last 14 never-driver-graded (r6 deferrals) --
-        "quantile_normalize": q_quantile_normalize,
-        "winsorize_lengths": q_winsorize_lengths,
-        "group_percentiles": q_group_percentiles,
-        "standardize": q_standardize,
-        "group_weighted_pct": q_group_weighted_pct,
-        "mojibake_scores": q_mojibake_scores,
-        "lang_segments": q_lang_segments,
-        "lexical_diversity": q_lexical_diversity,
-        "knn_quantized_recall": q_knn_quantized_recall,
-        "sample_exact_group": q_sample_exact_group,
-        "rolling_median": q_rolling_median,
-        "gap_percentiles": q_gap_percentiles,
-        "sketch_merge": q_sketch_merge,
-        "compression_check": q_compression_check,
-        # -- round-7 additions (never graded, by construction) --
-        "group_weighted_pct_skew": q_group_weighted_pct_skew,
-        "cms_frequency": q_cms_frequency,
-        "containment_dedup": q_containment_dedup,
-        "quantile_contract": q_quantile_contract,
-        # -- r6-rotation re-grades fill the window (r6 relative order) --
-        "csv_roundtrip": q_csv_roundtrip,
-        "json_roundtrip": q_json_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "partitioned_pruning": q_partitioned_pruning,
-        "stream_drift": q_stream_drift,
-        "stream_rate_anomaly": q_stream_rate_anomaly,
-        "minhash_incremental": q_minhash_incremental,
-        "knn_quantized": q_knn_quantized,
-        "triangle_count": q_triangle_count,
-        "degree_spectrum": q_degree_spectrum,
-        "interval_join": q_interval_join,
-        "k_anonymity": q_k_anonymity,
-        "json_extraction": q_json_extraction,
-        "conversion_rate": q_conversion_rate,
-        "conversion_lag": q_conversion_lag,
-        "event_transitions": q_event_transitions,
-        "session_paths": q_session_paths,
-        "rolling_counts": q_rolling_counts,
-        "trend_slopes": q_trend_slopes,
-        "ks_drift": q_ks_drift,
-        "tvd_drift": q_tvd_drift,
-        "scd2_intervals": q_scd2_intervals,
-        "rate_anomaly": q_rate_anomaly,
-        "join_estimate": q_join_estimate,
-        "skew_profile": q_skew_profile,
-        "dup_source_matrix": q_dup_matrix,
-        "label_vote": q_label_vote,
-        "curriculum_order": q_curriculum,
-        "quantile_buckets": q_quantile_buckets,
-        "exact_percentiles": q_exact_percentiles,
-        "weighted_percentiles": q_weighted_percentiles,
-        "sample_mix": q_sample_mix,
-        "sample_exact": q_sample_exact,
-        "domain_cap_sample": q_domain_cap_sample,
-        "coreset_fps": q_coreset_fps,
-        "mmr_rerank": q_mmr_rerank,
-        "hybrid_fusion": q_hybrid_fusion,
-        "vector_audit": q_vector_audit,
-        "truncation_curve": q_truncation_curve,
-        "strip_boilerplate": q_strip_boilerplate,
-        "ngram_novelty": q_ngram_novelty,
-        "vocab_overlap": q_vocab_overlap,
-        "gini_concentration": q_gini_concentration,
-        "characteristic_terms": q_characteristic_terms,
-        "doc_freq_spectrum": q_doc_freq_spectrum,
-        "field_association": q_field_association,
-        "url_normalize": q_url_normalize,
-        "url_dedup": q_url_dedup,
-        # ---- tail (51+): every query here is already driver-green;
-        # ---- previously-graded queries keep their r5 relative order
+        # -- warm-up leads (both r3-stale, so the slots still re-grade):
+        # -- tpch_q15 primes scan-agg codegen; multimodal_features spawns
+        # -- the reusable Arrow worker pool.
+        "tpch_q15": q_tpch_q15,
+        "multimodal_features": q_multimodal_features,
+        # -- r3-era grades (stalest: last driver signal round 3) --
+        "pivot_sum": q_pivot_sum,
+        "agg_margins": q_agg_margins,
+        "subtotals_rollup": q_subtotals_rollup,
+        "drop_totals_roundtrip": q_drop_totals_roundtrip,
+        "pct_interleaf": q_pct_interleaf,
+        "sort_totals_rank": q_sort_totals_rank,
+        "median_margin": q_median_margin,
+        "chunk_dedup": q_chunk_dedup,
+        "totals_grid": q_totals_grid,
+        "subtotals_cols": q_subtotals_cols,
+        "pct_axis0": q_pct_axis0,
+        "pct_axis1": q_pct_axis1,
+        "add_percentages": q_add_percentages,
+        "subtotals_chained": q_subtotals_chained,
+        "sort_index_list": q_sort_index_list,
+        "sample_stratified": q_sample_stratified,
+        "contamination_planted": q_contamination_planted,
+        "chunk_overlap": q_chunk_overlap,
+        "corpus_shuffle": q_corpus_shuffle,
+        "salted_agg": q_salted_agg,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q19": q_tpch_q19,
+        "corpus_mix": q_corpus_mix,
+        "stream_dedup_replay": q_stream_dedup_replay,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "knn_lsh": q_knn_lsh,
+        "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        # -- r4-era grades (next-stalest; first 13 land inside the ~50 window,
+        # -- the rest are the head of the r9 rotation) --
+        "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
+        "asof_attribution": q_asof_attribution,
+        "range_join": q_range_join,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "stream_replay": q_stream_replay,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "contamination": q_contamination,
+        "token_budget": q_token_budget,
+        "topk_by_group": q_topk_by_group,
+        "bm25_search": q_bm25_search,
+        "corpus_stats": q_corpus_stats,
+        "quality_scores": q_quality_scores,
+        "gopher_filter": q_gopher_filter,
+        "pii_redaction": q_pii_redaction,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "winnowing": q_winnowing,
+        "token_topk": q_token_topk,
+        "repetition": q_repetition,
+        "set_ops": q_set_ops,
+        "differences": q_differences,
+        "differences_rows": q_differences_rows,
+        "offset_dates": q_offset_dates,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "pack_sequences": q_pack_sequences,
+        "curation_funnel": q_curation_funnel,
+        "quantize_embeddings": q_quantize_embeddings,
+        "split_assign": q_split_assign,
+        "trigram_typicality": q_trigram_typicality,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        # ---- tail: r5-era grades ----
         "value_counts_pct": q_value_counts_pct,
         "value_counts_pct_naive": q_value_counts_pct_naive,
         "value_counts_pct_raw": q_value_counts_pct_raw,
@@ -4197,85 +4210,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "stream_quality_gate": q_stream_quality_gate,
         "knn_ivf_sweep": q_knn_ivf_sweep,
-        "pivot_sum": q_pivot_sum,
-        "agg_margins": q_agg_margins,
-        "subtotals_rollup": q_subtotals_rollup,
-        "drop_totals_roundtrip": q_drop_totals_roundtrip,
-        "pct_interleaf": q_pct_interleaf,
-        "sort_totals_rank": q_sort_totals_rank,
-        "median_margin": q_median_margin,
-        "chunk_dedup": q_chunk_dedup,
-        "totals_grid": q_totals_grid,
-        "subtotals_cols": q_subtotals_cols,
-        "pct_axis0": q_pct_axis0,
-        "pct_axis1": q_pct_axis1,
-        "add_percentages": q_add_percentages,
-        "subtotals_chained": q_subtotals_chained,
-        "sort_index_list": q_sort_index_list,
-        "sample_stratified": q_sample_stratified,
-        "contamination_planted": q_contamination_planted,
-        "chunk_overlap": q_chunk_overlap,
-        "corpus_shuffle": q_corpus_shuffle,
-        "salted_agg": q_salted_agg,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q19": q_tpch_q19,
-        "corpus_mix": q_corpus_mix,
-        "stream_dedup_replay": q_stream_dedup_replay,
-        "events_hourly": q_events_hourly,
-        "sessions": q_sessions,
-        "asof_attribution": q_asof_attribution,
-        "range_join": q_range_join,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "stream_replay": q_stream_replay,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "contamination": q_contamination,
-        "token_budget": q_token_budget,
-        "topk_by_group": q_topk_by_group,
-        "bm25_search": q_bm25_search,
-        "corpus_stats": q_corpus_stats,
-        "quality_scores": q_quality_scores,
-        "gopher_filter": q_gopher_filter,
-        "pii_redaction": q_pii_redaction,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "winnowing": q_winnowing,
-        "token_topk": q_token_topk,
-        "repetition": q_repetition,
-        "set_ops": q_set_ops,
-        "differences": q_differences,
-        "differences_rows": q_differences_rows,
-        "offset_dates": q_offset_dates,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q18": q_tpch_q18,
-        "pack_sequences": q_pack_sequences,
-        "curation_funnel": q_curation_funnel,
-        "quantize_embeddings": q_quantize_embeddings,
-        "split_assign": q_split_assign,
-        "trigram_typicality": q_trigram_typicality,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_ivf": q_knn_ivf,
-        "knn_lsh": q_knn_lsh,
-        "embedding_dups": q_embedding_dups,
-        "embedding_dups_lsh": q_embedding_dups_lsh,
-        "semantic_dedup": q_semantic_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_pairs": q_simhash_pairs,
-        "minhash_pairs": q_minhash_pairs,
-        "multimodal_features": q_multimodal_features,
+        # ---- r6-era grades ----
+        "weighted_percentiles": q_weighted_percentiles,
+        "sample_mix": q_sample_mix,
+        "sample_exact": q_sample_exact,
+        "domain_cap_sample": q_domain_cap_sample,
+        "coreset_fps": q_coreset_fps,
+        "mmr_rerank": q_mmr_rerank,
+        "hybrid_fusion": q_hybrid_fusion,
+        "vector_audit": q_vector_audit,
+        "truncation_curve": q_truncation_curve,
+        "strip_boilerplate": q_strip_boilerplate,
+        "ngram_novelty": q_ngram_novelty,
+        "vocab_overlap": q_vocab_overlap,
+        "gini_concentration": q_gini_concentration,
+        "characteristic_terms": q_characteristic_terms,
+        "doc_freq_spectrum": q_doc_freq_spectrum,
+        "field_association": q_field_association,
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
+        # ---- r7 grades (freshest, rotate last) ----
+        "tpch_q6": q_tpch_q6,
+        "trimmed_margin": q_trimmed_margin,
+        "quantile_normalize": q_quantile_normalize,
+        "winsorize_lengths": q_winsorize_lengths,
+        "group_percentiles": q_group_percentiles,
+        "standardize": q_standardize,
+        "group_weighted_pct": q_group_weighted_pct,
+        "mojibake_scores": q_mojibake_scores,
+        "lang_segments": q_lang_segments,
+        "lexical_diversity": q_lexical_diversity,
+        "knn_quantized_recall": q_knn_quantized_recall,
+        "sample_exact_group": q_sample_exact_group,
+        "rolling_median": q_rolling_median,
+        "gap_percentiles": q_gap_percentiles,
+        "sketch_merge": q_sketch_merge,
+        "compression_check": q_compression_check,
+        "group_weighted_pct_skew": q_group_weighted_pct_skew,
+        "cms_frequency": q_cms_frequency,
+        "containment_dedup": q_containment_dedup,
+        "quantile_contract": q_quantile_contract,
+        "csv_roundtrip": q_csv_roundtrip,
+        "json_roundtrip": q_json_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "partitioned_pruning": q_partitioned_pruning,
+        "stream_drift": q_stream_drift,
+        "stream_rate_anomaly": q_stream_rate_anomaly,
+        "minhash_incremental": q_minhash_incremental,
+        "knn_quantized": q_knn_quantized,
+        "triangle_count": q_triangle_count,
+        "degree_spectrum": q_degree_spectrum,
+        "interval_join": q_interval_join,
+        "k_anonymity": q_k_anonymity,
+        "json_extraction": q_json_extraction,
+        "conversion_rate": q_conversion_rate,
+        "conversion_lag": q_conversion_lag,
+        "event_transitions": q_event_transitions,
+        "session_paths": q_session_paths,
+        "rolling_counts": q_rolling_counts,
+        "trend_slopes": q_trend_slopes,
+        "ks_drift": q_ks_drift,
+        "tvd_drift": q_tvd_drift,
+        "scd2_intervals": q_scd2_intervals,
+        "rate_anomaly": q_rate_anomaly,
+        "join_estimate": q_join_estimate,
+        "skew_profile": q_skew_profile,
+        "dup_source_matrix": q_dup_matrix,
+        "label_vote": q_label_vote,
+        "curriculum_order": q_curriculum,
+        "quantile_buckets": q_quantile_buckets,
+        "exact_percentiles": q_exact_percentiles,
     }
 
 
