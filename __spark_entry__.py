@@ -6892,7 +6892,11 @@ aug AS (
               || ' zqpad4x' || CAST(doc_id AS VARCHAR)
               || ' zqpad5x' || CAST(doc_id AS VARCHAR)
   FROM sel),
-tok AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+-- ADVICE r7: coalesce(text,'') mirrors the Spark side for NULL text —
+-- with_shingles emits one empty-string shingle (concat_ws over a NULL
+-- token array) where UNNEST over a NULL list would emit no rows
+tok AS (SELECT doc_id, lang,
+               regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
         FROM aug),
 sh AS (SELECT DISTINCT doc_id, lang, u.s
        FROM tok, UNNEST(list_transform(generate_series(1, greatest(len(t)-3,1)),
@@ -6917,7 +6921,12 @@ WITH r AS (SELECT lang, n_chars,
                                      ORDER BY n_chars, doc_id) AS BIGINT)
                AS pos,
              CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
-           FROM documents),
+           FROM documents
+           -- ADVICE r7: grade the same population as the Spark side —
+           -- approx_percentile_check drops NULL values before ranking, so
+           -- the oracle must too or a NULL n_chars shifts n and the target
+           -- rank (latent: the column is currently non-null at every SF)
+           WHERE n_chars IS NOT NULL),
 q AS (SELECT CAST(unnest([50000, 500000, 950000, 990000]) AS BIGINT)
         AS q_ppm)
 SELECT r.lang, q.q_ppm, r.n, r.n_chars, TRUE AS rank_within_bound

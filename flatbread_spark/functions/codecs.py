@@ -5,8 +5,10 @@ The container has no PIL/libsndfile/ffmpeg, so the multimodal kernels
 ``FLATBREAD_FAKE_DECODE=1``. This module gives ``FAKE_DECODE=0`` a real,
 dependency-free path for one format per modality:
 
-- images: PPM (``P6`` binary / ``P3`` ascii) and uncompressed 24/32-bit BMP,
-  decoded with ``struct``/byte slicing into ``numpy`` ``(H, W, 3)`` uint8;
+- images: PNM (``P1``–``P6``: bitmap/graymap/pixmap, ascii and binary),
+  uncompressed 24/32-bit BMP, and non-interlaced PNG (gray/RGB/palette/
+  alpha at 8- or 16-bit depth: stdlib ``zlib`` inflate + the five
+  per-scanline unfilters), all into ``numpy`` ``(H, W, 3)`` uint8;
 - audio: PCM WAV via the stdlib ``wave`` module (8/16/32-bit int frames).
 
 Formats outside that set still raise ``NotImplementedError`` — the slot stays
@@ -29,26 +31,35 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
 FEAT_DIM = 32
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
 
 # ---------------------------------------------------------------- sniffing
 
 def sniff_format(payload: bytes | None) -> str | None:
-    """Identify a payload by magic bytes: 'ppm' | 'pgm' | 'bmp' | 'wav' |
-    None (unknown)."""
-    if not payload or len(payload) < 12:
+    """Identify a payload by magic bytes: 'ppm' | 'pgm' | 'pbm' | 'bmp' |
+    'png' | 'wav' | None (unknown)."""
+    if not payload or len(payload) < 2:
         return None
     if payload[:2] in (b"P6", b"P3"):
         return "ppm"
     if payload[:2] in (b"P5", b"P2"):
         return "pgm"
+    # ADVICE r7: P1/P4 are the remaining portable-anymap magics — they must
+    # sniff like their P2/P3/P5/P6 siblings, not fall through to unknown
+    if payload[:2] in (b"P4", b"P1"):
+        return "pbm"
     if payload[:2] == b"BM":
         return "bmp"
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+    if payload[:8] == PNG_MAGIC:
+        return "png"
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
 
@@ -57,11 +68,13 @@ def sniff_format(payload: bytes | None) -> str | None:
 
 def _pnm_header(payload: bytes):
     """Parse a PNM header (magic, dims, maxval), skipping ``#`` comments.
-    Returns (magic, width, height, maxval, data_offset)."""
+    Returns (magic, width, height, maxval, data_offset). PBM (P1/P4) has no
+    maxval token — it reports maxval 1 and a 3-token header."""
     tokens: list[bytes] = []
+    want = 3 if payload[:2] in (b"P1", b"P4") else 4
     i = 0
     n = len(payload)
-    while len(tokens) < 4 and i < n:
+    while len(tokens) < want and i < n:
         c = payload[i : i + 1]
         if c == b"#":  # comment to end of line
             while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
@@ -74,20 +87,44 @@ def _pnm_header(payload: bytes):
                 j += 1
             tokens.append(payload[i:j])
             i = j
-    if len(tokens) < 4:
+    if len(tokens) < want:
         raise ValueError("truncated PNM header")
     magic = tokens[0].decode("ascii")
-    width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    width, height = int(tokens[1]), int(tokens[2])
+    maxval = int(tokens[3]) if want == 4 else 1
     if width <= 0 or height <= 0 or not (0 < maxval < 65536):
         raise ValueError(f"bad PNM dims {width}x{height} maxval {maxval}")
-    # binary formats: exactly ONE whitespace byte after maxval, then raster
+    # binary formats: exactly ONE whitespace byte after the last header
+    # token, then raster
     return magic, width, height, maxval, i + 1
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """PPM/PGM → (H, W, 3) uint8. P6/P5 binary and P3/P2 ascii; maxval ≤ 255
-    used as-is, wider maxvals scaled down. Grayscale replicates to RGB."""
+    """PNM → (H, W, 3) uint8. P6/P5 binary and P3/P2 ascii rasters; P4
+    packed-bit and P1 ascii bitmaps (1 = black per the PBM spec); maxval
+    ≤ 255 used as-is, wider maxvals scaled down. Gray replicates to RGB."""
     magic, w, h, maxval, off = _pnm_header(payload)
+    if magic in ("P4", "P1"):
+        if magic == "P4":
+            stride = (w + 7) // 8  # each row starts on a byte boundary
+            need = stride * h
+            if len(payload) - off < need:
+                raise ValueError("truncated P4 raster")
+            packed = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+            bits = np.unpackbits(packed.reshape(h, stride), axis=1)[:, :w]
+        else:
+            # P1 digits may be run together ("0110") and interleaved with
+            # comments — keep only the 0/1 bytes outside comment lines
+            body = b"\n".join(
+                line.split(b"#", 1)[0] for line in payload[off - 1 :].splitlines()
+            )
+            digits = np.frombuffer(body, dtype=np.uint8)
+            digits = digits[(digits == 0x30) | (digits == 0x31)] - 0x30
+            if digits.size < w * h:
+                raise ValueError("truncated P1 raster")
+            bits = digits[: w * h].reshape(h, w)
+        arr = np.where(bits == 1, 0, 255).astype(np.uint8)  # 1 = black
+        return np.repeat(arr[:, :, None], 3, axis=2)
     channels = 3 if magic in ("P6", "P3") else 1
     count = w * h * channels
     if magic in ("P6", "P5"):
@@ -169,6 +206,167 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if h_signed > 0:  # bottom-up storage (the common case)
         rows = rows[::-1]
     return np.ascontiguousarray(rows[:, :, 2::-1])  # BGR(A) → RGB
+
+
+# ---------------------------------------------------------------- PNG
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk; stops at IEND. CRCs are not
+    verified — a corrupt raster surfaces as a zlib/shape error anyway, and
+    an ingest pipeline wants the decode attempt, not a checksum veto."""
+    i = 8
+    n = len(payload)
+    while i + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        i += 12 + length
+    raise ValueError("PNG missing IEND")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the per-scanline PNG filters → (h, stride) recon bytes.
+
+    ``raw`` is the inflated stream reshaped to (h, 1 + stride): filter tag
+    byte + filtered scanline. None/Up are whole-row vectorized; Sub is a
+    per-byte-lane cumsum (mod-256 addition is associative, so cumsum % 256
+    IS the sequential recurrence); Average/Paeth carry a true left
+    dependency, so those rows walk x with all ``bpp`` lanes vectorized —
+    row-local work inside an Arrow batch, never a driver loop."""
+    ftypes = raw[:, 0]
+    scan = raw[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = scan[y]
+        if f == 0:  # None
+            cur = row
+        elif f == 1:  # Sub
+            pad = (-stride) % bpp
+            lanes = np.concatenate([row, np.zeros(pad, dtype=np.int64)])
+            lanes = lanes.reshape(-1, bpp)
+            cur = (np.cumsum(lanes, axis=0) % 256).reshape(-1)[:stride]
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(0, stride, bpp):
+                a = cur[x - bpp : x] if x >= bpp else np.zeros(bpp, dtype=np.int64)
+                b = prev[x : x + bpp]
+                seg = slice(x, min(x + bpp, stride))
+                a = a[: seg.stop - seg.start]
+                b = b[: seg.stop - seg.start]
+                if f == 3:
+                    cur[seg] = (row[seg] + (a + b) // 2) % 256
+                else:
+                    c = (
+                        prev[x - bpp : x][: seg.stop - seg.start]
+                        if x >= bpp
+                        else np.zeros(seg.stop - seg.start, dtype=np.int64)
+                    )
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    cur[seg] = (row[seg] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = cur
+        prev = cur
+    return recon.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced PNG → (H, W, 3) uint8 RGB.
+
+    Supports color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA) at bit depth 8, plus 16-bit gray/RGB/alpha (high byte kept —
+    the PNG 16→8 reference downsample). Alpha is dropped (features want
+    color statistics, not compositing); palette indexes look up PLTE.
+    Adam7 interlacing and sub-byte depths raise by name — honesty over a
+    wrong raster."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dims {w}x{h}")
+    if comp != 0 or filt != 0:
+        raise ValueError("bad PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_i)
+    if nchan is None:
+        raise ValueError(f"bad PNG color type {ctype_i}")
+    if depth not in (8, 16) or (ctype_i == 3 and depth != 8):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} at color type {ctype_i} not supported "
+            "(8-bit, and 16-bit for non-palette)"
+        )
+    nbytes = depth // 8
+    bpp = nchan * nbytes
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    recon = _png_unfilter(raw.reshape(h, 1 + stride), h, stride, bpp)
+    px = recon.reshape(h, w, nchan, nbytes)[:, :, :, 0]  # 16-bit: high byte
+    if ctype_i == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return np.ascontiguousarray(plte[px[:, :, 0]])
+    if ctype_i in (0, 4):  # gray(+alpha) → replicate, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])  # RGB(A) → drop alpha
+
+
+def encode_png(arr: np.ndarray, gray: bool = False) -> bytes:
+    """(H, W, 3) uint8 → minimal non-interlaced 8-bit PNG (filter 0 rows;
+    ``gray=True`` writes color type 0 from channel 0). The write half of
+    the ingest contract and the independent fixture for the decoder tests."""
+    h, w = arr.shape[0], arr.shape[1]
+    if gray:
+        raster = np.ascontiguousarray(arr[:, :, 0])
+        ctype = 0
+    else:
+        raster = np.ascontiguousarray(arr[:, :, :3], dtype=np.uint8)
+        ctype = 2
+    rows = raster.reshape(h, -1)
+    scan = np.concatenate([np.zeros((h, 1), dtype=np.uint8), rows], axis=1)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 # ---------------------------------------------------------------- WAV
@@ -257,13 +455,15 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode any supported image payload → (H, W, 3) uint8, else
     NotImplementedError naming the actual format."""
     fmt = sniff_format(payload)
-    if fmt in ("ppm", "pgm"):
+    if fmt in ("ppm", "pgm", "pbm"):
         return decode_ppm(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "png":
+        return decode_png(payload)
     raise NotImplementedError(
         f"image format {fmt or 'unknown'} needs PIL; "
-        "supported stdlib formats: PPM/PGM/BMP"
+        "supported stdlib formats: PNM (P1-P6)/BMP/PNG"
     )
 
 

@@ -71,35 +71,51 @@ def _with_id_type(schema_str: str, assets: DataFrame) -> StructType:
 
 
 def read_binary_assets(
-    spark: SparkSession, path: str, modality: str = "image"
+    spark: SparkSession,
+    path: str,
+    modality: str = "image",
+    sniff: bool | None = None,
 ) -> DataFrame:
     """Ingest raw media files as binary rows (``binaryFile`` source gives
     path/length/content with predicate pushdown on path/length).
 
-    ``modality="sniff"`` classifies EACH file from its payload magic bytes
-    with JVM-side substring comparisons (no Python in the scan) — the
-    realistic shape for a mixed crawl directory: PNM/BMP → ``image`` with
-    the matching mime, RIFF/WAVE → ``audio``, anything else ``unknown``
+    ``sniff=True`` classifies EACH file from its payload magic bytes with
+    JVM-side substring comparisons (no Python in the scan) — the realistic
+    shape for a mixed crawl directory: PNM/BMP/PNG → ``image`` with the
+    matching mime, RIFF/WAVE → ``audio``, anything else ``unknown``
     (downstream decode keeps its loud-failure contract for those; mirrors
-    ``functions.codecs.sniff_format``). A literal modality skips the
-    classification expressions for homogeneous directories."""
+    ``functions.codecs.sniff_format``). The default (sniff unset) takes
+    ``modality`` as the literal label for a homogeneous directory and
+    skips the classification expressions. ``modality="sniff"`` remains
+    accepted as a RESERVED value for back-compat (ADVICE r7: it was the
+    only spelling, which made a directory literally named 'sniff'
+    inexpressible — pass ``sniff=False`` to force the literal)."""
     raw = spark.read.format("binaryFile").load(path)
-    if modality == "sniff":
+    if sniff is None:
+        sniff = modality == "sniff"
+    if sniff:
         p2 = F.substring("content", 1, 2)
         is_ppm = (p2 == F.lit(b"P6")) | (p2 == F.lit(b"P3"))
         is_pgm = (p2 == F.lit(b"P5")) | (p2 == F.lit(b"P2"))
+        # ADVICE r7: P1/P4 sniff like their portable-anymap siblings
+        is_pbm = (p2 == F.lit(b"P4")) | (p2 == F.lit(b"P1"))
         is_bmp = p2 == F.lit(b"BM")
+        is_png = F.substring("content", 1, 8) == F.lit(
+            b"\x89PNG\r\n\x1a\n"
+        )
         is_wav = (F.substring("content", 1, 4) == F.lit(b"RIFF")) & (
             F.substring("content", 9, 4) == F.lit(b"WAVE")
         )
         mime = (
             F.when(is_ppm, F.lit("image/x-portable-pixmap"))
             .when(is_pgm, F.lit("image/x-portable-graymap"))
+            .when(is_pbm, F.lit("image/x-portable-bitmap"))
             .when(is_bmp, F.lit("image/bmp"))
+            .when(is_png, F.lit("image/png"))
             .when(is_wav, F.lit("audio/wav"))
         )
         modality_col = (
-            F.when(is_ppm | is_pgm | is_bmp, F.lit("image"))
+            F.when(is_ppm | is_pgm | is_pbm | is_bmp | is_png, F.lit("image"))
             .when(is_wav, F.lit("audio"))
             .otherwise(F.lit("unknown"))
         )
@@ -171,7 +187,7 @@ def _decode_batch(pdf_iter, fake_mode: bool | None = None) -> Iterator:
                     feats.append(None)
                     continue
                 fmt = codecs.sniff_format(b)
-                if fmt in ("ppm", "pgm", "bmp"):
+                if fmt in ("ppm", "pgm", "pbm", "bmp", "png"):
                     arr = codecs.decode_image(b)
                     widths.append(int(arr.shape[1]))
                     heights.append(int(arr.shape[0]))
@@ -184,7 +200,7 @@ def _decode_batch(pdf_iter, fake_mode: bool | None = None) -> Iterator:
                 else:
                     raise NotImplementedError(
                         f"payload format {fmt or 'unknown'} needs PIL/ffmpeg; "
-                        "stdlib-decodable formats: PPM/PGM/BMP images, PCM WAV "
+                        "stdlib-decodable formats: PNM/BMP/PNG images, PCM WAV "
                         "audio (or set FLATBREAD_FAKE_DECODE=1)"
                     )
         out["width"] = pd.array(widths, dtype="Int32")

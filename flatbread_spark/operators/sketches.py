@@ -230,15 +230,38 @@ def cms_build(
     or vocabulary (the property the exact explode→groupBy wordcount plan
     loses on open-web vocabularies; cf. the Misra-Gries note above).
     Estimates are biased UP only: est ≥ true always; est ≤ true + εN with
-    ε = e/width at the usual probabilistic guarantee.
+    ε = e/width at the usual probabilistic guarantee. The guarantee is a
+    consequence of non-negative mass, so weights are VALIDATED (ADVICE r7):
+    NULL weights are dropped (a row with no weight carries no frequency,
+    the same contract as NULL keys), and a negative weight raises at scan
+    time via a codegen-side assert — silently accepting it would void the
+    one-sided est ≥ true invariant that :func:`cms_frequency_check` grades.
     """
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    w = F.lit(1).cast("bigint") if weight_col is None else F.col(weight_col).cast("bigint")
     # NULL keys carry no frequency: concat(NULL,...) hashes to a NULL
     # column index, which would mint (r, NULL) cells — past the
     # depth×width bound, invisible to every probe (joins never match
     # NULL), and unaccounted in the row-sum merge invariant.
     df = df.filter(key.isNotNull())
+    if weight_col is None:
+        w = F.lit(1).cast("bigint")
+    else:
+        w_raw = F.col(weight_col).cast("bigint")
+        df = df.filter(w_raw.isNotNull())
+        # assert_true is NULL whenever the predicate holds, so the coalesce
+        # is w_raw on every valid row and raises on the first negative one;
+        # folding it into w (rather than a separate column) keeps it alive
+        # through Catalyst column pruning. One JVM-side comparison per row.
+        w = F.coalesce(
+            F.assert_true(
+                w_raw >= 0,
+                F.concat(
+                    F.lit(f"cms_build: negative weight in '{weight_col}': "),
+                    w_raw.cast("string"),
+                ),
+            ).cast("bigint"),
+            w_raw,
+        )
     cells = df.select(
         _cms_rc(key, depth, width, salt).alias("rc"),
         w.alias("__w"),

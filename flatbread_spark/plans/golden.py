@@ -45,6 +45,13 @@ GOLDEN_PATH = os.path.join(
 # streaming plan survives to fingerprint, and the drain makes the "build
 # the plan" pass execute real work. The STREAMING plans are covered by
 # tests/test_streaming.py's own assertions.
+# Tags under which __spark_entry__ pins frames (cache.pin(..., tag=...)).
+# collect_fingerprints releases exactly these between queries — the entry
+# module's memoized persisted frames are the only ones whose ALREADY-
+# EXECUTED plans survive clearCache() and would leak InMemoryTableScan
+# nodes into later fingerprints.
+ENTRY_PIN_TAGS = ("knn_recall", "ivf_sweep")
+
 SKIP = {
     "stream_replay",
     "stream_dedup_replay",
@@ -74,16 +81,20 @@ def collect_fingerprints(spark, verbose: bool = False) -> dict[str, dict[str, in
     for name, fn in _entry.queries().items():
         if name in SKIP:
             continue
-        # Full cache-state reset, not just clearCache(): the entry module
+        # Scoped cache-state reset, not just clearCache(): the entry module
         # memoizes the shared bruteforce baseline (_BF_CACHE) as an
         # ALREADY-EXECUTED persisted DataFrame, whose memoized physical
         # plan keeps its InMemoryTableScan even after clearCache() — so a
         # fingerprint taken after any test/query that warmed the memo
         # would read cached=1 while a fresh session reads 0. Dropping the
-        # memo (and unpinning) makes every fingerprint the fresh-session
-        # one, independent of what ran before in this session.
+        # memo (and unpinning ONLY the tags the entry module pins — ADVICE
+        # r7: an untagged release() would unpersist every pinned frame
+        # session-wide, silently un-caching dedup bases and worker-pool
+        # frames other tests still hold) makes every fingerprint the
+        # fresh-session one without touching unrelated pins.
         _entry._BF_CACHE.clear()
-        release()
+        for _tag in ENTRY_PIN_TAGS:
+            release(tag=_tag)
         spark.catalog.clearCache()
         out[name] = plan_facts(fn(spark, GOLDEN_ENV["sf_dir"]))
         if verbose:

@@ -93,8 +93,9 @@ def test_resize_nearest_contract():
 
 
 def test_unknown_format_raises():
-    with pytest.raises(NotImplementedError, match="PPM/PGM/BMP"):
-        codecs.decode_image(b"\x89PNG\r\n\x1a\nrest-of-a-png")
+    # JPEG stays out of the stdlib-decodable set (PNG joined it in r8)
+    with pytest.raises(NotImplementedError, match="PNM"):
+        codecs.decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIFrest-of-a-jpeg")
 
 
 # ---------------------------------------------------------------- via Spark
@@ -230,3 +231,194 @@ def test_sniff_ingest_mixed_directory_real_decode(spark, tmp_path):
     assert (feats["image"]["width"], feats["image"]["height"]) == (16, 12)
     assert feats["audio"]["width"] is None
     assert len(feats["image"]["feat"]) == codecs.FEAT_DIM
+
+
+# ---------------------------------------------------------------- PNG (r8)
+
+def _png_filtered(arr, filters, nchan=3, depth=8, plte=None, ctype=None):
+    """Independent PNG writer: forward-filter each scanline with the given
+    per-row filter types using per-pixel integer math (the spec's equations,
+    not the decoder's numpy), so the decoder's unfilter path is pinned
+    against a second implementation."""
+    import zlib as _zlib
+
+    h, w = arr.shape[0], arr.shape[1]
+    if ctype is None:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nchan]
+    nbytes = depth // 8
+    bpp = nchan * nbytes
+    rows = []
+    raster = arr.reshape(h, w * nchan)
+    if depth == 16:
+        expanded = np.zeros((h, w * nchan * 2), dtype=np.uint8)
+        expanded[:, 0::2] = (raster >> 8).astype(np.uint8)
+        expanded[:, 1::2] = (raster & 0xFF).astype(np.uint8)
+        raster = expanded
+    else:
+        raster = raster.astype(np.uint8)
+    prev = [0] * (w * bpp)
+    for y in range(h):
+        raw = [int(v) for v in raster[y]]
+        f = filters[y % len(filters)]
+        out = []
+        for x in range(len(raw)):
+            a = raw[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((raw[x] - pred) % 256)
+        rows.append(bytes([f]) + bytes(out))
+        prev = raw
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", _zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    body = codecs.PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return body + chunk(b"IDAT", _zlib.compress(b"".join(rows))) + chunk(b"IEND", b"")
+
+
+def test_png_encode_decode_roundtrip():
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    png = codecs.encode_png(arr)
+    assert codecs.sniff_format(png) == "png"
+    assert np.array_equal(codecs.decode_png(png), arr)
+    gray = codecs.encode_png(arr, gray=True)
+    assert np.array_equal(codecs.decode_png(gray), np.repeat(arr[:, :, :1], 3, axis=2))
+
+
+def test_png_all_five_filters_rgb():
+    """Every filter type (None/Sub/Up/Average/Paeth) unfilters exactly,
+    pinned against an independent per-pixel forward filter."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(10, 7, 3), dtype=np.int64)
+    png = _png_filtered(arr, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(codecs.decode_png(png), arr.astype(np.uint8))
+
+
+def test_png_gray_and_alpha_variants():
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, size=(6, 8, 1), dtype=np.int64)
+    png_gray = _png_filtered(g, filters=[4, 3, 1], nchan=1)
+    assert np.array_equal(
+        codecs.decode_png(png_gray), np.repeat(g, 3, axis=2).astype(np.uint8)
+    )
+    ga = rng.integers(0, 256, size=(6, 8, 2), dtype=np.int64)
+    png_ga = _png_filtered(ga, filters=[2, 4], nchan=2)
+    assert np.array_equal(
+        codecs.decode_png(png_ga),
+        np.repeat(ga[:, :, :1], 3, axis=2).astype(np.uint8),
+    )
+    rgba = rng.integers(0, 256, size=(5, 5, 4), dtype=np.int64)
+    png_rgba = _png_filtered(rgba, filters=[1, 2, 3, 4], nchan=4)
+    assert np.array_equal(
+        codecs.decode_png(png_rgba), rgba[:, :, :3].astype(np.uint8)
+    )
+
+
+def test_png_palette_and_16bit():
+    rng = np.random.default_rng(7)
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.int64)
+    idx = rng.integers(0, 16, size=(7, 9, 1), dtype=np.int64)
+    png_pal = _png_filtered(idx, filters=[0, 2], nchan=1, plte=plte, ctype=3)
+    assert np.array_equal(
+        codecs.decode_png(png_pal), plte[idx[:, :, 0]].astype(np.uint8)
+    )
+    # 16-bit RGB: decoder keeps the high byte (the reference downsample)
+    deep = rng.integers(0, 65536, size=(4, 6, 3), dtype=np.int64)
+    png16 = _png_filtered(deep, filters=[1, 4], nchan=3, depth=16)
+    assert np.array_equal(
+        codecs.decode_png(png16), (deep >> 8).astype(np.uint8)
+    )
+
+
+def test_png_unsupported_raises_by_name():
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    png = bytearray(codecs.encode_png(arr))
+    # flip the interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12th byte)
+    png[8 + 8 + 12] = 1
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        codecs.decode_png(bytes(png))
+    with pytest.raises(ValueError, match="not a PNG"):
+        codecs.decode_png(b"\x00" * 32)
+
+
+def test_pbm_p4_and_p1_decode():
+    """P1/P4 portable bitmaps (ADVICE r7: previously sniffed as unknown):
+    1 = black per the spec, packed MSB-first for P4, run-together digits
+    legal for P1."""
+    bits = np.array(
+        [[1, 0, 1, 0, 1, 1, 0, 0, 1], [0, 1, 1, 1, 0, 0, 0, 1, 0]],
+        dtype=np.uint8,
+    )
+    packed = np.packbits(bits, axis=1).tobytes()
+    p4 = b"P4\n9 2\n" + packed
+    assert codecs.sniff_format(p4) == "pbm"
+    want = np.repeat(np.where(bits == 1, 0, 255)[:, :, None], 3, axis=2)
+    assert np.array_equal(codecs.decode_ppm(p4), want)
+    assert np.array_equal(codecs.decode_image(p4), want)
+    p1 = b"P1\n# comment\n9 2\n101011001\n0 1 1 1 0 0 0 1 0\n"
+    assert codecs.sniff_format(p1) == "pbm"
+    assert np.array_equal(codecs.decode_ppm(p1), want)
+
+
+def test_png_through_arrow_kernel_real_mode(spark):
+    """PNG payloads ride the real-mode mapInPandas decode stage end-to-end:
+    width/height from IHDR, FEAT_DIM features, exact thumbnail stats."""
+    from flatbread_spark.operators.multimodal import extract_features
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    rows = [(1, "image", "image/png", bytearray(codecs.encode_png(arr)), None)]
+    from flatbread_spark.operators.multimodal import ASSET_SCHEMA
+
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = extract_features(assets, fake=False).collect()[0]
+    assert (out["width"], out["height"]) == (16, 12)
+    feat = np.array(out["feat"], dtype=np.float32)
+    assert np.allclose(feat[:2], [16 / 4096.0, 12 / 4096.0])
+    assert np.allclose(feat[2:5], arr.reshape(-1, 3).mean(axis=0) / 255.0, atol=1e-6)
+
+
+def test_sniff_keyword_and_literal_directory(spark, tmp_path):
+    """ADVICE r7: sniff=True is the spelled-out switch; modality literals
+    (including one literally named 'sniff' via sniff=False) stay literal;
+    PNG and PBM files classify with their own mimes."""
+    from flatbread_spark.operators.multimodal import read_binary_assets
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    (tmp_path / "a.png").write_bytes(codecs.encode_png(arr))
+    bits = np.packbits(np.ones((4, 4), dtype=np.uint8), axis=1).tobytes()
+    (tmp_path / "b.pbm").write_bytes(b"P4\n4 4\n" + bits)
+
+    sniffed = {
+        r["meta"]["source"].rsplit("/", 1)[-1]: r
+        for r in read_binary_assets(spark, str(tmp_path), sniff=True).collect()
+    }
+    assert sniffed["a.png"]["mime"] == "image/png"
+    assert sniffed["b.pbm"]["mime"] == "image/x-portable-bitmap"
+    assert {v["modality"] for v in sniffed.values()} == {"image"}
+
+    literal = read_binary_assets(
+        spark, str(tmp_path), modality="sniff", sniff=False
+    ).collect()
+    assert {r["modality"] for r in literal} == {"sniff"}
+    assert {r["mime"] for r in literal} == {None}
