@@ -23,6 +23,17 @@ query runs twice and reports the min (``"timing": "min_of_2"``) — this
 host's burst throttle made single-shot sub-5 s timings incomparable
 across same-day runs; ``first_pass_sec`` preserves the single-shot total
 for comparisons against pre-r7 snapshots.
+
+SNAPSHOT PROTOCOL (round 8, retiring the never-firing eff ≥ 0.8 gate):
+a tracked ``bench_r{N}_local.json`` snapshot is valid when THREE same-day
+clean runs (nothing else running; fresh process each) have totals within
+~1.3× of each other — commit the run with the LOWEST total and record the
+other two totals in BASELINE.md's round note. The old rule ("refresh only
+at host_parallel_eff ≥ 0.8") never fired in rounds 5–7 because the bench
+run itself collapses the probe (idle 0.86–0.93 → ~0.5 under load): it
+measured a host mode the measurement destroys. The three-run agreement
+criterion was validated in round 7 (180.9/196.5/203.0 s same-day spread)
+and is what min-of-2 timing was built for.
 """
 from __future__ import annotations
 

@@ -20,6 +20,12 @@ this. Protocol, run it instead of eyeballing:
    1.5x of the tracked local normalized time, else ``real_regression``.
 
 Exit code 1 only on real regressions — host drift is reported, not fatal.
+
+SNAPSHOT-REFRESH PROTOCOL (round 8; see bench.py's docstring for the full
+statement): a new tracked snapshot needs three same-day clean runs within
+~1.3x of each other; commit the lowest-total run and note the other two.
+The former ``host_parallel_eff >= 0.8`` precondition is retired — the
+bench run itself collapses that probe, so the gate could never fire.
 """
 from __future__ import annotations
 
