@@ -1541,6 +1541,378 @@ _EMB_LSH_PAIRS = (
 )
 
 
+# --------------------------------------------------------------------------
+# Pinned-oracle replay (VERDICT r7 #2). The embedding-family oracles pin
+# results that are deterministic functions of the data (seeded hyperplanes,
+# first-16 centroids, all-BIGINT greedy selections) but not SQL-expressible;
+# historically the pinned VALUES literals were computed once at sf0.01,
+# which made these 8 queries the only ones the cross-SF oracle sweep had to
+# skip. ``oracle_sql_at(sf_dir)`` regenerates every literal from the corpus
+# itself with a bounded numpy/Decimal replay that mirrors the operators'
+# arithmetic step for step (same seeded planes, same left-fold double
+# accumulation, same HALF_UP shortest-repr rounding, same int64 greedy
+# loops), so the sweep grades all 195 queries at ANY sf. ``oracle_sql()``
+# (the driver contract, graded at sf0.01) keeps the baked literals;
+# tests/test_pinned_replay.py pins replay(sf0.01) == the baked strings.
+
+_PINNED_LITERALS_SF001 = {
+    "emb_pairs": _EMB_LSH_PAIRS,
+    "knn_lsh": "(0, 1, 0.2), (1, 1, 0.2), (2, 3, 0.6), (3, 2, 0.4), (4, 3, 0.6)",
+    "knn_ivf": "(0, 5, 1.0), (1, 5, 1.0), (2, 3, 0.6), (3, 5, 1.0), (4, 5, 1.0)",
+    "knn_ivf_sweep": "(1, 0.92), (2, 0.92), (4, 0.92), (8, 0.96)",
+    "knn_quantized_recall":
+        "(0, 5, 1.0), (1, 5, 1.0), (2, 5, 1.0), (3, 5, 1.0), (4, 5, 1.0)",
+    "coreset_fps":
+        "(0, 0, 0), (1, 188, 531712), (2, 291, 519219), (3, 373, 471415), "
+        "(4, 480, 452723), (5, 240, 448165), (6, 86, 441083), (7, 173, 437202)",
+    "mmr_rerank":
+        "(0, 1, 423, 46081700000), (0, 2, 131, 39076200000), "
+        "(0, 3, 387, 35737400000), (0, 4, 365, 35053300000), "
+        "(0, 5, 334, 28737400000), (1, 1, 386, 50960700000), "
+        "(1, 2, 300, 35809800000), (1, 3, 407, 35661400000), "
+        "(1, 4, 312, 29818700000), (1, 5, 195, 29814500000), "
+        "(2, 1, 450, 41640900000), (2, 2, 188, 43272300000), "
+        "(2, 3, 117, 34027000000), (2, 4, 97, 27806400000), "
+        "(2, 5, 1, 27660100000)",
+}
+
+
+def _pinned_oracle_sqls(lits: dict) -> dict:
+    """The 8 embedding-family oracle SQLs, parameterized by their pinned
+    literals — one body shared by the driver contract (baked sf0.01
+    literals) and the cross-SF replay (literals recomputed from the data).
+
+    Recall/selection pins follow the VERDICT r1 option for
+    non-SQL-replayable ANN: hyperplanes/centroids are deterministic
+    (seeded), shortlists/greedy picks are all-BIGINT, so the expected rows
+    are a constant per corpus. Random 64-dim vectors are the LSH worst
+    case — recall well under 1.0 at small (nbits, tables) is the honest
+    number; the pinned cosine SQL still verifies the REAL exact-decimal
+    math over the recovered candidate set where one exists."""
+    return {
+        "embedding_dups_lsh": f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cand AS (SELECT * FROM (VALUES {lits["emb_pairs"]}) v(x, y)),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        {_DOT.format(a='a.embedding', b='b.embedding')} AS dot,
+        {_DOT.format(a='a.embedding', b='a.embedding')} AS na,
+        {_DOT.format(a='b.embedding', b='b.embedding')} AS nb
+      FROM e a JOIN cand ON a.vec_id = cand.x
+               JOIN e b ON b.vec_id = cand.y)
+SELECT id_a, id_b, round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos
+FROM p WHERE round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.4
+""",
+        "semantic_dedup": f"""
+WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings),
+cand AS (SELECT * FROM (VALUES {lits["emb_pairs"]}) v(x, y)),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        {_DOT.format(a='a.embedding', b='b.embedding')} AS dot,
+        {_DOT.format(a='a.embedding', b='a.embedding')} AS na,
+        {_DOT.format(a='b.embedding', b='b.embedding')} AS nb
+      FROM e0 a JOIN cand ON a.vec_id = cand.x
+                JOIN e0 b ON b.vec_id = cand.y),
+pairs AS (SELECT id_a, id_b FROM p
+          WHERE round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.4),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+r(n, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.u, r.lbl FROM r JOIN e ON e.v = r.n)
+SELECT n AS vec_id, MIN(lbl) AS cluster_id, (n = MIN(lbl)) AS is_survivor
+FROM r GROUP BY n
+""",
+        "knn_lsh": f"""
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(n_hits AS INTEGER) AS n_hits,
+       CAST(recall AS DOUBLE) AS recall
+FROM (VALUES {lits["knn_lsh"]})
+  t(query_id, n_hits, recall)
+""",
+        "knn_ivf": f"""
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(n_hits AS INTEGER) AS n_hits,
+       CAST(recall AS DOUBLE) AS recall
+FROM (VALUES {lits["knn_ivf"]})
+  t(query_id, n_hits, recall)
+""",
+        "knn_ivf_sweep": f"""
+SELECT CAST(nprobe AS INTEGER) AS nprobe, CAST(mean_recall AS DOUBLE) AS mean_recall
+FROM (VALUES {lits["knn_ivf_sweep"]}) t(nprobe, mean_recall)
+ORDER BY nprobe
+""",
+        "knn_quantized_recall": f"""
+SELECT CAST(query_id AS INTEGER) AS query_id,
+       CAST(n_hits AS INTEGER) AS n_hits,
+       CAST(recall AS DOUBLE) AS recall
+FROM (VALUES {lits["knn_quantized_recall"]})
+  t(query_id, n_hits, recall)
+""",
+        "coreset_fps": f"""
+SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(min_dist AS BIGINT) AS min_dist
+FROM (VALUES {lits["coreset_fps"]})
+  t(rank, vec_id, min_dist)
+ORDER BY rank
+""",
+        "mmr_rerank": f"""
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(mmr_score AS BIGINT) AS mmr_score
+FROM (VALUES {lits["mmr_rerank"]})
+  t(query_id, rank, neighbor_id, mmr_score)
+ORDER BY query_id, rank
+""",
+    }
+
+
+def _replay_embedding_literals(sf_dir: str) -> dict:
+    """Recompute every pinned embedding-family literal from the corpus at
+    ``sf_dir`` — a bounded (N ≤ a few thousand × 64) numpy/Decimal replay
+    mirroring the operators' arithmetic exactly:
+
+    - exact dot: per-term HALF_UP round at 12 decimals of the double
+      product via shortest decimal repr (= Spark's BigDecimal.valueOf
+      path in ``functions/vectors.dot_exact``), exact Decimal sum, double
+      cast; final cosines HALF_UP-rounded to 6;
+    - fast dot: LEFT-FOLD double accumulation (np.cumsum's sequential
+      recurrence = the HOF aggregate's), used only where the operators
+      use it (shortlists);
+    - LSH buckets / IVF probes: the same numpy matmuls as the Arrow
+      kernels, with the same seeded ``_hyperplanes``;
+    - int8 codes / FPS / MMR: the operators' own int64 recurrences.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from flatbread_spark.operators.similarity import _hyperplanes
+
+    t = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    V = np.stack(
+        [np.asarray(x, dtype=np.float32) for x in t.column("embedding").to_pylist()]
+    ).astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, V = ids[order], V[order]
+    n = len(ids)
+    Q12 = Decimal(1).scaleb(-12)
+
+    def dot_exact(a, b):
+        s = Decimal(0)
+        for pr in a * b:
+            s += Decimal(repr(float(pr))).quantize(Q12, rounding=ROUND_HALF_UP)
+        return float(s)
+
+    def rhu(x, nd):
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+            )
+        )
+
+    norm_exact = {}
+
+    def nex(i):
+        if i not in norm_exact:
+            norm_exact[i] = math.sqrt(dot_exact(V[i], V[i]))
+        return norm_exact[i]
+
+    cos_cache = {}
+
+    def cos6(i, j):
+        key = (i, j) if i <= j else (j, i)
+        if key not in cos_cache:
+            cos_cache[key] = rhu(
+                dot_exact(V[i], V[j]) / (nex(i) * nex(j)), 6
+            )
+        return cos_cache[key]
+
+    # fast (left-fold) per-row self-norms and query-row dot tables
+    fast_self = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+
+    def fast_cos_row(qi):
+        dots = np.cumsum(V * V[qi], axis=1)[:, -1]
+        return dots / (fast_self[qi] * fast_self)
+
+    def exact_top5(qi, cand_rows, prefilter_fast=True):
+        """Per-query top-5 by (exact cos desc, id asc); when the operator
+        shortlists by fast cosine first (bruteforce / LSH / quantized use
+        depth max(4k, k+20) = 20), mirror that gate."""
+        rows = [j for j in cand_rows if j != qi]
+        if prefilter_fast:
+            fc = fast_cos_row(qi)
+            rows = sorted(rows, key=lambda j: (-fc[j], ids[j]))[:20]
+        scored = sorted(
+            ((cos6(qi, j), int(ids[j]), j) for j in rows),
+            key=lambda r: (-r[0], r[1]),
+        )[:5]
+        return [int(ids[j]) for _, _, j in scored]
+
+    q_rows = [i for i in range(n) if ids[i] < 5]
+    bf_top5 = {int(ids[qi]): exact_top5(qi, range(n)) for qi in q_rows}
+
+    def recall_rows(approx_top5):
+        out = []
+        for qid in sorted(bf_top5):
+            hits = len(set(approx_top5.get(qid, [])) & set(bf_top5[qid]))
+            out.append((qid, hits, rhu(hits / 5.0, 2)))
+        return out
+
+    def fmt_rows(rows):
+        return ", ".join("(" + ", ".join(repr(v) for v in r) + ")" for r in rows)
+
+    lits = {}
+
+    # --- knn_lsh: nbits=6, tables=4, seed=42 (q_knn_lsh's parameters)
+    def buckets(nbits, tables, seed):
+        planes = np.array(
+            [
+                p
+                for tt in range(tables)
+                for p in _hyperplanes(64, nbits, seed + 1000 * tt)
+            ],
+            dtype=np.float64,
+        )
+        bits = (V @ planes.T) > 0
+        bits = bits.reshape(n, tables, nbits)
+        w = 1 << np.arange(nbits, dtype=np.int64)
+        return (bits * w).sum(axis=2)  # (n, tables)
+
+    bk4 = buckets(6, 4, 42)
+    lsh_top5 = {}
+    for qi in q_rows:
+        cands = set()
+        for tt in range(bk4.shape[1]):
+            cands.update(np.nonzero(bk4[:, tt] == bk4[qi, tt])[0].tolist())
+        lsh_top5[int(ids[qi])] = exact_top5(qi, cands)
+    lits["knn_lsh"] = fmt_rows(recall_rows(lsh_top5))
+
+    # --- IVF: centroids = first 16 ids, probe kernel's normalized matmul
+    C = V[:16]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cell_cos = Vn @ Cn.T  # (n, 16)
+    probe_order = np.argsort(-cell_cos, axis=1, kind="stable")  # ids 0..15
+    corpus_cell = probe_order[:, 0]
+
+    def ivf_top5(qi, nprobe):
+        probed = probe_order[qi, :nprobe]
+        cands = [j for j in range(n) if corpus_cell[j] in set(probed.tolist())]
+        # ivf_candidates scores every candidate with exact cosine directly
+        return exact_top5(qi, cands, prefilter_fast=False)
+
+    ivf4 = {int(ids[qi]): ivf_top5(qi, 4) for qi in q_rows}
+    lits["knn_ivf"] = fmt_rows(recall_rows(ivf4))
+
+    sweep_rows = []
+    for nprobe in (1, 2, 4, 8):
+        per_q = recall_rows({int(ids[qi]): ivf_top5(qi, nprobe) for qi in q_rows})
+        acc = 0.0
+        for _, _, rec in per_q:  # left-fold like the avg aggregate
+            acc += rec
+        sweep_rows.append((nprobe, rhu(acc / len(per_q), 4)))
+    lits["knn_ivf_sweep"] = fmt_rows(sweep_rows)
+
+    # --- int8 codes (functions/vectors: scale = max|v|/127, floor(v/s+.5))
+    scale = np.abs(V).max(axis=1) / 127.0
+    safe = np.where(scale > 0, scale, 1.0)
+    codes = np.floor(V / safe[:, None] + 0.5).astype(np.int64)
+    codes[scale <= 0] = 0
+
+    # knn_quantized(shortlist=20): BIGINT code-dot shortlist, exact rerank
+    kq_top5 = {}
+    for qi in q_rows:
+        qd = codes @ codes[qi]
+        rows = [j for j in range(n) if j != qi]
+        short = sorted(rows, key=lambda j: (-int(qd[j]), ids[j]))[:20]
+        kq_top5[int(ids[qi])] = exact_top5(qi, short, prefilter_fast=False)
+    lits["knn_quantized_recall"] = fmt_rows(recall_rows(kq_top5))
+
+    # --- coreset_fps (k=8): the operator's exact int64 greedy recurrence
+    fps = [(0, int(ids[0]), 0)]
+    last = codes[0]
+    d = None
+    for rank in range(1, 8):
+        dnew = ((codes - last) ** 2).sum(axis=1)
+        d = dnew if d is None else np.minimum(d, dnew)
+        live = np.nonzero(d > 0)[0]
+        if len(live) == 0:
+            break
+        best = live[np.lexsort((ids[live], -d[live]))[0]]
+        fps.append((rank, int(ids[best]), int(d[best])))
+        last = codes[best]
+    lits["coreset_fps"] = fmt_rows(fps)
+
+    # --- mmr_rerank (queries vec_id < 3, k_candidates=20, n_select=5,
+    #     lambda_ppm=700000): the operator's greedy int64 loop verbatim
+    lam = 700_000
+    mmr_rows = []
+    for qi in [i for i in range(n) if ids[i] < 3]:
+        rel_all = codes @ codes[qi]
+        rows = [j for j in range(n) if j != qi]
+        cand = sorted(rows, key=lambda j: (-int(rel_all[j]), ids[j]))[:20]
+        cand = sorted(cand, key=lambda j: ids[j])  # greedy sorts by id asc
+        c_ids = ids[cand]
+        c_rel = rel_all[cand].astype(np.int64)
+        c_codes = codes[cand]
+        picked = np.zeros(len(cand), dtype=bool)
+        max_sim = None
+        for r in range(5):
+            if max_sim is None:
+                score = lam * c_rel
+            else:
+                score = lam * c_rel - (1_000_000 - lam) * max_sim
+            score = np.where(picked, np.iinfo(np.int64).min, score)
+            best = int(np.argmax(score))
+            picked[best] = True
+            mmr_rows.append(
+                (int(ids[qi]), r + 1, int(c_ids[best]), int(score[best]))
+            )
+            sims = c_codes @ c_codes[best]
+            max_sim = sims if max_sim is None else np.maximum(max_sim, sims)
+    lits["mmr_rerank"] = fmt_rows(mmr_rows)
+
+    # --- embedding_dups_lsh candidate pairs (nbits=6, tables=24, seed=42):
+    # bucket-sharing pairs gated by the scoring kernel's fast-cosine slack,
+    # then the exact-decimal filter that decides membership (the pinned
+    # list is the POST-FILTER pair set; the SQL's own >= 0.4 re-check is
+    # then an identity, which keeps the cosine math verified in-SQL)
+    bk24 = buckets(6, 24, 42)
+    cand_pairs = set()
+    Un = Vn  # kernel normalizes with np.linalg.norm, same as Vn
+    for tt in range(bk24.shape[1]):
+        groups = {}
+        for j in range(n):
+            groups.setdefault(int(bk24[j, tt]), []).append(j)
+        for members in groups.values():
+            if len(members) < 2:
+                continue
+            m = np.array(members)
+            Cg = Un[m] @ Un[m].T
+            r, c = np.nonzero(Cg >= 0.4 - 1e-6)
+            for a, b in zip(m[r], m[c]):
+                if ids[a] < ids[b]:
+                    cand_pairs.add((int(ids[a]), int(ids[b]), int(a), int(b)))
+    final_pairs = sorted(
+        (ia, ib) for ia, ib, a, b in cand_pairs if cos6(a, b) >= 0.4
+    )
+    lits["emb_pairs"] = ",".join(f"({a},{b})" for a, b in final_pairs)
+    return lits
+
+
+def oracle_sql_at(sf_dir: str) -> dict:
+    """Full oracle map with the 8 embedding-family literals recomputed from
+    the corpus at ``sf_dir`` (VERDICT r7 #2) — what the cross-SF sweep runs.
+    ``oracle_sql()`` (the driver contract) keeps the baked sf0.01 literals;
+    at sf0.01 the two agree (pinned by tests/test_pinned_replay.py)."""
+    d = oracle_sql()
+    d.update(_pinned_oracle_sqls(_replay_embedding_literals(sf_dir)))
+    return d
+
+
 def q_embedding_dups_lsh(spark, sf_dir):
     """Scale-safe embedding dedup (VERDICT r1 #5): sign-LSH buckets as the
     block key — NO caller-supplied label — replacing the in-block all-pairs
@@ -4455,7 +4827,7 @@ JOIN sw s ON s.doc_id = t.doc_id
 ORDER BY t.doc_id
 """
 
-    return {
+    d = {
         # Display-contract pin: the spec is built over the SF-invariant
         # region/nation dims (verified byte-identical at sf0.001/0.01/0.1),
         # so the canonical-JSON md5 is a constant the oracle can assert.
@@ -5540,38 +5912,6 @@ r(n, lbl) AS (
 SELECT n AS doc_id, MIN(lbl) AS cluster_id, (n = MIN(lbl)) AS is_survivor
 FROM r GROUP BY n
 """,
-        "embedding_dups_lsh": f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
-cand AS (SELECT * FROM (VALUES {_EMB_LSH_PAIRS}) v(x, y)),
-p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        {_DOT.format(a='a.embedding', b='b.embedding')} AS dot,
-        {_DOT.format(a='a.embedding', b='a.embedding')} AS na,
-        {_DOT.format(a='b.embedding', b='b.embedding')} AS nb
-      FROM e a JOIN cand ON a.vec_id = cand.x
-               JOIN e b ON b.vec_id = cand.y)
-SELECT id_a, id_b, round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos
-FROM p WHERE round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.4
-""",
-        "semantic_dedup": f"""
-WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings),
-cand AS (SELECT * FROM (VALUES {_EMB_LSH_PAIRS}) v(x, y)),
-p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        {_DOT.format(a='a.embedding', b='b.embedding')} AS dot,
-        {_DOT.format(a='a.embedding', b='a.embedding')} AS na,
-        {_DOT.format(a='b.embedding', b='b.embedding')} AS nb
-      FROM e0 a JOIN cand ON a.vec_id = cand.x
-                JOIN e0 b ON b.vec_id = cand.y),
-pairs AS (SELECT id_a, id_b FROM p
-          WHERE round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.4),
-e AS (SELECT id_a AS u, id_b AS v FROM pairs
-      UNION SELECT id_b, id_a FROM pairs),
-r(n, lbl) AS (
-  SELECT vec_id, vec_id FROM embeddings
-  UNION
-  SELECT e.u, r.lbl FROM r JOIN e ON e.v = r.n)
-SELECT n AS vec_id, MIN(lbl) AS cluster_id, (n = MIN(lbl)) AS is_survivor
-FROM r GROUP BY n
-""",
         # RRF over the bm25_search and knn_bruteforce(query 0, k=10)
         # replays — integer 1e6 // (60+rank) contributions, trunc-division
         # shared by both engines
@@ -5706,30 +6046,6 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
 """,
-        # pinned expected recall (VERDICT r1 option for non-SQL-replayable
-        # ANN): hyperplanes/centroids are deterministic (seeded), so the
-        # per-query recall against the hash-verified bruteforce is a constant
-        # at sf0.01. Random 64-dim vectors are the LSH worst case; the low
-        # LSH recall is the honest number at nbits=6, tables=4.
-        "knn_lsh": """
-SELECT CAST(query_id AS INTEGER) AS query_id, CAST(n_hits AS INTEGER) AS n_hits,
-       CAST(recall AS DOUBLE) AS recall
-FROM (VALUES (0, 1, 0.2), (1, 1, 0.2), (2, 3, 0.6), (3, 2, 0.4), (4, 3, 0.6))
-  t(query_id, n_hits, recall)
-""",
-        "knn_ivf": """
-SELECT CAST(query_id AS INTEGER) AS query_id, CAST(n_hits AS INTEGER) AS n_hits,
-       CAST(recall AS DOUBLE) AS recall
-FROM (VALUES (0, 5, 1.0), (1, 5, 1.0), (2, 3, 0.6), (3, 5, 1.0), (4, 5, 1.0))
-  t(query_id, n_hits, recall)
-""",
-        "knn_ivf_sweep": """
-SELECT CAST(nprobe AS INTEGER) AS nprobe, CAST(mean_recall AS DOUBLE) AS mean_recall
-FROM (VALUES (1, 0.92), (2, 0.92), (4, 0.92), (8, 0.96)) t(nprobe, mean_recall)
-ORDER BY nprobe
-""",
-        # the fake-decode contract is sha256-derived, so every output column
-        # is ANSI-SQL-expressible
         "multimodal_features": """
 SELECT doc_id AS asset_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -6663,19 +6979,6 @@ SELECT bucket_lo, CAST(bucket_lo * 2 AS BIGINT) AS bucket_hi,
        CAST(SUM(n_docs) AS BIGINT) AS n_postings
 FROM b GROUP BY 1 ORDER BY bucket_lo
 """,
-        # pinned like knn_quantized_recall: all-BIGINT code distances make
-        # the greedy selection a deterministic function of the data
-        # (verified partitioning-invariant across local[3]/local[8],
-        # repartition(13))
-        "coreset_fps": """
-SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
-       CAST(min_dist AS BIGINT) AS min_dist
-FROM (VALUES (0, 0, 0), (1, 188, 531712), (2, 291, 519219),
-             (3, 373, 471415), (4, 480, 452723), (5, 240, 448165),
-             (6, 86, 441083), (7, 173, 437202))
-  t(rank, vec_id, min_dist)
-ORDER BY rank
-""",
         "trend_slopes": """
 WITH s AS (SELECT event_type AS g,
              CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS x,
@@ -6780,25 +7083,6 @@ SELECT user_id, state,
             AS BIGINT) AS valid_to,
        lead(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL AS is_current
 FROM s ORDER BY user_id, version
-""",
-        # pinned like coreset_fps: all-int64 MMR scores make the greedy
-        # selection deterministic (verified partitioning-invariant)
-        "mmr_rerank": """
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
-       CAST(neighbor_id AS BIGINT) AS neighbor_id,
-       CAST(mmr_score AS BIGINT) AS mmr_score
-FROM (VALUES
-  (0, 1, 423, 46081700000), (0, 2, 131, 39076200000),
-  (0, 3, 387, 35737400000), (0, 4, 365, 35053300000),
-  (0, 5, 334, 28737400000),
-  (1, 1, 386, 50960700000), (1, 2, 300, 35809800000),
-  (1, 3, 407, 35661400000), (1, 4, 312, 29818700000),
-  (1, 5, 195, 29814500000),
-  (2, 1, 450, 41640900000), (2, 2, 188, 43272300000),
-  (2, 3, 117, 34027000000), (2, 4, 97, 27806400000),
-  (2, 5, 1, 27660100000))
-  t(query_id, rank, neighbor_id, mmr_score)
-ORDER BY query_id, rank
 """,
         "group_weighted_pct": r"""
 WITH t AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS v,
@@ -7202,17 +7486,6 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_converting,
        * 1000000 // COUNT(*) AS BIGINT) AS within_7d_ppm
 FROM l
 """,
-        # pinned like knn_lsh/knn_ivf: the BIGINT code-dot shortlist makes
-        # recall a deterministic function of the data — int8 @ shortlist=20
-        # recovers the exact top-5 perfectly on this corpus
-        "knn_quantized_recall": """
-SELECT CAST(query_id AS INTEGER) AS query_id,
-       CAST(n_hits AS INTEGER) AS n_hits,
-       CAST(recall AS DOUBLE) AS recall
-FROM (VALUES (0, 5, 1.0), (1, 5, 1.0), (2, 5, 1.0), (3, 5, 1.0),
-             (4, 5, 1.0))
-  t(query_id, n_hits, recall)
-""",
         "standardize": """
 WITH m AS (
   SELECT lang,
@@ -7344,6 +7617,8 @@ FROM sc QUALIFY rank <= 5
 ORDER BY query_id, rank
 """,
     }
+    d.update(_pinned_oracle_sqls(_PINNED_LITERALS_SF001))
+    return d
 
 
 _SESSIONS_SQL = """

@@ -102,14 +102,15 @@ def type_mismatches(spark_dtypes, duck_cols, duck_types):
 # three straight rounds — never let a graded column shadow these.
 ROW_ATTR_HAZARDS = frozenset(dir(tuple())) | {"asDict"}
 
-# These oracles embed VALUES literals computed from the sf0.01 dataset
-# (pinned recall tables, FPS picks, LSH candidate pair lists) because the
-# quantity they grade is a deterministic function of THAT corpus, not a
-# recomputable expression. Off sf0.01 the literal — not the operator — is
-# wrong by construction (verified: exactly these 8 fail at sf0.1 AND at
-# sf0.001, whose embeddings are a different 500-row draw; every
-# data-parameterized oracle passes at all SFs), so the sweep skips them
-# with a note unless explicitly requested on the CLI.
+# These oracles embed VALUES literals that are deterministic functions of
+# the corpus (pinned recall tables, FPS picks, LSH candidate pair lists).
+# The driver contract (entry.oracle_sql()) bakes the sf0.01 values; this
+# gate uses entry.oracle_sql_at(sf_dir), which recomputes every literal
+# from the parquet at ANY sf via a numpy/Decimal replay of the operators'
+# arithmetic (VERDICT r7 #2) — so the cross-SF sweep now grades all 195
+# queries with zero skips. The set is kept for reporting only: these rows
+# print a "replayed literal" marker so a reader knows which oracle flavor
+# graded them.
 PINNED_SF001 = {
     "knn_lsh", "knn_ivf", "knn_ivf_sweep", "knn_quantized_recall",
     "coreset_fps", "mmr_rerank", "embedding_dups_lsh", "semantic_dedup",
@@ -147,18 +148,17 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs = entry.queries()
-    oracles = entry.oracle_sql()
-    failed = []
     # realpath+basename, not substring: a symlink alias of sf0.01 must
-    # still grade the pinned set, and a future sf0.015 must not
-    pinned_off_sf = (
-        os.path.basename(os.path.realpath(sf_dir)) != "sf0.01"
-    )
+    # still grade with the baked driver literals, and a future sf0.015
+    # must replay
+    on_sf001 = os.path.basename(os.path.realpath(sf_dir)) == "sf0.01"
+    # At sf0.01 run the DRIVER's exact oracle map (baked literals) — this
+    # gate's job there is driver parity. Off sf0.01 replay the pinned
+    # literals from the data so the sweep covers all queries.
+    oracles = entry.oracle_sql() if on_sf001 else entry.oracle_sql_at(sf_dir)
+    failed = []
     for name, fn in qs.items():
         if only and name not in only:
-            continue
-        if pinned_off_sf and name in PINNED_SF001 and name not in only:
-            print(f"skip  {name}: oracle literal pinned to sf0.01")
             continue
         t0 = time.time()
         try:
@@ -212,7 +212,10 @@ def main():
                 print(f"  spark:  {a}\n  duckdb: {b}")
             ok = False
         if ok:
-            print(f"OK    {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
+            tagged = " (replayed literal)" if (
+                name in PINNED_SF001 and not on_sf001
+            ) else ""
+            print(f"OK    {name}: {len(sr)} rows [{time.time()-t0:.1f}s]{tagged}")
         else:
             failed.append(name)
 
