@@ -19,6 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flatbread_spark.streaming.replay import drain as _stream_drain
+
 DEC = "decimal(27,6)"
 
 
@@ -1191,7 +1193,7 @@ def q_stream_dedup_replay(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _stream_drain(q)
     return spark.table("fb_stream_dedup").select("fingerprint").distinct()
 
 
@@ -1293,7 +1295,7 @@ def q_stream_quality_gate(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _stream_drain(q)
     return spark.table("fb_stream_gate").orderBy("doc_id")
 
 
@@ -2108,7 +2110,7 @@ def q_stream_replay(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _stream_drain(q)
     return (
         spark.table("fb_stream_replay")
         .groupBy("user_id")
@@ -2683,7 +2685,7 @@ def q_stream_topk(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _stream_drain(q)
     cand = drain_final_summary(spark.sql("SELECT * FROM fb_stream_topk"))
     return rescore_topk(docs, "text", cand, 30)
 
@@ -3019,7 +3021,7 @@ def q_stream_upsert(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _stream_drain(q)
     return (
         drain_current_state(spark.table("fb_stream_upsert"))
         .select(
@@ -3303,7 +3305,7 @@ def q_stream_rate_anomaly(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _stream_drain(q)
     return (
         spark.table("fb_stream_rate")
         .select(
@@ -3946,7 +3948,7 @@ def q_stream_drift(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _stream_drain(q)
     drained = spark.table("fb_stream_drift")
     reference = ev.groupBy(F.col("event_type").alias("cat")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")

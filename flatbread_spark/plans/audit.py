@@ -38,6 +38,29 @@ MARKS = [
 
 RED_FLAGS = ("cartesian", "bnlj")
 
+# Micro-batch physical-plan facts for the streaming queries (VERDICT r7
+# #6): the state-layout-relevant node counts. A state-store operator
+# appearing or disappearing (an aggregation changing shape, a dedup losing
+# its watermark, a grouped-pandas-with-state kernel degrading to a batch
+# join) changes these counts and fails the golden diff mechanically.
+STREAM_MARKS = [
+    ("state_save", r"StateStoreSave"),
+    ("state_restore", r"StateStoreRestore"),
+    ("stream_dedup", r"StreamingDeduplicate"),
+    ("pandas_with_state", r"FlatMapGroupsInPandasWithState"),
+    ("watermarks", r"EventTimeWatermark"),
+    ("exchanges", r"Exchange "),
+    ("single_part", r"SinglePartition"),
+    ("codegen", r"\*\(\d+\)"),
+    ("grouped_pandas", r"FlatMapGroupsInPandas\b"),
+]
+
+
+def streaming_plan_facts(plan_text: str) -> dict[str, int]:
+    """Fact counts for a streaming micro-batch plan string (as returned by
+    ``streaming.replay.last_plan``)."""
+    return {k: len(re.findall(p, plan_text)) for k, p in STREAM_MARKS}
+
 
 def plan_facts(df: DataFrame) -> dict[str, int]:
     """Fact counts for ``df``'s executed plan (does not run the query)."""

@@ -42,9 +42,12 @@ GOLDEN_PATH = os.path.join(
 
 # Stream-replay harnesses: building the result DataFrame executes the
 # micro-batch drain and returns an in-memory batch frame — nothing of the
-# streaming plan survives to fingerprint, and the drain makes the "build
-# the plan" pass execute real work. The STREAMING plans are covered by
-# tests/test_streaming.py's own assertions.
+# streaming plan survives in the RETURNED frame, so the batch collector
+# excludes them. Their micro-batch physical plans are fingerprinted
+# separately (VERDICT r7 #6) by collect_streaming_fingerprints below:
+# the drain helper stashes each StreamingQuery handle, and the last
+# executed batch's plan (explainInternal) is counted against the
+# state-layout node set in plans/audit.STREAM_MARKS.
 # Tags under which __spark_entry__ pins frames (cache.pin(..., tag=...)).
 # collect_fingerprints releases exactly these between queries — the entry
 # module's memoized persisted frames are the only ones whose ALREADY-
@@ -61,6 +64,48 @@ SKIP = {
     "stream_drift",
     "stream_rate_anomaly",
 }
+
+# streaming query name -> its memory-sink queryName (the key the drain
+# helper registers the StreamingQuery handle under)
+STREAM_SINKS = {
+    "stream_replay": "fb_stream_replay",
+    "stream_dedup_replay": "fb_stream_dedup",
+    "stream_quality_gate": "fb_stream_gate",
+    "stream_topk": "fb_stream_topk",
+    "stream_upsert": "fb_stream_upsert",
+    "stream_drift": "fb_stream_drift",
+    "stream_rate_anomaly": "fb_stream_rate",
+}
+
+
+def collect_streaming_fingerprints(
+    spark, verbose: bool = False
+) -> dict[str, dict[str, int]]:
+    """Micro-batch plan facts for the 7 streaming queries under GOLDEN_ENV.
+
+    Running each entry query drains its bounded stream (availableNow — one
+    deterministic pass over the same files each time); the fingerprint is
+    counted from the LAST executed micro-batch's physical plan. The node
+    COUNTS are layout-stable: state-store save/restore pairs, watermark
+    nodes, and pandas-with-state kernels are per-operator constants of the
+    query shape, not of batch slicing."""
+    import __spark_entry__ as _entry
+
+    from flatbread_spark.plans.audit import streaming_plan_facts
+    from flatbread_spark.streaming.replay import last_plan
+
+    qs = _entry.queries()
+    out: dict[str, dict[str, int]] = {}
+    for name, sink in STREAM_SINKS.items():
+        qs[name](spark, GOLDEN_ENV["sf_dir"])  # build + drain
+        plan = last_plan(sink)
+        if plan is None:  # drain failed loudly upstream; record emptiness
+            raise RuntimeError(f"no streaming plan captured for {name}")
+        out[name] = streaming_plan_facts(plan)
+        if verbose:
+            line = " ".join(f"{k}={v}" for k, v in out[name].items() if v)
+            print(f"{name}: {line}")
+    return out
 
 
 def collect_fingerprints(spark, verbose: bool = False) -> dict[str, dict[str, int]]:

@@ -29,6 +29,7 @@ from flatbread_spark.plans.golden import (  # noqa: E402
     GOLDEN_ENV,
     GOLDEN_PATH,
     collect_fingerprints,
+    collect_streaming_fingerprints,
 )
 from flatbread_spark.session import get_spark  # noqa: E402
 
@@ -41,11 +42,19 @@ def write_golden() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     fingerprints = collect_fingerprints(spark, verbose=True)
-    payload = {"env": GOLDEN_ENV, "fingerprints": fingerprints}
+    streaming = collect_streaming_fingerprints(spark, verbose=True)
+    payload = {
+        "env": GOLDEN_ENV,
+        "fingerprints": fingerprints,
+        "streaming": streaming,
+    }
     with open(GOLDEN_PATH, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"wrote {len(fingerprints)} fingerprints to {GOLDEN_PATH}")
+    print(
+        f"wrote {len(fingerprints)} batch + {len(streaming)} streaming "
+        f"fingerprints to {GOLDEN_PATH}"
+    )
 
 
 def main() -> None:
