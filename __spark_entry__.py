@@ -4445,7 +4445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round-8 window = the 35 r3-era grades (the engine's SURVEY.md section-2
     # heart: the pivot/margin/percentage family, TPC-H q9/q15/q19, the
-    # embedding-dedup family) + the 13 oldest r4 grades, with two cheap
+    # embedding-dedup family) + the ~15 oldest r4 grades (at the usual
+    # 49-50-slot window), with two cheap
     # r3-stale leads in front (tpch_q15: scan-agg codegen warm-up;
     # multimodal_features: spawns the reusable Arrow worker pool) so the
     # warm-up slots themselves still re-grade stale queries.
@@ -4489,7 +4490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "minhash_pairs": q_minhash_pairs,
-        # -- r4-era grades (next-stalest; first 13 land inside the ~50 window,
+        # -- r4-era grades (next-stalest; the first ~15 land inside the window,
         # -- the rest are the head of the r9 rotation) --
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,

@@ -57,19 +57,27 @@ def connected_components(
         .persist()
     )
     try:
-        # Two bounded actions decide the path and fetch the edges: count()
-        # materializes the persisted edge list in ONE full job, then (under
-        # the cap) collect() is a pure cache read. The previous single
-        # limit(cap+1).collect() probe looked cheaper but ran Spark's
-        # incremental CollectLimit — a 1-partition attempt scaled up by
-        # spark.sql.limit.scaleUpFactor, i.e. up to ~log₄(partitions)
-        # separate jobs re-running the reduce stage; benign idle, but the
+        # One bounded action decides the path AND fetches the edges: collect
+        # at most cap+1 rows (cap × 16 bytes driver memory); an extra row
+        # means the graph is over the cap and the distributed path runs.
+        # initialNumPartitions pinned high for the probe: by default
+        # CollectLimit executes INCREMENTALLY — a 1-partition attempt scaled
+        # up by spark.sql.limit.scaleUpFactor, up to ~log₄(partitions)
+        # separate jobs re-running the reduce stage. Benign idle, but the
         # per-job scheduling overhead amplified ~7× under a loaded host
-        # (BENCH_r07 driver 10.1 s vs tracked local 1.7 s on dedup_clusters).
-        # Driver memory stays bounded: the collect only happens ≤ cap rows.
-        n_edges = und.count()
-        if n_edges <= driver_max_edges:
-            probe = und.collect()
+        # (BENCH_r07 driver 10.1 s vs tracked local 1.7 s on dedup_clusters);
+        # a count-then-collect variant fixed that but paid a second full
+        # reduce pass (~1.7× local). Single job over all partitions is the
+        # right shape at every load point.
+        conf = edges.sparkSession.conf
+        _K = "spark.sql.limit.initialNumPartitions"
+        old = conf.get(_K, None)
+        conf.set(_K, "10000000")
+        try:
+            probe = und.limit(driver_max_edges + 1).collect()
+        finally:
+            conf.set(_K, old) if old is not None else conf.unset(_K)
+        if len(probe) <= driver_max_edges:
             parent: dict = {}
 
             def find(x):
