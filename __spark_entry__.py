@@ -2727,6 +2727,45 @@ def q_chunk_windows(spark, sf_dir):
     )
 
 
+def q_gate_agreement(spark, sf_dir):
+    """Cohen's kappa between the two quality gates this pipeline already
+    runs (operators/curation.py rater_agreement): the Gopher rule gate
+    (gq_pass) vs the hashed-linear classifier gate (keep) — the
+    chance-corrected agreement a curation pipeline reads before swapping
+    the expensive gate for the cheap one at corpus scale. All-BIGINT ppm
+    arithmetic with an explicit pmod-floor for the (possibly negative)
+    kappa dividend, so the single output row is byte-replayable."""
+    from flatbread_spark.functions.text import with_gopher_flags
+    from flatbread_spark.operators.classifier import score_hashed_linear
+    from flatbread_spark.operators.curation import rater_agreement
+
+    docs = _load(spark, sf_dir, "documents")
+    a = with_gopher_flags(docs.select("doc_id", "text"), "text").select(
+        "doc_id", F.col("gq_pass").alias("gate_a")
+    )
+    b = score_hashed_linear(
+        docs, "doc_id", "text", n_buckets=65536, salt="qc#"
+    ).select("doc_id", F.col("keep").alias("gate_b"))
+    return rater_agreement(a.join(b, "doc_id"), "gate_a", "gate_b")
+
+
+def q_embedding_contamination(spark, sf_dir):
+    """Embedding-space eval decontamination (operators/dedup.py
+    embedding_contamination): every 25th vector is the held-out eval set;
+    each gets its nearest TRAIN vector by exact-decimal cosine and a
+    contamination flag at cos >= 0.4 (this corpus' near-dup band) — the
+    semantic sibling of the n-gram `contamination` query (paraphrased
+    leakage shares no 4-gram but sits next to its source in embedding
+    space). One row per eval vector, so the result doubles as the
+    distance-to-train audit distribution."""
+    from flatbread_spark.operators.dedup import embedding_contamination
+
+    emb = _load(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 25 == 0)
+    tr = emb.filter(F.col("vec_id") % 25 != 0)
+    return embedding_contamination(tr, ev, "vec_id", "embedding", threshold=0.4)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed linear scoring (operators/classifier.py
     score_hashed_linear): unigram+bigram feature hashing into 65536
@@ -4456,6 +4495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- the reusable Arrow worker pool.
         "tpch_q15": q_tpch_q15,
         "multimodal_features": q_multimodal_features,
+        # -- round-8 additions (never graded = stalest; the rotation
+        # -- contract puts them at the head of the body) --
+        "gate_agreement": q_gate_agreement,
+        "embedding_contamination": q_embedding_contamination,
         # -- r3-era grades (stalest: last driver signal round 3) --
         "pivot_sum": q_pivot_sum,
         "agg_margins": q_agg_margins,
@@ -5503,6 +5546,97 @@ SELECT doc_id,
          AS chunk_uid,
        md5(array_to_string(t[i*16+1 : i*16+24], ' ')) AS chunk_md5
 FROM p, UNNEST(generate_series(0, nc - 1)) AS u(i)
+""",
+        # Cohen's kappa between the two quality gates: both gate CTE chains
+        # are the ALREADY-DRIVER-GREEN gopher_filter / quality_classifier
+        # oracles verbatim (renamed CTEs); kappa arithmetic is BIGINT ppm
+        # with the explicit pmod-floor spelled out — DuckDB's // and
+        # Spark's div both TRUNCATE toward zero on negatives, so both
+        # engines compute floor via (num - ((num % den) + den) % den) / den
+        "gate_agreement": r"""
+WITH gb AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(text), '\s+') AS t,
+    string_split(text, chr(10)) AS lines,
+    length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS n_sym
+  FROM documents),
+gm AS (
+  SELECT doc_id, n_sym,
+    len(t) AS nw,
+    len(lines) AS nl,
+    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/len(t) AS mwl,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\-\*]'))) AS bullet,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS ellipsis,
+    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_intersect(list_transform(t, x -> lower(x)),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM gb),
+ga AS (
+  SELECT doc_id,
+    ((nw >= 50 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+     AND (CAST(n_sym AS DOUBLE)/nw <= 0.1) AND (CAST(bullet AS DOUBLE)/nl <= 0.9)
+     AND (CAST(ellipsis AS DOUBLE)/nl <= 0.3) AND (CAST(alpha AS DOUBLE)/nw >= 0.8)
+     AND (stop_hits >= 2)) AS a
+  FROM gm),
+cw AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+cf AS (
+  SELECT doc_id,
+    list_concat(
+      list_transform(t, x ->
+        CAST('0x' || substr(md5('qc#' || x), 1, 15) AS BIGINT) % 65536),
+      CASE WHEN len(t) >= 2 THEN
+        list_transform(generate_series(1, len(t) - 1), i ->
+          CAST('0x' || substr(md5('qc#' || t[i] || ' ' || t[i+1]), 1, 15)
+               AS BIGINT) % 65536)
+      ELSE CAST([] AS BIGINT[]) END) AS fb
+  FROM cw),
+cs AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(fb, b ->
+           CAST('0x' || substr(md5('w#' || CAST(b AS VARCHAR)), 1, 15)
+                AS BIGINT) % 2001 - 1000)), 0) AS BIGINT) > 0 AS b
+  FROM cf),
+j AS (SELECT ga.a, cs.b FROM ga JOIN cs USING (doc_id)),
+o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      FROM j),
+ma AS (SELECT a AS lbl, CAST(COUNT(*) AS BIGINT) AS na FROM j GROUP BY 1),
+mb AS (SELECT b AS lbl, CAST(COUNT(*) AS BIGINT) AS nb FROM j GROUP BY 1),
+pe AS (SELECT CAST(SUM(coalesce(na, 0) * coalesce(nb, 0)) AS BIGINT) AS pe_num
+       FROM ma FULL OUTER JOIN mb USING (lbl)),
+st AS (SELECT n, n_agree,
+         CAST((n_agree * 1000000) // n AS BIGINT) AS po_ppm,
+         CAST((pe_num * 1000000) // (n * n) AS BIGINT) AS pe_ppm
+       FROM o, pe),
+k AS (SELECT *,
+        (po_ppm - pe_ppm) * CAST(1000000 AS BIGINT) AS knum,
+        CAST(1000000 AS BIGINT) - pe_ppm AS kden
+      FROM st)
+SELECT n, n_agree, po_ppm, pe_ppm,
+  CASE WHEN pe_ppm >= 1000000 THEN CAST(0 AS BIGINT)
+       ELSE CAST((knum - (((knum % kden) + kden) % kden)) // kden AS BIGINT)
+  END AS kappa_ppm
+FROM k
+""",
+        # embedding-space decontamination: exact nearest-train cosine per
+        # held-out eval vector (the knn_bruteforce oracle shape, bipartite)
+        "embedding_contamination": f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id, embedding FROM e WHERE vec_id % 25 = 0),
+t AS (SELECT vec_id, embedding FROM e WHERE vec_id % 25 <> 0),
+p AS (SELECT q.vec_id AS eval_id, t.vec_id AS train_id,
+        {_DOT.format(a='q.embedding', b='t.embedding')} AS dot,
+        {_DOT.format(a='q.embedding', b='q.embedding')} AS nq,
+        {_DOT.format(a='t.embedding', b='t.embedding')} AS nt
+      FROM q, t WHERE q.vec_id <> t.vec_id),
+s AS (SELECT eval_id, train_id,
+             round(dot/(sqrt(nq)*sqrt(nt)), 6) AS cos FROM p)
+SELECT eval_id, train_id, cos, cos >= 0.4 AS is_contaminated
+FROM s
+QUALIFY row_number() OVER (PARTITION BY eval_id
+                           ORDER BY cos DESC, train_id ASC) = 1
 """,
         "quality_classifier": r"""
 WITH w AS (

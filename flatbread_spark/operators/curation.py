@@ -246,6 +246,92 @@ def label_vote(
     )
 
 
+def rater_agreement(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two labelings of the same rows — the
+    chance-corrected agreement a curation pipeline reads before trusting
+    two quality gates, two model scorers, or two annotation passes as
+    interchangeable ("my cheap heuristic gate agrees with the expensive
+    classifier at kappa 0.8 → run the cheap one at 100 TB").
+
+    Labels are compared as-is (booleans, strings, ints — any equatable
+    type); rows where EITHER side is NULL are abstentions and drop from
+    both the observed and expected terms (the :func:`label_vote` NULL
+    contract). Returns ONE row:
+
+    - ``n``           compared rows (BIGINT)
+    - ``n_agree``     rows where the labels are equal
+    - ``po_ppm``      observed agreement, floor(n_agree·1e6 / n)
+    - ``pe_ppm``      chance agreement, floor(Σ_c na_c·nb_c · 1e6 / n²)
+    - ``kappa_ppm``   floor((po_ppm − pe_ppm)·1e6 / (1e6 − pe_ppm))
+
+    All arithmetic is BIGINT with explicit FLOOR division — the final
+    kappa dividend can be NEGATIVE (systematic disagreement), where
+    Spark's ``div`` truncates toward zero and engines disagree, so the
+    floor is spelled ``(x − pmod(x, d)) div d`` (pmod ≥ 0 makes the
+    subtraction land exactly on a multiple of d) — byte-identical in any
+    engine. Degenerate pe = 1e6 (both raters constant and equal) returns
+    kappa 0 by convention; n = 0 returns a single all-zero row.
+
+    Scale: two label-vocabulary-bounded aggregates (the marginals), one
+    outer join on the label value, one global 1-row reduce — no per-row
+    shuffle beyond the map-side-combined marginal counts.
+    """
+    labeled = df.select(
+        F.col(col_a).cast("string").alias("__a"),
+        F.col(col_b).cast("string").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+
+    obs = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    ma = labeled.groupBy(F.col("__a").alias("__lbl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__na")
+    )
+    mb = labeled.groupBy(F.col("__b").alias("__lbl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nb")
+    )
+    cross = (
+        ma.join(mb, "__lbl", "full_outer")
+        .select(
+            (
+                F.coalesce("__na", F.lit(0)) * F.coalesce("__nb", F.lit(0))
+            ).alias("__prod")
+        )
+        .agg(F.sum("__prod").cast("bigint").alias("pe_num"))
+    )
+    row = obs.crossJoin(F.broadcast(cross))  # two 1-row frames
+    po = F.expr("(n_agree * CAST(1000000 AS BIGINT)) div n")
+    pe = F.expr("(coalesce(pe_num, 0) * CAST(1000000 AS BIGINT)) div (n * n)")
+    staged = row.select(
+        "n",
+        F.coalesce("n_agree", F.lit(0)).cast("bigint").alias("n_agree"),
+        F.when(F.col("n") > 0, po).otherwise(F.lit(0)).cast("bigint").alias("po_ppm"),
+        F.when(F.col("n") > 0, pe).otherwise(F.lit(0)).cast("bigint").alias("pe_ppm"),
+    )
+    kappa = F.expr(
+        "CAST(((po_ppm - pe_ppm) * CAST(1000000 AS BIGINT)"
+        " - pmod((po_ppm - pe_ppm) * CAST(1000000 AS BIGINT),"
+        "        CAST(1000000 AS BIGINT) - pe_ppm))"
+        " div (CAST(1000000 AS BIGINT) - pe_ppm) AS BIGINT)"
+    )
+    return staged.select(
+        "n",
+        "n_agree",
+        "po_ppm",
+        "pe_ppm",
+        F.when(F.col("pe_ppm") >= 1_000_000, F.lit(0).cast("bigint"))
+        .otherwise(kappa)
+        .alias("kappa_ppm"),
+    )
+
+
 def standardize(
     df: DataFrame,
     group_cols: "Sequence[str] | str",

@@ -298,6 +298,50 @@ def ngram_pair_scores(
     )
 
 
+def embedding_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Eval-set decontamination in EMBEDDING space: for every eval vector,
+    its nearest train vector by exact cosine, flagged when that cosine is
+    ≥ ``threshold`` — the semantic sibling of the n-gram
+    :func:`contamination_pairs` (paraphrased or lightly-edited benchmark
+    leakage shares no 4-gram but sits next to its source in embedding
+    space; pre-training pipelines run BOTH signals).
+
+    Returns ``(eval_id, train_id, cos, is_contaminated)`` — one row per
+    eval vector (its nearest train neighbor and the boolean), so the
+    output doubles as the "distance to train" audit distribution.
+    Deterministic: exact-decimal cosine (the repo's ``dot_exact``
+    contract), nearest = (cos desc, train id asc).
+
+    Scale shape: this is :func:`operators.similarity.knn_bruteforce` with
+    k=1 over a bipartite pair set (eval broadcast against the train scan —
+    eval sets are small by construction). At open-corpus scale swap the
+    all-pairs candidate source for ``ivf_candidates`` / ``knn_lsh``
+    feeding the same exact re-rank, exactly as the knn queries document.
+
+    Id contract: a train row whose id EQUALS the eval row's id is excluded
+    from the neighbor search (the knn self-exclusion) — split your corpus
+    into disjoint id sets first; an eval item still byte-present in train
+    is exact duplication, which :func:`dedup_exact` catches upstream.
+    """
+    from flatbread_spark.operators.similarity import knn_bruteforce
+
+    t = train.select(F.col(id_col), F.col(vec_col))
+    e = eval_df.select(F.col(id_col), F.col(vec_col))
+    nn = knn_bruteforce(t, e, id_col=id_col, vec_col=vec_col, k=1)
+    return nn.select(
+        F.col("query_id").alias("eval_id"),
+        F.col("neighbor_id").alias("train_id"),
+        "cos",
+        (F.col("cos") >= F.lit(float(threshold))).alias("is_contaminated"),
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,

@@ -56,10 +56,13 @@ def test_registry_is_stale_first_under_the_rotation_basis():
         f"basis={ROTATION_BASIS[-1]}): {violations[:5]} — re-sort the "
         "registry by last-grade round ascending and update ROTATION_BASIS"
     )
-    # the warm-up leads must themselves come from the stalest cohort —
-    # their slots still re-grade stale queries
-    stalest = min(ages)
-    assert all(a == stalest for a in ages[:WARMUP_LEADS])
+    # the warm-up leads must themselves come from the stalest GRADED
+    # cohort — their slots still re-grade stale queries (never-graded
+    # queries can't lead: their cost is unknown, and they belong at the
+    # head of the body where the test above already forces them)
+    graded = [a for a in ages if a > 0]
+    stalest_graded = min(graded) if graded else 0
+    assert all(a == stalest_graded for a in ages[:WARMUP_LEADS])
 
 
 def test_every_declared_query_has_been_driver_graded():
