@@ -74,6 +74,7 @@ from flatbread_spark.operators.dedup import (  # noqa: E402
     chunk_self_dedup,
     dedup_exact,
     dedup_incremental,
+    embedding_contamination,
     embedding_dup_pairs,
     minhash_lsh_pairs,
     minhash_probe,
@@ -196,7 +197,10 @@ from flatbread_spark.operators.skew import (  # noqa: E402
     skew_profile,
 )
 from flatbread_spark.operators.timeseries import rate_anomaly  # noqa: E402
-from flatbread_spark.operators.curation import label_vote  # noqa: E402
+from flatbread_spark.operators.curation import (  # noqa: E402
+    label_vote,
+    rater_agreement,
+)
 from flatbread_spark.operators.ranking import (  # noqa: E402
     approx_percentile_check,
     curriculum_order,
@@ -258,6 +262,7 @@ __all__ = [
     "skew_profile", "salted_agg", "salt_explode_join", "join_estimate",
     "field_association",
     "sample_domain_capped", "sample_to_mix", "rate_anomaly", "label_vote",
+    "rater_agreement", "embedding_contamination",
     "curriculum_order", "dup_source_matrix", "minhash_probe",
     "quantile_bucketize", "exact_percentiles", "boilerplate_prefixes",
     "strip_boilerplate_prefix", "ngram_novelty", "knn_quantized",
