@@ -683,6 +683,20 @@ def test_display_truncation_pinned_payload_with_trim_cue(spark):
     assert a2["max-rows"] == "30" and not small.builder.truncated
 
 
+def _half_up_apportioned(s, *, ndigits: int = -1):
+    """The reference's round_apportioned with HALF_UP in place of pandas
+    banker's rounding — the ENGINE's documented rounding model (see the
+    62.5 scalar pin above). Percent cumsums are non-negative, so HALF_UP
+    is exactly floor(x·scale + 0.5)/scale."""
+    if ndigits < 0:
+        return s
+    scale = 10.0 ** ndigits
+    cumsum = (s.fillna(0).cumsum() * scale + 0.5).apply(np.floor) / scale
+    prev_baseline = cumsum.shift(1).fillna(0)
+    rounded = cumsum - prev_baseline
+    return rounded.mask(s.isna())
+
+
 @given(
     nan_at=st.sets(st.integers(0, 5), max_size=3),
     axis=st.sampled_from([0, 1, 2]),
@@ -693,8 +707,13 @@ def test_nan_margin_chain_matches_reference(spark, nan_at, axis, nd):
     """Random NaN positions through the full margin chain
     (add_totals(axis=2) -> as_percentages with apportioned rounding):
     NaN is missing on both engines — skipped by sums, NaN/NULL pct cells
-    align, apportionment over the remaining cells matches to one grid
-    step (the documented decimal-vs-float-cumsum tolerance)."""
+    align. The engine is compared EXACTLY against the reference chain run
+    under the engine's documented HALF_UP rounding model (the 62.5 scalar
+    pin above generalized); the live banker's-rounding reference may then
+    differ from that model only at exact-.5 cumsum boundaries, by at most
+    one grid step per cell — both assertions below, so a real
+    apportionment bug cannot hide inside the divergence class."""
+    import flatbread.transforms.percentages as rpct
     from flatbread.transforms import totals as rtot
     from flatbread.transforms.percentages import as_percentages as ref_aspct
 
@@ -707,10 +726,19 @@ def test_nan_margin_chain_matches_reference(spark, nan_at, axis, nd):
     )
     if pdf.sum().min() == 0 or pdf.sum(axis=1).min() == 0:
         return  # all-NaN row/col: pinned 0.0-vs-NULL divergence, tested above
+    with_tot = rtot.add_totals(pdf, axis=2, label="TOT")
     ref = ref_aspct(
-        rtot.add_totals(pdf, axis=2, label="TOT"),
-        axis=axis, ndigits=nd, base=100, label_totals="TOT",
+        with_tot, axis=axis, ndigits=nd, base=100, label_totals="TOT",
     )
+    # the same reference chain under the engine's HALF_UP rounding model
+    orig = rpct.round_apportioned
+    rpct.round_apportioned = _half_up_apportioned
+    try:
+        ref_hu = ref_aspct(
+            with_tot, axis=axis, ndigits=nd, base=100, label_totals="TOT",
+        )
+    finally:
+        rpct.round_apportioned = orig
     ours = (
         FlatFrame.from_pandas(spark, pdf).add_totals(axis=2, label="TOT")
         .as_percentages(axis=axis, ndigits=nd, base=100)
@@ -718,7 +746,13 @@ def test_nan_margin_chain_matches_reference(spark, nan_at, axis, nd):
     )
     assert list(ref.index) == list(ours.index)
     assert list(ref.columns) == list(ours.columns)
+    # STRICT: the engine must equal the HALF_UP reference model cell-
+    # for-cell (float-vs-decimal cumsum tolerance only)
     assert np.allclose(
-        ref.values.astype(float), ours.values.astype(float),
+        ref_hu.values.astype(float), ours.values.astype(float),
         atol=GRID_ATOL, equal_nan=True,
     )
+    # and the live reference may differ from the model only by one grid
+    # step (banker's vs HALF_UP at an exact .5 — the pinned divergence)
+    diff = np.abs(ref.values.astype(float) - ref_hu.values.astype(float))
+    assert np.nanmax(np.where(np.isnan(diff), 0.0, diff)) <= 10.0 ** (-nd) + 1e-9
