@@ -422,3 +422,30 @@ def test_sniff_keyword_and_literal_directory(spark, tmp_path):
     ).collect()
     assert {r["modality"] for r in literal} == {"sniff"}
     assert {r["mime"] for r in literal} == {None}
+
+
+def test_png_property_sweep_random_images_and_filters():
+    """Randomized PNG decode sweep: every (dims, channels, depth, per-row
+    filter sequence) drawn below must round-trip exactly through the
+    independent per-pixel forward filter — pins the unfilter recurrences
+    at the boundary shapes (w=1: no left neighbor anywhere; h=1: no up
+    row; bpp > stride never occurs but x < bpp always does)."""
+    rng = np.random.default_rng(2024)
+    for _ in range(40):
+        h = int(rng.integers(1, 12))
+        w = int(rng.integers(1, 12))
+        nchan = int(rng.choice([1, 2, 3, 4]))
+        depth = int(rng.choice([8, 16]))
+        filters = rng.integers(0, 5, size=h).tolist()
+        hi = 256 if depth == 8 else 65536
+        arr = rng.integers(0, hi, size=(h, w, nchan), dtype=np.int64)
+        png = _png_filtered(arr, filters=filters, nchan=nchan, depth=depth)
+        got = codecs.decode_png(png)
+        px = (arr >> 8) if depth == 16 else arr
+        if nchan in (1, 2):
+            want = np.repeat(px[:, :, :1], 3, axis=2)
+        else:
+            want = px[:, :, :3]
+        assert np.array_equal(got, want.astype(np.uint8)), (
+            h, w, nchan, depth, filters,
+        )
