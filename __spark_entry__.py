@@ -4482,13 +4482,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the hard driver signal at least once (backlog hit zero in r7); from
     # round 8 on the window's job is freshness, not first grades.
     #
-    # Round-8 window = the 35 r3-era grades (the engine's SURVEY.md section-2
-    # heart: the pivot/margin/percentage family, TPC-H q9/q15/q19, the
-    # embedding-dedup family) + the ~15 oldest r4 grades (at the usual
-    # 49-50-slot window), with two cheap
-    # r3-stale leads in front (tpch_q15: scan-agg codegen warm-up;
-    # multimodal_features: spawns the reusable Arrow worker pool) so the
-    # warm-up slots themselves still re-grade stale queries.
+    # Round-8 window = two cheap r3-stale leads (tpch_q15: scan-agg codegen
+    # warm-up; multimodal_features: spawns the reusable Arrow worker pool —
+    # the warm-up slots themselves still re-grade stale queries) + the two
+    # round-8 additions (never graded = stalest, so the contract puts them
+    # at the head of the body) + the 33 remaining r3-era grades (the
+    # engine's SURVEY.md section-2 heart: the pivot/margin/percentage
+    # family, TPC-H q9/q19, the embedding-dedup family) + the ~13 oldest
+    # r4 grades at the usual 49-50-slot window.
     return {
         # -- warm-up leads (both r3-stale, so the slots still re-grade):
         # -- tpch_q15 primes scan-agg codegen; multimodal_features spawns
