@@ -57,3 +57,20 @@ def test_pinned_sqls_cover_the_eight_queries():
     assert set(pinned) <= set(qs)
     for sql in pinned.values():
         assert "VALUES" in sql
+
+
+def test_replay_is_not_vacuous_across_corpora():
+    """Negative control: the replay must DEPEND on the corpus — the
+    sf0.001 embeddings are a different 500-row draw, so its replayed
+    literals must differ from the baked sf0.01 values (a replay that
+    returned constants would pass the parity pin while grading nothing)."""
+    other = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(other, "embeddings.parquet")):
+        pytest.skip("sf0.001 testdata not present")
+    lits = entry._replay_embedding_literals(other)
+    differing = [
+        k for k in entry._PINNED_LITERALS_SF001
+        if lits[k] != entry._PINNED_LITERALS_SF001[k]
+    ]
+    # at minimum the pair list, FPS picks and MMR selections must move
+    assert {"emb_pairs", "coreset_fps", "mmr_rerank"} <= set(differing)

@@ -153,3 +153,24 @@ def test_embedding_contamination_tie_breaks_to_lowest_train_id(spark):
     )
     r = embedding_contamination(train, ev, "vec_id", "embedding").collect()[0]
     assert r["train_id"] == 3  # (cos desc, id asc)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rater_agreement_property_sweep(spark, pairs):
+    """Random labelings (3 categories + NULL abstentions, heavy ties) vs
+    the pure-Python kappa oracle — every output field exact."""
+    assert _run_kappa(spark, pairs) == _py_kappa(pairs)
