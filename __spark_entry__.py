@@ -1594,7 +1594,7 @@ def _pinned_oracle_sqls(lits: dict) -> dict:
     return {
         "embedding_dups_lsh": f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
-cand AS (SELECT * FROM (VALUES {lits["emb_pairs"]}) v(x, y)),
+cand AS (SELECT * FROM (VALUES {lits["emb_pairs"]}) v(x, y) WHERE x IS NOT NULL),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         {_DOT.format(a='a.embedding', b='b.embedding')} AS dot,
         {_DOT.format(a='a.embedding', b='a.embedding')} AS na,
@@ -1606,7 +1606,7 @@ FROM p WHERE round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.4
 """,
         "semantic_dedup": f"""
 WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings),
-cand AS (SELECT * FROM (VALUES {lits["emb_pairs"]}) v(x, y)),
+cand AS (SELECT * FROM (VALUES {lits["emb_pairs"]}) v(x, y) WHERE x IS NOT NULL),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         {_DOT.format(a='a.embedding', b='b.embedding')} AS dot,
         {_DOT.format(a='a.embedding', b='a.embedding')} AS na,
@@ -1742,11 +1742,14 @@ def _replay_embedding_literals(sf_dir: str) -> dict:
     def exact_top5(qi, cand_rows, prefilter_fast=True):
         """Per-query top-5 by (exact cos desc, id asc); when the operator
         shortlists by fast cosine first (bruteforce / LSH / quantized use
-        depth max(4k, k+20) = 20), mirror that gate."""
+        depth max(4k, k+20) = max(20, 25) = 25 for k=5), mirror that gate
+        at the SAME depth — a shallower replay slice could flip a fast-vs-
+        exact near-tie across the rank boundary at some SF and fake a
+        sweep failure (ADVICE r8 #2)."""
         rows = [j for j in cand_rows if j != qi]
         if prefilter_fast:
             fc = fast_cos_row(qi)
-            rows = sorted(rows, key=lambda j: (-fc[j], ids[j]))[:20]
+            rows = sorted(rows, key=lambda j: (-fc[j], ids[j]))[: max(4 * 5, 5 + 20)]
         scored = sorted(
             ((cos6(qi, j), int(ids[j]), j) for j in rows),
             key=lambda r: (-r[0], r[1]),
@@ -1901,7 +1904,15 @@ def _replay_embedding_literals(sf_dir: str) -> dict:
     final_pairs = sorted(
         (ia, ib) for ia, ib, a, b in cand_pairs if cos6(a, b) >= 0.4
     )
-    lits["emb_pairs"] = ",".join(f"({a},{b})" for a, b in final_pairs)
+    # An empty pair set (possible at some SF/corpus draw) must NOT render
+    # as `(VALUES )` — a syntax error the sweep would misread as an oracle
+    # crash. Emit one typed NULL row instead; the templates' WHERE x IS NOT
+    # NULL turns it into an empty relation with the right schema (ADVICE
+    # r8 #3).
+    lits["emb_pairs"] = (
+        ",".join(f"({a},{b})" for a, b in final_pairs)
+        or "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"
+    )
     return lits
 
 

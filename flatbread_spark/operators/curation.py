@@ -268,7 +268,17 @@ def rater_agreement(
     - ``pe_ppm``      chance agreement, floor(Σ_c na_c·nb_c · 1e6 / n²)
     - ``kappa_ppm``   floor((po_ppm − pe_ppm)·1e6 / (1e6 − pe_ppm))
 
-    All arithmetic is BIGINT with explicit FLOOR division — the final
+    The po/pe numerators are computed in DECIMAL(38,0) (ADVICE r8 #1):
+    ``pe_num`` can reach n², so ``pe_num · 1e6`` overflows BIGINT at
+    n ≈ 3.03e6 compared rows and ``n · n`` at n ≈ 3.03e9 — with Spark's
+    default non-ANSI mode both wrap SILENTLY, corrupting kappa exactly in
+    the corpus-scale regime this operator exists for. DECIMAL(38,0) holds
+    n²·1e6 exactly up to n ≈ 3.1e15 rows, and Spark's ``div`` (IntegralDivide)
+    accepts decimal operands and returns BIGINT, so the ppm results are
+    byte-identical to the old path wherever the old path didn't overflow
+    (pinned vs a Python big-int oracle at n > 4M in tests/test_advice_r9.py).
+
+    All remaining arithmetic is BIGINT with explicit FLOOR division — the final
     kappa dividend can be NEGATIVE (systematic disagreement), where
     Spark's ``div`` truncates toward zero and engines disagree, so the
     floor is spelled ``(x − pmod(x, d)) div d`` (pmod ≥ 0 makes the
@@ -301,14 +311,25 @@ def rater_agreement(
         ma.join(mb, "__lbl", "full_outer")
         .select(
             (
-                F.coalesce("__na", F.lit(0)) * F.coalesce("__nb", F.lit(0))
-            ).alias("__prod")
+                F.coalesce("__na", F.lit(0)).cast("decimal(38,0)")
+                * F.coalesce("__nb", F.lit(0)).cast("decimal(38,0)")
+            ).alias("__prod")  # na*nb <= n^2: decimal, BIGINT wraps at n~3e9
         )
-        .agg(F.sum("__prod").cast("bigint").alias("pe_num"))
+        .agg(F.sum("__prod").cast("decimal(38,0)").alias("pe_num"))
     )
     row = obs.crossJoin(F.broadcast(cross))  # two 1-row frames
-    po = F.expr("(n_agree * CAST(1000000 AS BIGINT)) div n")
-    pe = F.expr("(coalesce(pe_num, 0) * CAST(1000000 AS BIGINT)) div (n * n)")
+    # DECIMAL(38,0) numerators/denominators: exact to n ~ 3.1e15 rows where
+    # the BIGINT forms wrap silently past n ~ 3.03e6 (pe) / 9.2e12 (po).
+    # div on decimals is IntegralDivide -> BIGINT; operands are >= 0 so
+    # truncation == floor.
+    po = F.expr(
+        "(CAST(n_agree AS DECIMAL(38,0)) * 1000000)"
+        " div CAST(n AS DECIMAL(38,0))"
+    )
+    pe = F.expr(
+        "(CAST(coalesce(pe_num, 0) AS DECIMAL(38,0)) * 1000000)"
+        " div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))"
+    )
     staged = row.select(
         "n",
         F.coalesce("n_agree", F.lit(0)).cast("bigint").alias("n_agree"),

@@ -17,8 +17,19 @@ case and convergence is detected with a per-round changed-label count
 """
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The edge-cap probe below pins a SESSION-GLOBAL conf for the duration of
+# one bounded collect. The get/set/collect/restore window is not atomic, so
+# without a guard a concurrent query on the same SparkSession could run
+# under the override or restore a stale value (ADVICE r8 #4). The lock makes
+# concurrent connected_components calls safe; it does NOT protect unrelated
+# queries issued from OTHER threads during the window — single-driver-thread
+# usage (the driver, bench.py, pytest) is the supported mode, noted here.
+_LIMIT_PROBE_LOCK = threading.Lock()
 
 
 def connected_components(
@@ -71,12 +82,13 @@ def connected_components(
         # right shape at every load point.
         conf = edges.sparkSession.conf
         _K = "spark.sql.limit.initialNumPartitions"
-        old = conf.get(_K, None)
-        conf.set(_K, "10000000")
-        try:
-            probe = und.limit(driver_max_edges + 1).collect()
-        finally:
-            conf.set(_K, old) if old is not None else conf.unset(_K)
+        with _LIMIT_PROBE_LOCK:  # see lock comment at module top
+            old = conf.get(_K, None)
+            conf.set(_K, "10000000")
+            try:
+                probe = und.limit(driver_max_edges + 1).collect()
+            finally:
+                conf.set(_K, old) if old is not None else conf.unset(_K)
         if len(probe) <= driver_max_edges:
             parent: dict = {}
 
