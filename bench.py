@@ -3,10 +3,20 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
-    {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1,
+    {"qt_order": "execution", "qt_names_sha8": "…", "qt": [sec, ...],
+     "queries_full_file": "BENCH_FULL_LAST.json",
+     "queries": {"q": sec, ...},            # the SLOWEST entries only
+     "timing": "min_of_2", "first_pass_sec": F, "sf": 0.1,
      "host_probe_sec": p, "host_probe_ref_sec": 1.17,
-     "value_normalized": N * 1.17 / p}
+     "value_normalized": N * 1.17 / p,
+     "metric": "total_query_sec", "unit": "sec", "value": N}
+
+The line is kept under the driver's 2000-char tail capture (see ``emit``):
+``qt`` carries EVERY per-query time in execution order (zip with the
+registry to name them — scripts/bench_triage.py does), ``queries`` names
+as many of the slowest as fit, and the COMPLETE named map is written to
+``BENCH_FULL_LAST.json`` beside this file (tracked; the round's local
+``bench_r{N}_local.json`` snapshot is a copy of it).
 
 ``host_probe_sec`` is a pure-Python loop microbench run in-process before
 and after the queries (min of the two): it tracks the HOST's single-thread
@@ -280,27 +290,102 @@ def main() -> None:
         print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     probe = min(probe_before, host_probe())
+    print(emit(times, sf, round(first_pass, 3), probe, parallel_probe()))
+
+
+TAIL_BUDGET = 1900  # driver keeps the last 2000 chars of stdout; margin 100
+
+
+def emit(
+    times: "dict[str, float]",
+    sf,
+    first_pass_sec: float,
+    probe: float,
+    par_eff: "float | None",
+    out_dir: "str | None" = None,
+) -> str:
+    """Serialize the run so it survives the driver's tail capture.
+
+    The driver's BENCH record keeps only the LAST 2000 characters of
+    stdout: r4 lost the scalars, and even with scalars moved to the line's
+    end, r8 preserved just 69 of 197 per-query times — the round's one
+    deliberate perf change sat at the truncated FRONT and could not be
+    driver-confirmed (VERDICT r8 #1). Two fixes, both here:
+
+    1. The full named result (every query, failures as null) is written to
+       ``BENCH_FULL_LAST.json`` next to this file; the driver's end-of-round
+       commit picks it up, so the complete per-query map is a tracked
+       artifact regardless of stdout limits.
+    2. The final stdout line is kept UNDER the 2000-char capture (so the
+       driver's JSON parse works again): ``qt`` carries EVERY per-query
+       time as a compact array in execution order (recoverable by zipping
+       with the committed registry order — ``qt_names_sha8`` pins that the
+       orders match), and ``queries`` names only the slowest entries, shrunk
+       (cheapest-first) until the line fits TAIL_BUDGET. Scalars still go
+       last so even an over-budget line keeps them in the tail.
+
+    Failures (inf sentinels) serialize as JSON null in qt / the full file —
+    ``Infinity`` is not valid JSON — and are listed by name in ``failed``.
+    """
+    import hashlib
+
+    names = list(times)
     total = round(sum(t for t in times.values() if t != float("inf")), 3)
-    # Key order matters: the driver's BENCH record keeps only the LAST 2000
-    # characters of this line (r4: "parsed": null because 105 queries push
-    # the line past that), so the scalars — metric/value/probes — go at the
-    # END where the tail capture preserves them; "queries" (which truncates
-    # gracefully) goes first.
-    print(json.dumps({
-        "queries": times,
+    failed = [n for n, t in times.items() if t == float("inf")]
+    scalars = {
         "timing": "min_of_2",
-        "first_pass_sec": round(first_pass, 3),
+        "first_pass_sec": first_pass_sec,
         "sf": sf,
         "host_probe_sec": round(probe, 3),
         "host_probe_ref_sec": HOST_PROBE_REF_SEC,
-        "host_parallel_eff": (
-            round(pe, 3) if (pe := parallel_probe()) is not None else None
-        ),
+        "host_parallel_eff": round(par_eff, 3) if par_eff is not None else None,
         "value_normalized": round(total * HOST_PROBE_REF_SEC / probe, 3),
         "metric": "total_query_sec",
         "unit": "sec",
         "value": total,
-    }))
+    }
+
+    full = dict(scalars)
+    full["queries"] = {
+        n: (None if t == float("inf") else t) for n, t in times.items()
+    }
+    full["failed"] = failed
+    full_path = os.path.join(
+        out_dir or os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_FULL_LAST.json",
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=False)
+            f.write("\n")
+    except OSError as e:  # read-only checkout must not kill the run
+        print(f"# full per-query map NOT written: {e}", file=sys.stderr)
+
+    qt = [None if t == float("inf") else round(t, 2) for t in times.values()]
+    slowest = sorted(
+        (n for n in names if times[n] != float("inf")),
+        key=lambda n: -times[n],
+    )
+    compact = lambda named: json.dumps(  # noqa: E731
+        {
+            "qt_order": "execution",
+            "qt_names_sha8": hashlib.sha256(
+                "\n".join(names).encode()
+            ).hexdigest()[:8],
+            "qt": qt,
+            "queries_full_file": "BENCH_FULL_LAST.json",
+            **({"failed": failed} if failed else {}),
+            "queries": {n: times[n] for n in sorted(named)},
+            **scalars,
+        },
+        separators=(",", ":"),
+    )
+    keep = list(slowest)
+    line = compact(keep)
+    while keep and len(line) > TAIL_BUDGET:
+        keep.pop()  # drop the cheapest remaining named entry
+        line = compact(keep)
+    return line
 
 
 if __name__ == "__main__":

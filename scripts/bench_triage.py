@@ -58,7 +58,32 @@ def main() -> None:
         import re
 
         tail = driver.get("parsed") or {}
-        if isinstance(tail, dict) and "queries" in tail:
+        if isinstance(tail, dict) and "qt" in tail:
+            # r9+ compact line: "qt" carries EVERY per-query time in
+            # execution order; zip with the current registry order (the
+            # sha8 pin catches a registry drift between run and triage).
+            import hashlib
+            sys.path.insert(0, REPO)
+            import __spark_entry__ as entry
+
+            names = list(entry.queries())
+            sha8 = hashlib.sha256("\n".join(names).encode()).hexdigest()[:8]
+            if sha8 == tail.get("qt_names_sha8") and len(names) == len(
+                tail["qt"]
+            ):
+                tail = dict(tail)
+                tail["queries"] = {
+                    n: (float("inf") if t is None else t)
+                    for n, t in zip(names, tail["qt"])
+                }
+                driver = tail
+            else:
+                print(
+                    "# qt order hash mismatch (registry changed since the "
+                    "run?) — falling back to the named slowest subset"
+                )
+                driver = tail
+        elif isinstance(tail, dict) and "queries" in tail:
             driver = tail
         else:
             text = driver.get("tail", "")
