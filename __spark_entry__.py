@@ -4480,87 +4480,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (round 8 — stale-first rotation): the driver grades
-    # a bounded prefix of this dict (49-50 entries every round so far) and
-    # benches in THIS order with no warm-up — the first queries absorb JVM
-    # JIT + Arrow-worker cold start.
+    # ORDERING CONTRACT (standing since round 8 — stale-first rotation):
+    # the driver grades a bounded prefix of this dict (49-50 entries every
+    # round so far) and benches in THIS order with no warm-up — the first
+    # queries absorb JVM JIT + Arrow-worker cold start.
     #
-    # ROTATION RULE (VERDICT r7 #1, now the standing contract): each round,
-    # re-sort this dict by "round of most recent driver grade" ASCENDING,
-    # keeping within-cohort relative order, so the grading prefix always
-    # re-grades the STALEST queries first and the maximum grade age stays
-    # bounded (~195/50 = 4 rounds). All 195 declared queries have carried
-    # the hard driver signal at least once (backlog hit zero in r7); from
-    # round 8 on the window's job is freshness, not first grades.
+    # ROTATION RULE (VERDICT r7 #1): each round, re-sort this dict by
+    # "round of most recent driver grade" ASCENDING, keeping within-cohort
+    # relative order, so the grading prefix always re-grades the STALEST
+    # queries first and the maximum grade age stays bounded (~197/50 = 4
+    # rounds). Mechanically enforced by tests/test_grading_rotation.py,
+    # which fails until the re-sort happens each round.
     #
-    # Round-8 window = two cheap r3-stale leads (tpch_q15: scan-agg codegen
-    # warm-up; multimodal_features: spawns the reusable Arrow worker pool —
-    # the warm-up slots themselves still re-grade stale queries) + the two
-    # round-8 additions (never graded = stalest, so the contract puts them
-    # at the head of the body) + the 33 remaining r3-era grades (the
-    # engine's SURVEY.md section-2 heart: the pivot/margin/percentage
-    # family, TPC-H q9/q19, the embedding-dedup family) + the ~13 oldest
-    # r4 grades at the usual 49-50-slot window.
+    # Round-9 window = two cheap r4-stale leads (corpus_stats primes the
+    # documents scan; tpch_q22 primes TPC-H scan/join codegen — the
+    # warm-up slots themselves still re-grade stale queries) + the 29
+    # remaining r4-era grades + the ~19 oldest r5 grades at the usual
+    # 49-50-slot window.
     return {
-        # -- warm-up leads (both r3-stale, so the slots still re-grade):
-        # -- tpch_q15 primes scan-agg codegen; multimodal_features spawns
-        # -- the reusable Arrow worker pool.
-        "tpch_q15": q_tpch_q15,
-        "multimodal_features": q_multimodal_features,
-        # -- round-8 additions (never graded = stalest; the rotation
-        # -- contract puts them at the head of the body) --
-        "gate_agreement": q_gate_agreement,
-        "embedding_contamination": q_embedding_contamination,
-        # -- r3-era grades (stalest: last driver signal round 3) --
-        "pivot_sum": q_pivot_sum,
-        "agg_margins": q_agg_margins,
-        "subtotals_rollup": q_subtotals_rollup,
-        "drop_totals_roundtrip": q_drop_totals_roundtrip,
-        "pct_interleaf": q_pct_interleaf,
-        "sort_totals_rank": q_sort_totals_rank,
-        "median_margin": q_median_margin,
-        "chunk_dedup": q_chunk_dedup,
-        "totals_grid": q_totals_grid,
-        "subtotals_cols": q_subtotals_cols,
-        "pct_axis0": q_pct_axis0,
-        "pct_axis1": q_pct_axis1,
-        "add_percentages": q_add_percentages,
-        "subtotals_chained": q_subtotals_chained,
-        "sort_index_list": q_sort_index_list,
-        "sample_stratified": q_sample_stratified,
-        "contamination_planted": q_contamination_planted,
-        "chunk_overlap": q_chunk_overlap,
-        "corpus_shuffle": q_corpus_shuffle,
-        "salted_agg": q_salted_agg,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q19": q_tpch_q19,
-        "corpus_mix": q_corpus_mix,
-        "stream_dedup_replay": q_stream_dedup_replay,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_ivf": q_knn_ivf,
-        "knn_lsh": q_knn_lsh,
-        "embedding_dups": q_embedding_dups,
-        "embedding_dups_lsh": q_embedding_dups_lsh,
-        "semantic_dedup": q_semantic_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_pairs": q_simhash_pairs,
-        "minhash_pairs": q_minhash_pairs,
-        # -- r4-era grades (next-stalest; the first ~15 land inside the window,
-        # -- the rest are the head of the r9 rotation) --
-        "events_hourly": q_events_hourly,
-        "sessions": q_sessions,
-        "asof_attribution": q_asof_attribution,
-        "range_join": q_range_join,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "stream_replay": q_stream_replay,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "contamination": q_contamination,
-        "token_budget": q_token_budget,
-        "topk_by_group": q_topk_by_group,
-        "bm25_search": q_bm25_search,
+        # -- warm-up leads (both r4-stale, so the slots still re-grade):
+        # -- corpus_stats primes the documents scan; tpch_q22 primes
+        # -- TPC-H scan/join codegen.
         "corpus_stats": q_corpus_stats,
+        "tpch_q22": q_tpch_q22,
+        # -- r4-era grades (last driver signal round 4) --
         "quality_scores": q_quality_scores,
         "gopher_filter": q_gopher_filter,
         "pii_redaction": q_pii_redaction,
@@ -4582,7 +4525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q17": q_tpch_q17,
-        "tpch_q22": q_tpch_q22,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "pack_sequences": q_pack_sequences,
@@ -4591,7 +4533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "trigram_typicality": q_trigram_typicality,
         "kmeans_embeddings": q_kmeans_embeddings,
-        # ---- tail: r5-era grades ----
+        # -- r5-era grades (last driver signal round 5) --
         "value_counts_pct": q_value_counts_pct,
         "value_counts_pct_naive": q_value_counts_pct_naive,
         "value_counts_pct_raw": q_value_counts_pct_raw,
@@ -4640,7 +4582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "stream_quality_gate": q_stream_quality_gate,
         "knn_ivf_sweep": q_knn_ivf_sweep,
-        # ---- r6-era grades ----
+        # -- r6-era grades (last driver signal round 6) --
         "weighted_percentiles": q_weighted_percentiles,
         "sample_mix": q_sample_mix,
         "sample_exact": q_sample_exact,
@@ -4659,7 +4601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_association": q_field_association,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
-        # ---- r7 grades (freshest, rotate last) ----
+        # -- r7-era grades (last driver signal round 7) --
         "tpch_q6": q_tpch_q6,
         "trimmed_margin": q_trimmed_margin,
         "quantile_normalize": q_quantile_normalize,
@@ -4710,6 +4652,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum,
         "quantile_buckets": q_quantile_buckets,
         "exact_percentiles": q_exact_percentiles,
+        # -- r8-era grades (last driver signal round 8) --
+        "tpch_q15": q_tpch_q15,
+        "multimodal_features": q_multimodal_features,
+        "gate_agreement": q_gate_agreement,
+        "embedding_contamination": q_embedding_contamination,
+        "pivot_sum": q_pivot_sum,
+        "agg_margins": q_agg_margins,
+        "subtotals_rollup": q_subtotals_rollup,
+        "drop_totals_roundtrip": q_drop_totals_roundtrip,
+        "pct_interleaf": q_pct_interleaf,
+        "sort_totals_rank": q_sort_totals_rank,
+        "median_margin": q_median_margin,
+        "chunk_dedup": q_chunk_dedup,
+        "totals_grid": q_totals_grid,
+        "subtotals_cols": q_subtotals_cols,
+        "pct_axis0": q_pct_axis0,
+        "pct_axis1": q_pct_axis1,
+        "add_percentages": q_add_percentages,
+        "subtotals_chained": q_subtotals_chained,
+        "sort_index_list": q_sort_index_list,
+        "sample_stratified": q_sample_stratified,
+        "contamination_planted": q_contamination_planted,
+        "chunk_overlap": q_chunk_overlap,
+        "corpus_shuffle": q_corpus_shuffle,
+        "salted_agg": q_salted_agg,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q19": q_tpch_q19,
+        "corpus_mix": q_corpus_mix,
+        "stream_dedup_replay": q_stream_dedup_replay,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "knn_lsh": q_knn_lsh,
+        "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
+        "asof_attribution": q_asof_attribution,
+        "range_join": q_range_join,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "stream_replay": q_stream_replay,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "contamination": q_contamination,
+        "token_budget": q_token_budget,
+        "topk_by_group": q_topk_by_group,
+        "bm25_search": q_bm25_search,
     }
 
 
