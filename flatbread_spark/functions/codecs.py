@@ -6,9 +6,12 @@ The container has no PIL/libsndfile/ffmpeg, so the multimodal kernels
 dependency-free path for one format per modality:
 
 - images: PNM (``P1``–``P6``: bitmap/graymap/pixmap, ascii and binary),
-  uncompressed 24/32-bit BMP, and non-interlaced PNG (gray/RGB/palette/
+  uncompressed 24/32-bit BMP, non-interlaced PNG (gray/RGB/palette/
   alpha at 8- or 16-bit depth: stdlib ``zlib`` inflate + the five
-  per-scanline unfilters), all into ``numpy`` ``(H, W, 3)`` uint8;
+  per-scanline unfilters), and baseline sequential JPEG (SOF0/SOF1:
+  Huffman decode + 8x8 IDCT + chroma upsample + JFIF color convert;
+  progressive/arithmetic/12-bit/CMYK raise by name), all into ``numpy``
+  ``(H, W, 3)`` uint8;
 - audio: PCM WAV via the stdlib ``wave`` module (8/16/32-bit int frames).
 
 Formats outside that set still raise ``NotImplementedError`` — the slot stays
@@ -61,6 +64,8 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "png"
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -369,6 +374,562 @@ def encode_png(arr: np.ndarray, gray: bool = False) -> bytes:
     )
 
 
+# ---------------------------------------------------------------- JPEG
+#
+# Baseline sequential JPEG (ITU-T T.81 / ISO 10918-1, the public spec):
+# Huffman entropy decode -> dequantize -> 8x8 IDCT -> chroma upsample ->
+# JFIF YCbCr->RGB. Handles SOF0/SOF1 frames, arbitrary DHT tables (canonical
+# code reconstruction from the 16 length counts), 8- and 16-bit DQT
+# precision, sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart
+# intervals (DRI + RSTn), and 1- or 3-component scans. Raises BY NAME for
+# progressive (SOF2), lossless/hierarchical (SOF3/5-7/11/13-15),
+# arithmetic coding (SOF9/10 or a DAC marker), 12-bit precision, and
+# 4-component (Adobe CMYK) images — honest boundaries, not stubs.
+#
+# Chroma upsampling contract: nearest (sample replication). libjpeg's
+# default "fancy" triangular upsampling differs by at most a few code
+# values on chroma edges — this decoder pins the simpler contract and the
+# tests grade against it.
+#
+# The Huffman bit loop is per-symbol Python — the honest stdlib price; the
+# block math (dequant/IDCT/upsample/color) is vectorized numpy over all
+# blocks at once. Reference parity: the reference's ingest decodes media
+# via system codec libraries; this slot re-expresses the same decode
+# contract dependency-free (cf. reference media/decode fixtures).
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K base quantization tables (natural row order)
+_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHROM = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32,
+    dtype=np.int64,
+)
+
+# Annex K DC code-length counts (exercises multi-length canonical decode)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+
+
+def _idct_matrix() -> np.ndarray:
+    n = np.arange(8, dtype=np.float64)
+    t = 0.5 * np.cos((2.0 * n[None, :] + 1.0) * n[:, None] * np.pi / 16.0)
+    t[0, :] = 1.0 / np.sqrt(8.0)
+    return t
+
+
+_DCT_M = _idct_matrix()  # orthonormal DCT-II matrix: pixels = M.T @ C @ M
+
+
+def _canonical_codes(bits, vals):
+    """DHT (16 length counts + symbols) -> {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over a destuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy segment truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(r: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless sequential (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic-coded sequential (SOF9)",
+    0xCA: "arithmetic-coded progressive (SOF10)",
+    0xCB: "arithmetic-coded lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def _jpeg_segments(payload: bytes, start: int):
+    """Split the post-SOS entropy stream into destuffed restart segments;
+    returns (segments, end_pos). Stuffed 0xFF00 bytes become plain 0xFF;
+    RSTn markers delimit segments; any other marker ends the scan."""
+    segs, cur = [], bytearray()
+    i = start
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # a real marker ends the entropy stream
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (H, W, 3) uint8 (grayscale replicated to 3
+    channels). See the section comment for the supported surface; anything
+    else raises NotImplementedError naming the actual variant."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    scan = None
+    ri = 0
+    i = 2
+    n = len(payload)
+    while i < n:
+        if payload[i] != 0xFF:
+            i += 1  # tolerate fill bytes
+            continue
+        m = payload[i + 1]
+        if m in (0xFF, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2 if m != 0xFF else 1
+            continue
+        if m == 0xD9:  # EOI
+            break
+        length = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        seg = payload[i + 4 : i + 2 + length]
+        if m in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG variant not supported: {_SOF_UNSUPPORTED[m]}"
+            )
+        if m == 0xCC:  # DAC
+            raise NotImplementedError(
+                "JPEG variant not supported: arithmetic coding (DAC)"
+            )
+        if m == 0xDB:  # DQT — possibly several tables per segment
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    vals = np.frombuffer(
+                        seg[j : j + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    j += 128
+                else:
+                    vals = np.frombuffer(
+                        seg[j : j + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    j += 64
+                qt[tq] = vals  # zigzag order, as stored
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1: Huffman sequential
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG sample precision {prec} not supported (8-bit only)"
+                )
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (CMYK/Adobe) not supported"
+                )
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif m == 0xC4:  # DHT — possibly several tables per segment
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nv])
+                (ac_tabs if tc else dc_tabs)[th] = _canonical_codes(bits, vals)
+                j += 17 + nv
+        elif m == 0xDD:  # DRI
+            ri = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c : 3 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 15)
+            scan = sel
+            i = i + 2 + length
+            break
+        i = i + 2 + length
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    segs, _ = _jpeg_segments(payload, i)
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError(
+            f"JPEG sampling factors {hmax}x{vmax} > 2x2 not supported"
+        )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # entropy-decode every block's 64 zigzag coefficients first (the
+    # sequential Python part), then do ALL the math vectorized
+    coeffs = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in comps
+    }
+    preds = {c["id"]: 0 for c in comps}
+    reader = _BitReader(segs[0])
+    seg_idx = 0
+    for m_i in range(mcux * mcuy):
+        if ri and m_i and m_i % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("JPEG restart segment missing")
+            reader = _BitReader(segs[seg_idx])
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m_i, mcux)
+        for c in comps:
+            dct = dc_tabs[scan[c["id"]][0]]
+            act = ac_tabs[scan[c["id"]][1]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = np.zeros(64, dtype=np.int64)
+                    s = _huff_decode(reader, dct)
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    preds[c["id"]] += diff
+                    blk[0] = preds[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, act)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        blk[k] = _extend(reader.read_bits(s), s)
+                        k += 1
+                    coeffs[c["id"]][my * c["v"] + by, mx * c["h"] + bx] = blk
+
+    planes = {}
+    for c in comps:
+        cz = coeffs[c["id"]]  # (by, bx, 64) zigzag ints
+        deq = cz * qt[c["tq"]][None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, _ZIGZAG] = deq  # de-zigzag: stream i -> flat _ZIGZAG[i]
+        blocks = nat.reshape(cz.shape[0], cz.shape[1], 8, 8)
+        pix = np.einsum("ki,yxkl,lj->yxij", _DCT_M, blocks.astype(np.float64),
+                        _DCT_M) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(
+            cz.shape[0] * 8, cz.shape[1] * 8
+        )
+        # upsample to full MCU resolution, crop to the image
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes[c["id"]] = plane[:h, :w]
+
+    if len(comps) == 1:
+        g = np.clip(np.rint(planes[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = (planes[c["id"]] for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def pad(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _encode_tables(bits, vals):
+    """(bits, vals) -> {symbol: (code, length)} for the bit writer."""
+    enc = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+# AC symbol set: (run 0-15) << 4 | (size 1-10), plus EOB (0x00) and ZRL
+# (0xF0) — 162 symbols, written as a fixed-8-bit canonical code. The DHT
+# segment carries the table, so any valid prefix code decodes everywhere;
+# fixed-length keeps this encoder honest about what it is (a test/fixture
+# generator, not a compressor).
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0] * 16
+_AC_BITS[7] = 94   # 8-bit codes: 0..93
+_AC_BITS[8] = 68   # 9-bit codes: the rest (94+68 = 162; all-ones unused)
+
+
+def _quality_tables(quality: int):
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QT_LUM, _QT_CHROM):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    gray: bool = False,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder for tests/fixtures: Annex-K quality-scaled
+    quant tables, Annex-K DC Huffman tables + fixed-length canonical AC
+    tables (self-describing via DHT), optional 4:2:0 subsampling and
+    restart intervals. Accepts (H, W, 3) uint8 (or any (H, W[, C]) — first
+    channel used when ``gray``)."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w = a.shape[0], a.shape[1]
+    if gray or a.shape[2] == 1:
+        comps_px = [a[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        tqs = [0]
+    else:
+        rf, gf, bf = (a[:, :, k].astype(np.float64) for k in range(3))
+        yp = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = 128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf
+        cr = 128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+        if subsample:
+            # pad to even, 2x2 box-average the chroma
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            def pad2(p):
+                return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = pad2(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = pad2(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        comps_px = [yp, cb, cr]
+        tqs = [0, 1, 1]
+
+    qts = _quality_tables(quality)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component quantized zigzag blocks, MCU-interleaved order
+    comp_blocks = []
+    for px, (sh, sv), tq in zip(comps_px, samp, tqs):
+        bw, bh = mcux * sh, mcuy * sv  # block grid dims
+        padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        ph, pw = px.shape
+        padded[:ph, :pw] = px
+        padded[ph:, :pw] = px[-1:, :]  # edge replicate
+        padded[:, pw:] = padded[:, pw - 1 : pw]
+        blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("ik,yxkl,jl->yxij", _DCT_M, blocks, _DCT_M)
+        qz = np.rint(
+            coef.reshape(bh, bw, 64)[:, :, _ZIGZAG]
+            / qts[tq][_ZIGZAG][None, None, :]  # both in zigzag stream order
+        ).astype(np.int64)
+        comp_blocks.append(qz)
+
+    dc_enc = [
+        _encode_tables(_DC_LUM_BITS, _DC_VALS),
+        _encode_tables(_DC_CHROM_BITS, _DC_VALS),
+    ]
+    ac_enc = _encode_tables(_AC_BITS, _AC_SYMBOLS)
+
+    def put_block(bw_, blk, pred, dct, act):
+        diff = int(blk[0]) - pred
+        size = abs(diff).bit_length()
+        code, ln = dct[size]
+        bw_.write(code, ln)
+        if size:
+            v = diff if diff >= 0 else diff + (1 << size) - 1
+            bw_.write(v, size)
+        run = 0
+        last_nz = 0
+        nz = np.nonzero(blk[1:])[0]
+        last_nz = (nz[-1] + 1) if len(nz) else 0
+        for k in range(1, last_nz + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]
+                bw_.write(code, ln)
+                run -= 16
+            size = abs(v).bit_length()
+            code, ln = act[(run << 4) | size]
+            bw_.write(code, ln)
+            vv = v if v >= 0 else v + (1 << size) - 1
+            bw_.write(vv, size)
+            run = 0
+        if last_nz < 63:
+            code, ln = act[0x00]
+            bw_.write(code, ln)
+        return int(blk[0])
+
+    bw_ = _BitWriter()
+    preds = [0] * len(comps_px)
+    body = bytearray()
+    rst = 0
+    for m_i in range(mcux * mcuy):
+        if restart_interval and m_i and m_i % restart_interval == 0:
+            bw_.pad()
+            body += bw_.out
+            body += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw_ = _BitWriter()
+            preds = [0] * len(comps_px)
+        my, mx = divmod(m_i, mcux)
+        for ci, ((sh, sv), qz) in enumerate(zip(samp, comp_blocks)):
+            for by in range(sv):
+                for bx in range(sh):
+                    preds[ci] = put_block(
+                        bw_, qz[my * sv + by, mx * sh + bx], preds[ci],
+                        dc_enc[min(ci, 1)], ac_enc,
+                    )
+    bw_.pad()
+    body += bw_.out
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HHBB", 1, 1, 0, 0)
+    for tq, t in enumerate(qts[: max(tqs) + 1]):
+        z = t[_ZIGZAG]  # natural order -> zigzag stream order
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(x) for x in z
+        )
+    ncomp = len(comps_px)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, ((sh, sv), tq) in enumerate(zip(samp, tqs)):
+        sof += bytes([ci + 1, (sh << 4) | sv, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc_th, bits, vals in (
+        ((0, 0), _DC_LUM_BITS, _DC_VALS),
+        ((0, 1), _DC_CHROM_BITS, _DC_VALS),
+        ((1, 0), _AC_BITS, _AC_SYMBOLS),
+        ((1, 1), _AC_BITS, _AC_SYMBOLS),
+    ):
+        payload = bytes([(tc_th[0] << 4) | tc_th[1]]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- WAV
 
 def decode_wav(payload: bytes):
@@ -461,9 +1022,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "jpeg":
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"image format {fmt or 'unknown'} needs PIL; "
-        "supported stdlib formats: PNM (P1-P6)/BMP/PNG"
+        "supported stdlib formats: PNM (P1-P6)/BMP/PNG/baseline JPEG"
     )
 
 

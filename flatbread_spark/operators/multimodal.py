@@ -106,16 +106,21 @@ def read_binary_assets(
         is_wav = (F.substring("content", 1, 4) == F.lit(b"RIFF")) & (
             F.substring("content", 9, 4) == F.lit(b"WAVE")
         )
+        is_jpeg = F.substring("content", 1, 3) == F.lit(b"\xff\xd8\xff")
         mime = (
             F.when(is_ppm, F.lit("image/x-portable-pixmap"))
             .when(is_pgm, F.lit("image/x-portable-graymap"))
             .when(is_pbm, F.lit("image/x-portable-bitmap"))
             .when(is_bmp, F.lit("image/bmp"))
             .when(is_png, F.lit("image/png"))
+            .when(is_jpeg, F.lit("image/jpeg"))
             .when(is_wav, F.lit("audio/wav"))
         )
         modality_col = (
-            F.when(is_ppm | is_pgm | is_pbm | is_bmp | is_png, F.lit("image"))
+            F.when(
+                is_ppm | is_pgm | is_pbm | is_bmp | is_png | is_jpeg,
+                F.lit("image"),
+            )
             .when(is_wav, F.lit("audio"))
             .otherwise(F.lit("unknown"))
         )
@@ -187,7 +192,7 @@ def _decode_batch(pdf_iter, fake_mode: bool | None = None) -> Iterator:
                     feats.append(None)
                     continue
                 fmt = codecs.sniff_format(b)
-                if fmt in ("ppm", "pgm", "pbm", "bmp", "png"):
+                if fmt in ("ppm", "pgm", "pbm", "bmp", "png", "jpeg"):
                     arr = codecs.decode_image(b)
                     widths.append(int(arr.shape[1]))
                     heights.append(int(arr.shape[0]))

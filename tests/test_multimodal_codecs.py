@@ -93,9 +93,10 @@ def test_resize_nearest_contract():
 
 
 def test_unknown_format_raises():
-    # JPEG stays out of the stdlib-decodable set (PNG joined it in r8)
+    # GIF stays out of the stdlib-decodable set (PNG joined in r8,
+    # baseline JPEG in r9)
     with pytest.raises(NotImplementedError, match="PNM"):
-        codecs.decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIFrest-of-a-jpeg")
+        codecs.decode_image(b"GIF89a" + b"\x00" * 16)
 
 
 # ---------------------------------------------------------------- via Spark
@@ -135,8 +136,8 @@ def test_extract_features_real_mode(spark):
 def test_extract_features_real_mode_unknown_format_fails(spark):
     from flatbread_spark.operators.multimodal import extract_features
 
-    assets = _asset_rows(spark, [("image", b"\xff\xd8\xff\xe0 fake jpeg")])
-    with pytest.raises(Exception, match="NotImplementedError|PPM/PGM/BMP"):
+    assets = _asset_rows(spark, [("image", b"GIF89a fake gif payload")])
+    with pytest.raises(Exception, match="NotImplementedError|PNM"):
         extract_features(assets, fake=False).collect()
 
 
@@ -449,3 +450,213 @@ def test_png_property_sweep_random_images_and_filters():
         assert np.array_equal(got, want.astype(np.uint8)), (
             h, w, nchan, depth, filters,
         )
+
+
+# ---------------------------------------------------------------- JPEG (r9)
+
+def _handcrafted_jpeg(coeff_stream_bits, qtable=None, dims=(8, 8)):
+    """Independent minimal JPEG writer for analytic decode pins: one gray
+    8x8-block image, trivial one-entry Huffman tables (DC size-5 = '0',
+    AC EOB = '0'), quant table all ones unless given — built byte-by-byte
+    from the T.81 segment layouts, sharing NOTHING with encode_jpeg."""
+    h, w = dims
+    qt = bytes(qtable if qtable is not None else [1] * 64)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + qt
+    out += b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, h, w, 1
+    ) + bytes([1, 0x11, 0])
+    # DC table 0: one symbol (size 5) with code '0'
+    out += b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x00]) + bytes(
+        [1] + [0] * 15
+    ) + bytes([5])
+    # AC table 0: one symbol (EOB) with code '0'
+    out += b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x10]) + bytes(
+        [1] + [0] * 15
+    ) + bytes([0x00])
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    # entropy bits, MSB-first, padded with 1s
+    bits = coeff_stream_bits + "1" * ((8 - len(coeff_stream_bits) % 8) % 8)
+    out += bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_dc_only_handcrafted_analytic():
+    """DC-only block, quant 1: every pixel = round(dc/8) + 128 — checked
+    against a file built by an independent writer, not encode_jpeg."""
+    # DC diff 24 -> size 5, value bits 11000; stream: '0' 11000 '0'(EOB)
+    j = _handcrafted_jpeg("0" + "11000" + "0")
+    out = codecs.decode_jpeg(j)
+    assert out.shape == (8, 8, 3)
+    assert np.all(out == 131)  # 128 + 24/8
+
+
+def test_jpeg_single_ac_coefficient_analytic():
+    """One AC coefficient (zigzag k=1 -> natural (0,1)): pixel[i][j] =
+    128 + c * (1/sqrt(8)) * (1/2)cos((2j+1)pi/16) — the IDCT basis written
+    out longhand here, independent of the decoder's matrix."""
+    # stream: DC size5 value 0? size must be 5 per our table -> encode DC
+    # diff = 16 ('10000'), then AC: we have only EOB in the AC table, so
+    # extend the handcrafted tables instead: reuse DC table trick by
+    # writing the AC coefficient through a custom table.
+    # AC table with two symbols: (run0,size5)=0x05 -> code '0',
+    # EOB -> code '10'
+    h, w = 8, 8
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, h, w, 1
+    ) + bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x00]) + bytes(
+        [1] + [0] * 15
+    ) + bytes([5])
+    out += b"\xff\xc4" + struct.pack(">H", 21) + bytes([0x10]) + bytes(
+        [1, 1] + [0] * 14
+    ) + bytes([0x05, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    # DC diff 16 ('0'+'10000'), AC k=1 coeff 20 ('0'+'10100'), EOB ('10')
+    bits = "0" + "10000" + "0" + "10100" + "10"
+    bits += "1" * ((8 - len(bits) % 8) % 8)
+    out += bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    out += b"\xff\xd9"
+    dec = codecs.decode_jpeg(bytes(out))
+    base = 128.0 + 16.0 / 8.0  # DC contribution
+    jj = np.arange(8)
+    ac = 20.0 * (1.0 / np.sqrt(8.0)) * 0.5 * np.cos((2 * jj + 1) * np.pi / 16)
+    expect = np.clip(np.rint(base + ac), 0, 255).astype(np.uint8)
+    assert np.array_equal(dec[:, :, 0], np.tile(expect, (8, 1)))
+
+
+def test_jpeg_roundtrip_flat_exact_and_gradient_close():
+    flat = np.full((8, 8, 3), 119, dtype=np.uint8)
+    assert np.array_equal(
+        codecs.decode_jpeg(codecs.encode_jpeg(flat, quality=100)), flat
+    )
+    h, w = 24, 17  # non-multiple-of-8 dims exercise the crop
+    g = (np.arange(h)[:, None] * 5 + np.arange(w)[None, :] * 3) % 200 + 20
+    arr = np.stack([g] * 3, axis=2).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(arr, quality=95))
+    assert out.shape == arr.shape
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 3
+
+
+def test_jpeg_color_and_420_subsampling():
+    arr = np.zeros((16, 16, 3), np.uint8)
+    arr[:8, :8] = [200, 30, 30]
+    arr[:8, 8:] = [30, 200, 30]
+    arr[8:, :8] = [30, 30, 200]
+    arr[8:, 8:] = [220, 220, 40]
+    out = codecs.decode_jpeg(codecs.encode_jpeg(arr, quality=95))
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 3
+    out420 = codecs.decode_jpeg(
+        codecs.encode_jpeg(arr, quality=95, subsample=True)
+    )
+    # block-constant colors survive 2x2 chroma averaging almost exactly
+    assert np.abs(out420.astype(int) - arr.astype(int)).max() <= 10
+
+
+def test_jpeg_restart_intervals_bit_identical():
+    """DRI/RSTn only re-segment the entropy stream — the decoded pixels
+    must equal the unsegmented encode EXACTLY."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+    plain = codecs.decode_jpeg(codecs.encode_jpeg(arr, quality=85))
+    for ri in (1, 3, 5):
+        seg = codecs.decode_jpeg(
+            codecs.encode_jpeg(arr, quality=85, restart_interval=ri)
+        )
+        assert np.array_equal(seg, plain)
+
+
+def test_jpeg_randomized_roundtrip_sweep():
+    """Randomized dims/content/quality/subsampling, mirroring the r8 PNG
+    sweep: decoded output within JPEG-lossy tolerance of the source
+    (mean abs error bounded; exact shape; uint8)."""
+    rng = np.random.default_rng(123)
+    for trial in range(8):
+        h = int(rng.integers(5, 49))
+        w = int(rng.integers(5, 49))
+        # genuinely smooth content (scaled double cumsum, no wraparound
+        # edges — a % fold creates per-channel chroma cliffs that JPEG
+        # legitimately rings on; the color-block test covers hard edges)
+        smooth = rng.integers(0, 6, (h, w, 3)).cumsum(axis=0).cumsum(axis=1)
+        smooth = smooth.astype(np.float64) / max(smooth.max(), 1)
+        arr = (smooth * 200).astype(np.uint8) + 20
+        q = int(rng.choice([70, 85, 95]))
+        sub = bool(rng.integers(0, 2))
+        out = codecs.decode_jpeg(
+            codecs.encode_jpeg(arr, quality=q, subsample=sub)
+        )
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
+        err = np.abs(out.astype(int) - arr.astype(int)).mean()
+        assert err < 6.0, (trial, h, w, q, sub, err)
+
+
+def test_jpeg_gray_single_component():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 255, (19, 23), dtype=np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(arr, quality=92, gray=True))
+    assert out.shape == (19, 23, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.abs(out[:, :, 0].astype(int) - arr.astype(int)).mean() < 8.0
+
+
+def test_jpeg_16bit_dqt_precision():
+    """pq=1 (16-bit) quant tables decode identically to the 8-bit segment
+    carrying the same values — rewrite the encoder's DQT in 16-bit form."""
+    arr = np.full((8, 8, 3), 77, dtype=np.uint8)
+    j = bytearray(codecs.encode_jpeg(arr, quality=90, gray=True))
+    i = bytes(j).find(b"\xff\xdb")
+    assert i >= 0
+    vals = bytes(j[i + 5 : i + 5 + 64])
+    wide = b"".join(struct.pack(">H", v) for v in vals)
+    newseg = b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 128, 0x10) + wide
+    j2 = bytes(j[:i]) + newseg + bytes(j[i + 69 :])
+    assert np.array_equal(codecs.decode_jpeg(j2), codecs.decode_jpeg(bytes(j)))
+
+
+def test_jpeg_unsupported_variants_raise_by_name():
+    arr = np.full((8, 8, 3), 50, dtype=np.uint8)
+    good = codecs.encode_jpeg(arr, quality=90)
+    i = good.find(b"\xff\xc0")
+    # progressive: SOF0 -> SOF2
+    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        codecs.decode_jpeg(prog)
+    # arithmetic: SOF0 -> SOF9
+    arith = good[:i] + b"\xff\xc9" + good[i + 2 :]
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        codecs.decode_jpeg(arith)
+    # 12-bit precision: patch the SOF precision byte
+    deep = bytearray(good)
+    deep[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="precision 12"):
+        codecs.decode_jpeg(bytes(deep))
+
+
+def test_jpeg_sniff_dispatch_and_spark_ingest(spark, tmp_path):
+    """JPEG joins the sniffed-ingest set: magic classifies as image/jpeg,
+    the real decode path extracts dimensions + features through the Arrow
+    kernel, and decode_image dispatches by magic."""
+    from flatbread_spark.operators.multimodal import (
+        extract_features,
+        read_binary_assets,
+    )
+
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    j = codecs.encode_jpeg(arr, quality=90)
+    assert codecs.sniff_format(j) == "jpeg"
+    assert codecs.decode_image(j).shape == (24, 32, 3)
+
+    (tmp_path / "x.jpg").write_bytes(j)
+    assets = read_binary_assets(spark, str(tmp_path), modality="sniff")
+    row = assets.collect()[0]
+    assert row["modality"] == "image"
+    assert row["mime"] == "image/jpeg"
+    feat = extract_features(assets, fake=False).collect()[0]
+    assert (feat["width"], feat["height"]) == (32, 24)
+    assert len(feat["feat"]) == codecs.FEAT_DIM
+    expect = codecs.image_features(codecs.decode_jpeg(j))
+    assert np.allclose(feat["feat"], expect, atol=1e-6)
