@@ -778,13 +778,14 @@ def encode_jpeg(
     arr: np.ndarray,
     quality: int = 85,
     gray: bool = False,
-    subsample: bool = False,
+    subsample: "bool | str" = False,
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF encoder for tests/fixtures: Annex-K quality-scaled
     quant tables, Annex-K DC Huffman tables + fixed-length canonical AC
-    tables (self-describing via DHT), optional 4:2:0 subsampling and
-    restart intervals. Accepts (H, W, 3) uint8 (or any (H, W[, C]) — first
+    tables (self-describing via DHT), optional chroma subsampling
+    (``True``/``"420"`` = 2x2, ``"422"`` = 2x1 horizontal) and restart
+    intervals. Accepts (H, W, 3) uint8 (or any (H, W[, C]) — first
     channel used when ``gray``)."""
     a = np.asarray(arr)
     if a.ndim == 2:
@@ -799,7 +800,8 @@ def encode_jpeg(
         yp = 0.299 * rf + 0.587 * gf + 0.114 * bf
         cb = 128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf
         cr = 128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf
-        if subsample:
+        mode = "420" if subsample is True else subsample
+        if mode == "420":
             # pad to even, 2x2 box-average the chroma
             ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
             def pad2(p):
@@ -807,8 +809,18 @@ def encode_jpeg(
             cb = pad2(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             cr = pad2(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             samp = [(2, 2), (1, 1), (1, 1)]
-        else:
+        elif mode == "422":
+            # pad width to even, 2:1 horizontal chroma average
+            pw = -(-w // 2) * 2
+            def padw(p):
+                return np.pad(p, ((0, 0), (0, pw - w)), mode="edge")
+            cb = padw(cb).reshape(h, pw // 2, 2).mean(axis=2)
+            cr = padw(cr).reshape(h, pw // 2, 2).mean(axis=2)
+            samp = [(2, 1), (1, 1), (1, 1)]
+        elif not mode:
             samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unknown subsample mode {subsample!r}")
         comps_px = [yp, cb, cr]
         tqs = [0, 1, 1]
 

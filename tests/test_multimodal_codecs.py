@@ -660,3 +660,36 @@ def test_jpeg_sniff_dispatch_and_spark_ingest(spark, tmp_path):
     assert len(feat["feat"]) == codecs.FEAT_DIM
     expect = codecs.image_features(codecs.decode_jpeg(j))
     assert np.allclose(feat["feat"], expect, atol=1e-6)
+
+
+def test_jpeg_422_subsampling_decode():
+    """4:2:2 (2x1 Y sampling) exercises the decoder's asymmetric-factor
+    upsample path, which 4:4:4 and 4:2:0 miss."""
+    arr = np.zeros((16, 24, 3), np.uint8)
+    arr[:, :12] = [180, 60, 60]
+    arr[:, 12:] = [60, 60, 180]
+    j = codecs.encode_jpeg(arr, quality=95, subsample="422")
+    out = codecs.decode_jpeg(j)
+    assert out.shape == arr.shape
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 10
+    # smooth content at 422 stays close too
+    g = np.linspace(30, 220, 24).astype(np.uint8)
+    sm = np.stack([np.tile(g, (16, 1))] * 3, axis=2)
+    out2 = codecs.decode_jpeg(codecs.encode_jpeg(sm, quality=95, subsample="422"))
+    assert np.abs(out2.astype(int) - sm.astype(int)).mean() < 3.0
+    with pytest.raises(ValueError, match="subsample"):
+        codecs.encode_jpeg(arr, subsample="444x")
+
+
+def test_jpeg_skips_appn_and_comment_segments():
+    """Real-world files carry EXIF/XMP/comment baggage before SOF — the
+    marker walk must skip arbitrary APPn/COM segments untouched."""
+    arr = np.full((8, 8, 3), 90, dtype=np.uint8)
+    j = codecs.encode_jpeg(arr, quality=100)
+    exif = b"\xff\xe1" + struct.pack(">H", 2 + 300) + b"Exif\x00\x00" + bytes(
+        range(256)
+    ) + b"\x00" * 38
+    com = b"\xff\xfe" + struct.pack(">H", 2 + 11) + b"a comment\x00\x00"
+    patched = j[:2] + exif + com + j[2:]
+    assert np.array_equal(codecs.decode_jpeg(patched), codecs.decode_jpeg(j))
+    assert codecs.sniff_format(patched) == "jpeg"
