@@ -2745,19 +2745,22 @@ def q_gate_agreement(spark, sf_dir):
     chance-corrected agreement a curation pipeline reads before swapping
     the expensive gate for the cheap one at corpus scale. All-BIGINT ppm
     arithmetic with an explicit pmod-floor for the (possibly negative)
-    kappa dividend, so the single output row is byte-replayable."""
+    kappa dividend, so the single output row is byte-replayable.
+
+    Single-pass plan (round 9): both gates are row-local expression
+    chains, so the classifier gate is APPENDED to the Gopher-flagged frame
+    (score_hashed_linear append=True) — one documents scan and zero joins
+    where the round-8 form scanned twice and shuffle-joined on doc_id."""
     from flatbread_spark.functions.text import with_gopher_flags
     from flatbread_spark.operators.classifier import score_hashed_linear
     from flatbread_spark.operators.curation import rater_agreement
 
     docs = _load(spark, sf_dir, "documents")
-    a = with_gopher_flags(docs.select("doc_id", "text"), "text").select(
-        "doc_id", F.col("gq_pass").alias("gate_a")
-    )
-    b = score_hashed_linear(
-        docs, "doc_id", "text", n_buckets=65536, salt="qc#"
-    ).select("doc_id", F.col("keep").alias("gate_b"))
-    return rater_agreement(a.join(b, "doc_id"), "gate_a", "gate_b")
+    g = with_gopher_flags(docs.select("doc_id", "text"), "text")
+    both = score_hashed_linear(
+        g, "doc_id", "text", n_buckets=65536, salt="qc#", append=True
+    ).select(F.col("gq_pass").alias("gate_a"), F.col("keep").alias("gate_b"))
+    return rater_agreement(both, "gate_a", "gate_b")
 
 
 def q_embedding_contamination(spark, sf_dir):

@@ -84,6 +84,7 @@ def score_hashed_linear(
     salt: str = "",
     include_bigrams: bool = True,
     threshold: float = 0,
+    append: bool = False,
 ) -> DataFrame:
     """Score every document with a hashed linear model.
 
@@ -94,8 +95,31 @@ def score_hashed_linear(
     ``weights`` — optional DataFrame with columns ``bucket`` (bigint) and
     ``weight``; missing buckets score 0 (left join), matching fastText's
     dense-vector lookup of an all-buckets model.
+
+    ``append=True`` keeps ALL input columns and appends the three score
+    columns — the single-pass composition hook for gate stacking (e.g.
+    classifier gate over a frame that already carries Gopher flags, so
+    agreement checks read ONE scan instead of two scans + a join). In the
+    demo-weights path this is the same zero-shuffle expression chain; with
+    a supplied model it joins the per-id scores back on ``id_col`` (the
+    explode/re-agg still needs its own keyed aggregate).
     """
     feats = hashed_features(text_col, n_buckets, salt, include_bigrams)
+    if append and weights is None:
+        return (
+            df.withColumn("__fb__", feats)
+            .withColumn("n_feats", F.size("__fb__").cast("bigint"))
+            .withColumn(
+                "logit",
+                F.aggregate(
+                    "__fb__",
+                    F.lit(0).cast("bigint"),
+                    lambda acc, b: acc + pseudo_weight(b),
+                ),
+            )
+            .drop("__fb__")
+            .withColumn("keep", F.col("logit") > F.lit(threshold))
+        )
     base = df.select(F.col(id_col), feats.alias("__fb__"))
     if weights is None:
         scored = base.select(
@@ -121,4 +145,7 @@ def score_hashed_linear(
                 )
             )
         )
-    return scored.withColumn("keep", F.col("logit") > F.lit(threshold))
+    scored = scored.withColumn("keep", F.col("logit") > F.lit(threshold))
+    if append:
+        return df.join(scored, id_col)
+    return scored

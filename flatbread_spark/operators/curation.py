@@ -286,38 +286,74 @@ def rater_agreement(
     engine. Degenerate pe = 1e6 (both raters constant and equal) returns
     kappa 0 by convention; n = 0 returns a single all-zero row.
 
-    Scale: two label-vocabulary-bounded aggregates (the marginals), one
-    outer join on the label value, one global 1-row reduce — no per-row
-    shuffle beyond the map-side-combined marginal counts.
+    Scale (round 9, single-lineage rewrite): ONE corpus scan into a
+    label-vocabulary²-bounded contingency groupBy (map-side combined), the
+    contingency cells exploded into per-side marginal contributions and
+    re-reduced per label (vocabulary-bounded), then one global 1-row
+    reduce — no joins, no frame reuse, so the (possibly expensive) label
+    expressions upstream are evaluated exactly once. The round-8 form
+    derived obs/marginals as three lineages over the same frame: three
+    corpus scans, each re-computing the gate expressions.
     """
     labeled = df.select(
         F.col(col_a).cast("string").alias("__a"),
         F.col(col_b).cast("string").alias("__b"),
-    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    )
 
-    obs = labeled.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum((F.col("__a") == F.col("__b")).cast("bigint"))
-        .cast("bigint")
-        .alias("n_agree"),
+    ct = labeled.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
     )
-    ma = labeled.groupBy(F.col("__a").alias("__lbl")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__na")
+    zero = F.lit(0).cast("bigint")
+    # Each contingency cell contributes __c to label __a's row-marginal and
+    # to label __b's column-marginal; the agreement mass rides the a-side
+    # struct only, so Σ__ag over the marginal table is n_agree exactly.
+    #
+    # NULL abstentions (either side NULL) are dropped HERE, inside the
+    # explode projection, not as a Filter: a Filter on the grouping keys —
+    # whether placed before or after the aggregate — gets pushed below the
+    # label Project by Catalyst, inlining the (possibly expensive) label
+    # expression trees into the predicate; with higher-order functions in
+    # those trees the stage is CodegenFallback (no subexpression
+    # elimination), so every corpus row would pay the gate expressions
+    # TWICE (measured 2x wall on the gate_agreement query). explode(NULL)
+    # emits no row, so the when() both drops NULL cells and stays put.
+    sides = ct.select(
+        F.explode(
+            F.when(
+                F.col("__a").isNotNull() & F.col("__b").isNotNull(),
+                F.array(
+                    F.struct(
+                        F.col("__a").alias("__lbl"),
+                        F.col("__c").alias("__na"),
+                        zero.alias("__nb"),
+                        F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+                        .otherwise(zero)
+                        .alias("__ag"),
+                    ),
+                    F.struct(
+                        F.col("__b").alias("__lbl"),
+                        zero.alias("__na"),
+                        F.col("__c").alias("__nb"),
+                        zero.alias("__ag"),
+                    ),
+                ),
+            )
+        ).alias("__s")
+    ).select("__s.*")
+    marg = sides.groupBy("__lbl").agg(
+        F.sum("__na").cast("bigint").alias("__na"),
+        F.sum("__nb").cast("bigint").alias("__nb"),
+        F.sum("__ag").cast("bigint").alias("__ag"),
     )
-    mb = labeled.groupBy(F.col("__b").alias("__lbl")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__nb")
+    row = marg.agg(
+        F.coalesce(F.sum("__na"), F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("__ag"), F.lit(0)).cast("bigint").alias("n_agree"),
+        F.sum(
+            F.col("__na").cast("decimal(38,0)")
+            * F.col("__nb").cast("decimal(38,0)")
+            # na*nb <= n^2: decimal, BIGINT wraps at n~3e9
+        ).cast("decimal(38,0)").alias("pe_num"),
     )
-    cross = (
-        ma.join(mb, "__lbl", "full_outer")
-        .select(
-            (
-                F.coalesce("__na", F.lit(0)).cast("decimal(38,0)")
-                * F.coalesce("__nb", F.lit(0)).cast("decimal(38,0)")
-            ).alias("__prod")  # na*nb <= n^2: decimal, BIGINT wraps at n~3e9
-        )
-        .agg(F.sum("__prod").cast("decimal(38,0)").alias("pe_num"))
-    )
-    row = obs.crossJoin(F.broadcast(cross))  # two 1-row frames
     # DECIMAL(38,0) numerators/denominators: exact to n ~ 3.1e15 rows where
     # the BIGINT forms wrap silently past n ~ 3.03e6 (pe) / 9.2e12 (po).
     # div on decimals is IntegralDivide -> BIGINT; operands are >= 0 so

@@ -194,6 +194,55 @@ class TestHashedClassifier:
         p2 = score_hashed_linear(df, "doc_id", "text", weights=wdf)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in p2
 
+    def test_append_matches_select_path_and_keeps_columns(self, spark):
+        # round 9: append=True is the single-pass gate-stacking hook — same
+        # three score columns as the select path, all input columns kept.
+        from flatbread_spark.operators.classifier import score_hashed_linear
+
+        rows = [(1, "The quick Brown fox", "x"), (2, "hello", "y"),
+                (3, "a b c d e f", "z")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, extra string")
+        base = {
+            r["doc_id"]: (r["n_feats"], r["logit"], r["keep"])
+            for r in score_hashed_linear(
+                df, "doc_id", "text", n_buckets=4096, salt="qc#"
+            ).collect()
+        }
+        app = score_hashed_linear(
+            df, "doc_id", "text", n_buckets=4096, salt="qc#", append=True
+        )
+        assert set(app.columns) == {"doc_id", "text", "extra", "n_feats", "logit", "keep"}
+        got = {
+            r["doc_id"]: ((r["n_feats"], r["logit"], r["keep"]), r["extra"])
+            for r in app.collect()
+        }
+        for i, _, extra in rows:
+            assert got[i] == (base[i], extra)
+        # demo-weights append stays a zero-shuffle expression chain
+        plan = app._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_append_with_supplied_weights_joins_back(self, spark):
+        from flatbread_spark.operators.classifier import score_hashed_linear
+
+        rows = [(1, "alpha beta", "k1"), (2, "gamma", "k2")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, extra string")
+        n = 256
+        feats1 = _py_feats("alpha beta", n)
+        wdf = spark.createDataFrame(
+            [(int(feats1[0]), 2.5)], "bucket bigint, weight double"
+        )
+        out = {
+            r["doc_id"]: (r["logit"], r["keep"], r["extra"])
+            for r in score_hashed_linear(
+                df, "doc_id", "text", weights=wdf, n_buckets=n,
+                threshold=1.0, append=True,
+            ).collect()
+        }
+        expect1 = 2.5 * feats1.count(feats1[0])
+        assert out[1] == (expect1, expect1 > 1.0, "k1")
+        assert out[2] == (0.0, False, "k2")
+
 
 # ------------------------------------------------------------ bloom membership
 class TestBloom:
