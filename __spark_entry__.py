@@ -33,6 +33,12 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Set confs here so every query is self-sufficient on any session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # See flatbread_spark.session.get_spark: the inferred below-Generate
+    # filter re-computes expensive chunk/shingle array expressions per row.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from flatbread_spark.functions.eventtime import ensure_epoch_ns

@@ -31,6 +31,18 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by default;
         # read as BIGINT nanoseconds and convert explicitly where needed
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate re-adds a size(arr)>0/isnotnull filter
+        # below every non-outer explode; project collapse then inlines the
+        # full generator-child expression into that predicate, so an
+        # expensive chunk/shingle HOF array is computed TWICE per row. The
+        # engine's generates all sit directly on the scan stage (nothing to
+        # prune before an exchange), and a non-outer Generate already skips
+        # empty/NULL arrays row-locally — the inferred filter is pure cost
+        # here (measured 12-27% on the chunk/shingle query family).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

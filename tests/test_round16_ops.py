@@ -105,6 +105,29 @@ def test_rater_agreement_bool_columns(spark):
     assert r["kappa_ppm"] == 500_000
 
 
+def test_rater_agreement_single_lineage_plan(spark):
+    """Round-9 plan contract: the input frame is consumed by exactly ONE
+    lineage (one scan, no joins, no Filter nodes). The round-8 form derived
+    obs/marginals as three lineages (three scans, re-computing upstream
+    label expressions each time), and a key Filter — before OR after the
+    contingency aggregate — gets pushed below the label Project by
+    Catalyst, re-evaluating the label expression trees per corpus row
+    (CodegenFallback HOF stages have no subexpression elimination; the
+    NULL-abstention drop lives inside the explode projection instead)."""
+    from flatbread_spark.operators.curation import rater_agreement
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", None), ("y", "x")], "a string, b string"
+    )
+    out = rater_agreement(df, "a", "b")
+    out.collect()  # materialize so the AQE plan is final
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
+    assert final.count("Scan ExistingRDD") == 1, final
+    for node in ("Filter", "Join", "CartesianProduct", "BroadcastNestedLoop"):
+        assert node not in final, f"unexpected {node} node:\n{final}"
+
+
 def test_embedding_contamination_exact_and_flags(spark):
     from flatbread_spark.operators.dedup import embedding_contamination
 
