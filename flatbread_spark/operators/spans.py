@@ -48,15 +48,21 @@ def _gram_hash(words: Column, start: Column, n: int) -> Column:
 
 def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, start, gh) for every n-gram occurrence; docs shorter than n
-    contribute nothing. Row-local explode — the map side of everything."""
+    contribute nothing. Row-local explode — the map side of everything.
+
+    The min-length guard lives INSIDE the explode (when(...) -> NULL ->
+    no rows), not as a Filter: a Filter on size(__w__) gets pushed below
+    the tokenize Project, re-evaluating the split per row (the same
+    Catalyst pushback the kappa operator documents)."""
     words = _tokens(F.col(text_col))
-    base = df.select(F.col(id_col), words.alias("__w__")).filter(
-        F.size("__w__") >= n
-    )
+    base = df.select(F.col(id_col), words.alias("__w__"))
     return base.select(
         id_col,
         F.explode(
-            F.sequence(F.lit(1), F.size("__w__") - (n - 1))
+            F.when(
+                F.size("__w__") >= n,
+                F.sequence(F.lit(1), F.size("__w__") - (n - 1)),
+            )
         ).alias("start"),
         "__w__",
     ).select(
@@ -200,16 +206,18 @@ def ngram_novelty(
     Returns ``(id_col, n_grams, n_unique, novelty_ppm)`` — all BIGINT.
     """
     words = _tokens(F.col(text_col))
-    base = df.select(F.col(id_col), words.alias("__w__")).filter(
-        F.size("__w__") >= n
-    )
+    base = df.select(F.col(id_col), words.alias("__w__"))
+    # min-length guard inside the explode, not a Filter — see _doc_grams
     ghs = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("__w__") - (n - 1)),
             lambda s: _gram_hash(F.col("__w__"), s, n),
         )
     )
-    pairs = base.select(id_col, F.explode(ghs).alias("gh"))
+    pairs = base.select(
+        id_col,
+        F.explode(F.when(F.size("__w__") >= n, ghs)).alias("gh"),
+    )
     gram_docs = pairs.groupBy("gh").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
