@@ -276,15 +276,15 @@ def group_percentiles(
             & (q * F.col("n") <= F.col("pos") * m),
         ),
     )
-    return (
-        staged.filter(F.size("__qs") > 0)
-        .select(
-            *groups,
-            F.explode("__qs").alias("q_ppm"),
-            "pos",
-            "n",
-            value_col,
-        )
+    # no size(__qs) > 0 pre-filter: a non-outer explode already drops
+    # empty arrays, and the pushed-down filter would re-evaluate the
+    # quantile-match HOF per row
+    return staged.select(
+        *groups,
+        F.explode("__qs").alias("q_ppm"),
+        "pos",
+        "n",
+        value_col,
     )
 
 
@@ -710,12 +710,20 @@ def group_weighted_percentiles(
         raise ValueError(f"q_ppm must be within [1, 1_000_000], got {q_ppm}")
     from pyspark.sql import Window
 
-    staged = df.select(
-        *groups,
-        F.col(value_col),
-        F.col(weight_col).cast("bigint").alias("__w"),
-        F.col(key_col),
-    ).filter(F.col("__w") > 0)
+    from flatbread_spark.plans.barrier import gate_rows
+
+    # gate_rows, not .filter: weight_col is often a computed expression
+    # (e.g. a tokenizer size) and a pushed-down predicate would
+    # re-evaluate it per row below this projection
+    staged = gate_rows(
+        df.select(
+            *groups,
+            F.col(value_col),
+            F.col(weight_col).cast("bigint").alias("__w"),
+            F.col(key_col),
+        ),
+        F.col("__w") > 0,
+    )
     wg = Window.partitionBy(*groups)
     cum = (
         F.sum("__w")
@@ -747,13 +755,13 @@ def group_weighted_percentiles(
             & (q.cast(dec) * tw <= cw * m),
         ),
     )
-    return (
-        staged.filter(F.size("__qs") > 0)
-        .select(
-            *groups,
-            F.explode("__qs").alias("q_ppm"),
-            "n",
-            "total_w",
-            value_col,
-        )
+    # no size(__qs) > 0 pre-filter: a non-outer explode already drops
+    # empty arrays, and the pushed-down filter would re-evaluate the
+    # quantile-match HOF per row
+    return staged.select(
+        *groups,
+        F.explode("__qs").alias("q_ppm"),
+        "n",
+        "total_w",
+        value_col,
     )

@@ -123,10 +123,16 @@ def sample_token_budget(
         budget = F.when(
             F.col(strata_col) == F.lit(value), F.lit(b).cast("bigint")
         ).otherwise(budget)
-    cum = F.sum(tok.cast("bigint")).over(w)
+    # Materialize the token expression ONCE below the window: the keep
+    # filter references cum_tokens (window output) so it cannot push below
+    # the window, but an inline `tok` expression there would re-evaluate a
+    # possibly expensive tokenizer per row on top of the window's own copy.
+    staged = df.withColumn("__tok__", tok.cast("bigint"))
+    cum = F.sum("__tok__").over(w)
     return (
-        df.withColumn("cum_tokens", cum)
-        .filter((F.col("cum_tokens") - tok < budget) & (budget > 0))
+        staged.withColumn("cum_tokens", cum)
+        .filter((F.col("cum_tokens") - F.col("__tok__") < budget) & (budget > 0))
+        .drop("__tok__")
     )
 
 

@@ -53,23 +53,25 @@ def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     The min-length guard lives INSIDE the explode (when(...) -> NULL ->
     no rows), not as a Filter: a Filter on size(__w__) gets pushed below
     the tokenize Project, re-evaluating the split per row (the same
-    Catalyst pushback the kappa operator documents)."""
+    Catalyst pushback the kappa operator documents). The gram HASH is
+    likewise emitted from inside the Generate (a (start, gh) struct
+    array) rather than a post-explode projection: downstream joins on gh
+    get an optimizer-inferred isnotnull(gh) filter, and a projected gh
+    would be inlined into that predicate — hashing every gram twice; a
+    Generate-output attribute is referenced, not recomputed."""
     words = _tokens(F.col(text_col))
     base = df.select(F.col(id_col), words.alias("__w__"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__w__") - (n - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("start"),
+            _gram_hash(F.col("__w__"), s, n).alias("gh"),
+        ),
+    )
     return base.select(
         id_col,
-        F.explode(
-            F.when(
-                F.size("__w__") >= n,
-                F.sequence(F.lit(1), F.size("__w__") - (n - 1)),
-            )
-        ).alias("start"),
-        "__w__",
-    ).select(
-        id_col,
-        "start",
-        _gram_hash(F.col("__w__"), F.col("start"), n).alias("gh"),
-    )
+        F.explode(F.when(F.size("__w__") >= n, grams)).alias("__g__"),
+    ).select(id_col, F.col("__g__.start").alias("start"), F.col("__g__.gh").alias("gh"))
 
 
 def hot_ngram_hashes(
