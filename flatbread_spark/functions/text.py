@@ -271,10 +271,20 @@ def bm25_topk(
     1. one explode → (doc, term) tf counts for QUERY TERMS ONLY (the filter
        is pushed into the explode, so the posting list never materializes
        for non-query terms),
-    2. per-term document frequency and global (N, avgdl) — tiny aggregate
-       frames, broadcast back,
-    3. the BM25 sum with ``ln((N - df + 0.5)/(df + 0.5) + 1)`` IDF, ranked
-       (score desc, id asc).
+    2. per-term document frequency as a window COUNT over that (doc, term)
+       frame — NOT a second aggregate lineage: a separate ``tf.groupBy``
+       re-derived the whole scan+tokenize+explode (column pruning gives the
+       two subtrees different ReadSchemas, so ReuseExchange never fires),
+       tripling the corpus scans with the (N, avgdl) pass. The window
+       shuffles only the query-term posting rows (|terms| partitions' worth,
+       ≪ corpus) and is partitioned — never a single-partition sort,
+    3. global (N, avgdl) — a 1-row aggregate over its own tokenize pass
+       (it must see docs with NO query terms, so it cannot come from the
+       posting frame), broadcast back,
+    4. the BM25 sum with ``ln((N - df + 0.5)/(df + 0.5) + 1)`` IDF, ranked
+       (score desc, id asc; Catalyst rewrites the rank filter to a
+       distributed TakeOrderedAndProject top-k — the final Window runs
+       over exactly ``k`` rows).
 
     No UDFs; scores round to 6 digits. Returns (id, score, rank).
     """
@@ -297,7 +307,6 @@ def bm25_topk(
         .groupBy("__id", "__dl", "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     idf = F.log(
         (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
     )
@@ -309,7 +318,9 @@ def bm25_topk(
     # the 1-ulp Java-vs-C `ln` divergence and makes the sum associative, so
     # the score hashes identically against the SQL oracle
     scored = (
-        tf.join(F.broadcast(dfreq), "__term")
+        tf.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("__term"))
+        )
         .join(F.broadcast(stats))
         .groupBy("__id")
         .agg(
