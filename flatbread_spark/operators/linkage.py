@@ -29,10 +29,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flatbread_spark.cache import pin
+
 
 def first_token_block(col: Column) -> Column:
     """Default blocking key: lowercase first whitespace token."""
     return F.split(F.lower(F.trim(col)), r"\s+").getItem(0)
+
+
+def _name_vocab(df: DataFrame, name_col: str, block_key) -> DataFrame:
+    """Step 1 of the blocking pattern: the PERSISTED ``(name, n, block)``
+    distinct-value frame. This is the only corpus-scale pass in the module;
+    everything downstream (block-size guard, self-join sides, canonical
+    vote) is vocabulary-sized, so it is pinned (``cache.pin`` tag
+    ``linkage``) — without the pin each downstream lineage re-derived the
+    full corpus aggregate (the self-join alone twice), putting up to nine
+    corpus scans in canonicalize_names' plan for a problem the docstring
+    correctly calls vocabulary-sized after this step. Release with
+    ``flatbread_spark.release_caches("linkage")``."""
+    return pin(
+        df.filter(F.col(name_col).isNotNull())
+        .groupBy(F.col(name_col).alias("name"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("block", block_key(F.col("name"))),
+        tag="linkage",
+    )
 
 
 def fuzzy_match_pairs(
@@ -41,6 +62,7 @@ def fuzzy_match_pairs(
     max_dist: int = 2,
     block_key=first_token_block,
     max_block: int = 100_000,
+    _vocab: DataFrame | None = None,
 ) -> DataFrame:
     """All unordered pairs of DISTINCT ``name_col`` values that share a
     block and are within ``max_dist`` Levenshtein edits (0 < dist ≤
@@ -49,15 +71,14 @@ def fuzzy_match_pairs(
     Returns ``name_a, name_b, dist, n_a, n_b`` where ``n_*`` are the row
     counts behind each distinct value — the "merge which into which"
     signal (canonicalize to the more frequent spelling).
+
+    ``_vocab`` lets a caller that already built the pinned
+    ``(name, n, block)`` frame (canonicalize_names) share it instead of
+    re-aggregating the corpus.
     """
     if max_dist < 1:
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
-    vocab = (
-        df.filter(F.col(name_col).isNotNull())
-        .groupBy(F.col(name_col).alias("name"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("block", block_key(F.col("name")))
-    )
+    vocab = _vocab if _vocab is not None else _name_vocab(df, name_col, block_key)
     # loud guard: a degenerate blocking key (e.g. every name starts with
     # 'the') turns the self-join quadratic; fail with the block id instead
     # of letting one task run for hours. Window-free: counts per block from
@@ -114,24 +135,28 @@ def canonicalize_names(
     Returns ``name, canonical, n`` for every distinct value (identity rows
     included), so a left join on ``name`` rewrites the corpus.
     """
-    vocab = (
-        df.filter(F.col(name_col).isNotNull())
-        .groupBy(F.col(name_col).alias("name"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    pairs = fuzzy_match_pairs(df, name_col, max_dist, block_key)
-    # undirected edges → directed "candidate canonical" per name
+    v = _name_vocab(df, name_col, block_key)
+    vocab = v.select("name", "n")
+    pairs = fuzzy_match_pairs(df, name_col, max_dist, block_key, _vocab=v)
+    # undirected edges → directed "candidate canonical" per name, emitted
+    # BOTH ways from one Generate — a unionByName of two selects over the
+    # same pairs frame re-derived the whole blocked levenshtein join twice
     cand = pairs.select(
-        F.col("name_a").alias("name"),
-        F.col("name_b").alias("cand"),
-        F.col("n_b").alias("cand_n"),
-    ).unionByName(
-        pairs.select(
-            F.col("name_b").alias("name"),
-            F.col("name_a").alias("cand"),
-            F.col("n_a").alias("cand_n"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("name_a").alias("name"),
+                    F.col("name_b").alias("cand"),
+                    F.col("n_b").alias("cand_n"),
+                ),
+                F.struct(
+                    F.col("name_b").alias("name"),
+                    F.col("name_a").alias("cand"),
+                    F.col("n_a").alias("cand_n"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.*")
     # struct max = (highest cand_n, then lexicographically greatest cand):
     # fully deterministic under any partitioning, unlike bare max_by ties
     best = cand.groupBy("name").agg(

@@ -170,23 +170,35 @@ def pmi_bigrams(
     Scale shape: tokenization and bigram assembly are row-local expressions
     (split → shifted-slice zip, same trick as :func:`char_ngrams` — no
     O(len²) lambda re-inlining); then exactly two vocabulary-bounded
-    aggregations (bigram counts, unigram counts) and two hash joins of the
-    bigram table against the unigram table (word-keyed; vocabulary-sized,
-    so AQE broadcast-eligible at small scale and a plain shuffle join at
-    open-web scale — neither is all-pairs). The two scalar totals ride a
-    broadcast cross join of a 1-row frame. Final top-n is
-    TakeOrderedAndProject (partial top-n map-side). PMI is computed as
-    ``log2`` of ONE integer-derived ratio and rounded to 6 — the accepted
-    libm 1-ulp caveat (``char_entropy``) applies only within ~5e-10 of a
-    round-6 boundary.
+    aggregations (bigram counts, unigram counts), BOTH persisted
+    (``cache.pin`` tag ``lm``): the unigram table feeds two word-keyed
+    joins plus the ``n_uni`` total and the bigram table feeds the
+    ``min_count`` filter plus the ``n_big`` total, so without the pins
+    each reuse re-ran the corpus scan+tokenize+explode — four corpus
+    passes where two are inherent (one per explode shape). The totals are
+    themselves aggregates of those cached tables (``Σ c_w`` counts every
+    token, ``Σ c_ab`` over the UNFILTERED bigram table counts every
+    adjacent pair — identities with the direct per-doc sums), not a third
+    tokenize pass; they ride a broadcast cross join of a 1-row frame.
+    Word-keyed joins are vocabulary-sized: AQE broadcast-eligible at small
+    scale, plain shuffle joins at open-web scale — neither is all-pairs.
+    Final top-n is TakeOrderedAndProject (partial top-n map-side). PMI is
+    computed as ``log2`` of ONE integer-derived ratio and rounded to 6 —
+    the accepted libm 1-ulp caveat (``char_entropy``) applies only within
+    ~5e-10 of a round-6 boundary. Release the pins with
+    ``flatbread_spark.release_caches("lm")``.
     """
+    from flatbread_spark.cache import pin
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # blank/null text must contribute NOTHING: split(trim(''), '\s+') is
     # [''] (size 1), which would smuggle an empty token into the unigram
     # total and shift every PMI — filter before tokenizing
     base = df.filter(F.trim(F.col(text_col)) != "").select(toks.alias("__t"))
-    uni = base.select(F.explode("__t").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_w")
+    uni = pin(
+        base.select(F.explode("__t").alias("w")).groupBy("w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_w")
+        ),
+        tag="lm",
     )
     arr = F.col("__t")
     # adjacent pairs via shifted-slice zip (row-local, O(len))
@@ -198,16 +210,16 @@ def pmi_bigrams(
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    big = (
+    big0 = pin(
         base.select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
-        .filter(F.col("c_ab") >= int(min_count))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab")),
+        tag="lm",
     )
-    totals = base.select(
-        F.sum(F.size(arr)).cast("bigint").alias("n_uni"),
-        F.sum(F.greatest(F.size(arr) - 1, F.lit(0))).cast("bigint").alias("n_big"),
+    big = big0.filter(F.col("c_ab") >= int(min_count))
+    totals = uni.agg(F.sum("c_w").cast("bigint").alias("n_uni")).crossJoin(
+        big0.agg(F.sum("c_ab").cast("bigint").alias("n_big"))
     )
     ua = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
     ub = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))

@@ -47,7 +47,9 @@ EXPENSIVE = re.compile(
 #     that builds the query's own synthetic fixture (variant part names /
 #     boilerplate wrappers) over a small dimension table; a handful of
 #     concat/substr calls, query-side scaffolding, not operator code:
-#     fuzzy_pairs, name_canonical, strip_boilerplate.
+#     strip_boilerplate. (fuzzy_pairs / name_canonical left this list
+#     when the linkage vocab aggregate was pinned — the fixture CASE now
+#     sits below the InMemoryTableScan and never re-enters a Filter.)
 # (b) filter-only sampling predicates — the hash IS the sampling
 #     semantics (deterministic keep/drop); it appears ONLY in the Filter,
 #     never in a projection, so nothing is duplicated and the audit's
@@ -57,8 +59,6 @@ EXPENSIVE = re.compile(
 #     isnotnull(md5(vec_id) % B) duplicates one 8-byte-input hash per
 #     corpus row, dominated by the bucket join it feeds.
 ALLOWED = {
-    "fuzzy_pairs",
-    "name_canonical",
     "strip_boilerplate",
     "sample_stratified",
     "contamination",
