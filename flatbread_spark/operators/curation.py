@@ -154,11 +154,21 @@ def robust_outlier_gate(
     via Spark's ``median`` — the aggregation state is the sorted group
     sample, fine for the per-language/per-source groupings this is for;
     use approx quantiles for million-group keyspaces), joined back
-    broadcast. Exact medians of integer values land on .5 granularity, so
+    broadcast. The median table is persisted (``cache.pin`` tag
+    ``curation``) because two consumers read it — unpinned, the stats
+    join replayed the median's corpus aggregate as a fourth scan. Exact medians of integer values land on .5 granularity, so
     the flag — and the emitted med/mad — are value-hash reproducible
     across engines (no libm anywhere).
     """
-    med = df.groupBy(group_col).agg(F.median(value_col).alias("med"))
+    from flatbread_spark.cache import pin
+
+    # group-cardinality-sized and consumed twice (the MAD pass and the
+    # final stats join) — unpinned, the second consumer replays the
+    # median's full corpus aggregate
+    med = pin(
+        df.groupBy(group_col).agg(F.median(value_col).alias("med")),
+        tag="curation",
+    )
     dev = (
         df.join(F.broadcast(med), group_col)
         .groupBy(group_col)

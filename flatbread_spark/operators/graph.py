@@ -443,9 +443,11 @@ def degree_spectrum(
         .filter(F.col("u") < F.col("v"))
         .distinct()
     )
+    # both endpoints from ONE Generate over the edge frame — a unionByName
+    # of two selects would replay the canonicalize+distinct (and, for
+    # bipartite-projected inputs, the whole keyed self-join) twice
     deg = (
-        e0.select(F.col("u").alias("n"))
-        .unionByName(e0.select(F.col("v").alias("n")))
+        e0.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )

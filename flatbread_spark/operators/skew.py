@@ -147,7 +147,10 @@ def join_estimate(
     """EXACT pre-join cardinality and fanout profile: before running a
     fact×fact join at 100 TB, learn its output size and which keys
     dominate it — from two map-side-combining groupBys and a join of the
-    per-key COUNT tables (key-cardinality rows, never the inputs).
+    per-key COUNT tables (key-cardinality rows, never the inputs; the
+    joined count table is persisted — ``cache.pin`` tag ``skew`` — so the
+    totals aggregate and the top-k read it once instead of each replaying
+    both fact groupBys).
 
     The output-size identity is exact, not an estimate-by-sampling:
     ``|A ⋈ B| = Σ_k n_A(k) · n_B(k)``. A key with n_pairs = 10¹⁰ is a
@@ -181,11 +184,19 @@ def join_estimate(
     key_str = F.concat_ws(
         "\x1f", *[F.coalesce(F.col(k).cast("string"), F.lit("<NULL>")) for k in on]
     )
-    per_key = both.select(
-        key_str.alias("key"),
-        "n_left",
-        "n_right",
-        (F.col("n_left") * F.col("n_right")).alias("n_pairs"),
+    from flatbread_spark.cache import pin
+
+    # key-cardinality-sized, consumed by BOTH the totals aggregate and the
+    # top-k — unpinned, each consumer replays the two fact-table groupBys
+    # (four fact scans for a diagnostic meant to run BEFORE a 100 TB join)
+    per_key = pin(
+        both.select(
+            key_str.alias("key"),
+            "n_left",
+            "n_right",
+            (F.col("n_left") * F.col("n_right")).alias("n_pairs"),
+        ),
+        tag="skew",
     )
     totals = per_key.agg(
         F.sum("n_pairs").alias("est_rows"),
