@@ -100,10 +100,17 @@ def covariance_matrix(
     any partitioning and replayable in ANSI SQL (the graded oracle). Rows
     with NULL or wrong-length vectors are excluded (null-propagation
     matching the k-means kernel)."""
-    agg = (
+    from flatbread_spark.cache import pin
+
+    # dim²-bounded (dim² + dim + 1 rows) and consumed by FOUR lineages
+    # (n, both mean projections, the product block) — unpinned, each
+    # replayed the per-row d² moment computation over the corpus, the
+    # dominant cost of the whole operator, four times
+    agg = pin(
         moment_partials(df, vec_col, dim)
         .groupBy("i", "j")
-        .agg(F.sum("psum").alias("s"))
+        .agg(F.sum("psum").alias("s")),
+        tag="pca",
     )
     nrow = agg.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("s").cast("double").alias("__n")
