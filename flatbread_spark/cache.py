@@ -15,6 +15,14 @@ Usage::
     result.write.parquet(...)        # materialize
     fb.release_caches()              # drop all operator caches
     fb.release_caches("dedup")       # or just one operator family
+
+Tags in use: ``dedup`` (shingle/signature frames; also used by the
+events operator's per-key frame), ``graph`` (edge frames), ``sketch``,
+``curation`` (tokenized gate input + outlier medians), ``linkage``
+(the distinct-name vocab), ``lm``
+(unigram/bigram count tables), ``skew`` (join_estimate's per-key
+counts), ``pca`` (the moment aggregate), plus the entry module's
+``knn_recall``/``ivf_sweep`` memoized baselines.
 """
 from __future__ import annotations
 
