@@ -4501,70 +4501,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds). Mechanically enforced by tests/test_grading_rotation.py,
     # which fails until the re-sort happens each round.
     #
-    # Round-9 window = two cheap r4-stale leads (corpus_stats primes the
-    # documents scan; tpch_q22 primes TPC-H scan/join codegen — the
-    # warm-up slots themselves still re-grade stale queries) + the 29
-    # remaining r4-era grades + the ~19 oldest r5 grades at the usual
-    # 49-50-slot window.
+    # Round-10 window = two cheap r5-stale leads (text_normalize primes
+    # the documents scan; add_level primes the pivot/TPC-H scan codegen —
+    # the warm-up slots themselves still re-grade stale queries) + the 27
+    # remaining r5-era grades + all 18 r6 grades + the ~3 oldest r7
+    # grades at the usual 49-50-slot window.
     return {
-        # -- warm-up leads (both r4-stale, so the slots still re-grade):
-        # -- corpus_stats primes the documents scan; tpch_q22 primes
-        # -- TPC-H scan/join codegen.
-        "corpus_stats": q_corpus_stats,
-        "tpch_q22": q_tpch_q22,
-        # -- r4-era grades (last driver signal round 4) --
-        "quality_scores": q_quality_scores,
-        "gopher_filter": q_gopher_filter,
-        "pii_redaction": q_pii_redaction,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "winnowing": q_winnowing,
-        "token_topk": q_token_topk,
-        "repetition": q_repetition,
-        "set_ops": q_set_ops,
-        "differences": q_differences,
-        "differences_rows": q_differences_rows,
-        "offset_dates": q_offset_dates,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q18": q_tpch_q18,
-        "pack_sequences": q_pack_sequences,
-        "curation_funnel": q_curation_funnel,
-        "quantize_embeddings": q_quantize_embeddings,
-        "split_assign": q_split_assign,
-        "trigram_typicality": q_trigram_typicality,
-        "kmeans_embeddings": q_kmeans_embeddings,
+        # -- warm-up leads (both r5-stale, so the slots still re-grade):
+        # -- text_normalize primes the documents scan; add_level primes
+        # -- the pivot/TPC-H scan codegen.
+        "text_normalize": q_text_normalize,
+        "add_level": q_add_level,
         # -- r5-era grades (last driver signal round 5) --
-        "value_counts_pct": q_value_counts_pct,
-        "value_counts_pct_naive": q_value_counts_pct_naive,
-        "value_counts_pct_raw": q_value_counts_pct_raw,
-        "binned_counts": q_binned_counts,
-        "bpe_pairs": q_bpe_pairs,
-        "char_entropy": q_char_entropy,
-        "mix_temperature": q_mix_temperature,
-        "approx_profile": q_approx_profile,
-        "compression_ratio": q_compression_ratio,
-        "build_packs": q_build_packs,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "dedup_incremental": q_dedup_incremental,
-        "zorder_layout": q_zorder_layout,
-        "compaction_plan": q_compaction_plan,
         "tablespec_json": q_tablespec_json,
         "sample_weighted": q_sample_weighted,
-        "text_normalize": q_text_normalize,
         "pmi_bigrams": q_pmi_bigrams,
         "token_topk_sketch": q_token_topk_sketch,
         "chunk_self_dedup": q_chunk_self_dedup,
@@ -4579,7 +4529,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html": q_strip_html,
         "outlier_gate": q_outlier_gate,
         "totals_row": q_totals_row,
-        "add_level": q_add_level,
         "pct_axis2": q_pct_axis2,
         "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
@@ -4712,6 +4661,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "topk_by_group": q_topk_by_group,
         "bm25_search": q_bm25_search,
+        # -- r9-era grades (last driver signal round 9) --
+        "corpus_stats": q_corpus_stats,
+        "tpch_q22": q_tpch_q22,
+        "quality_scores": q_quality_scores,
+        "gopher_filter": q_gopher_filter,
+        "pii_redaction": q_pii_redaction,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "winnowing": q_winnowing,
+        "token_topk": q_token_topk,
+        "repetition": q_repetition,
+        "set_ops": q_set_ops,
+        "differences": q_differences,
+        "differences_rows": q_differences_rows,
+        "offset_dates": q_offset_dates,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "pack_sequences": q_pack_sequences,
+        "curation_funnel": q_curation_funnel,
+        "quantize_embeddings": q_quantize_embeddings,
+        "split_assign": q_split_assign,
+        "trigram_typicality": q_trigram_typicality,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "value_counts_pct": q_value_counts_pct,
+        "value_counts_pct_naive": q_value_counts_pct_naive,
+        "value_counts_pct_raw": q_value_counts_pct_raw,
+        "binned_counts": q_binned_counts,
+        "bpe_pairs": q_bpe_pairs,
+        "char_entropy": q_char_entropy,
+        "mix_temperature": q_mix_temperature,
+        "approx_profile": q_approx_profile,
+        "compression_ratio": q_compression_ratio,
+        "build_packs": q_build_packs,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "dedup_incremental": q_dedup_incremental,
+        "zorder_layout": q_zorder_layout,
+        "compaction_plan": q_compaction_plan,
     }
 
 
