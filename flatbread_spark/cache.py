@@ -20,8 +20,10 @@ Tags in use: ``dedup`` (shingle/signature frames; also used by the
 events operator's per-key frame), ``graph`` (edge frames), ``sketch``,
 ``curation`` (tokenized gate input + outlier medians), ``linkage``
 (the distinct-name vocab), ``lm``
-(unigram/bigram count tables), ``skew`` (join_estimate's per-key
-counts), ``pca`` (the moment aggregate), plus the entry module's
+(the unigram count table — the bigram table is corpus-tailed and
+deliberately NOT cached, ADVICE r10), ``skew`` (join_estimate's per-key
+counts), ``pca`` (the moment aggregate — pca_train :func:`unpin`\ s it
+itself after collecting), plus the entry module's
 ``knn_recall``/``ivf_sweep`` memoized baselines.
 """
 from __future__ import annotations
@@ -67,6 +69,27 @@ def release(tag: str | None = None) -> int:
             kept.append((t, df))
     _PINNED[:] = kept
     return released
+
+
+def unpin(df: DataFrame) -> bool:
+    """Unpersist one SPECIFIC pinned frame and drop it from the registry
+    (identity match on the handle). For operators that pin an intermediate
+    but return only driver-side values (e.g. ``pca_train`` collects the
+    covariance table and returns numpy arrays): no returned lineage reads
+    the cache, so the caller releases it immediately rather than leaking
+    it until a manual :func:`release` — and releasing by handle, not by
+    tag, cannot drop a sibling frame pinned under the same tag by a
+    concurrent call whose result is still lazy. Returns True if the frame
+    was registered."""
+    for idx, (t, fr) in enumerate(_PINNED):
+        if fr is df:
+            try:
+                fr.unpersist()
+            except Exception:
+                pass
+            del _PINNED[idx]
+            return True
+    return False
 
 
 def pinned_tags() -> list[str]:

@@ -154,9 +154,12 @@ def robust_outlier_gate(
     via Spark's ``median`` — the aggregation state is the sorted group
     sample, fine for the per-language/per-source groupings this is for;
     use approx quantiles for million-group keyspaces), joined back
-    broadcast. The median table is persisted (``cache.pin`` tag
-    ``curation``) because two consumers read it — unpinned, the stats
-    join replayed the median's corpus aggregate as a fourth scan. Exact medians of integer values land on .5 granularity, so
+    broadcast. Side effect: the group-cardinality median table is
+    persisted (``cache.pin`` tag ``curation``) because two consumers read
+    it — unpinned, the stats join replayed the median's corpus aggregate
+    as a fourth scan; release with
+    ``flatbread_spark.release_caches("curation")`` once the result is
+    materialized. Exact medians of integer values land on .5 granularity, so
     the flag — and the emitted med/mad — are value-hash reproducible
     across engines (no libm anywhere).
     """

@@ -75,6 +75,12 @@ def fuzzy_match_pairs(
     ``_vocab`` lets a caller that already built the pinned
     ``(name, n, block)`` frame (canonicalize_names) share it instead of
     re-aggregating the corpus.
+
+    Side effect: calling this PERSISTS the distinct-name vocab frame
+    (``cache.pin`` tag ``linkage``) — it is vocabulary-sized and the
+    returned lazy pairs read it from both self-join sides. Release it
+    with ``flatbread_spark.release_caches("linkage")`` once the result
+    is materialized.
     """
     if max_dist < 1:
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
@@ -134,6 +140,10 @@ def canonicalize_names(
 
     Returns ``name, canonical, n`` for every distinct value (identity rows
     included), so a left join on ``name`` rewrites the corpus.
+
+    Side effect: persists the vocabulary-sized ``(name, n, block)`` frame
+    (``cache.pin`` tag ``linkage``); release with
+    ``flatbread_spark.release_caches("linkage")`` after materializing.
     """
     v = _name_vocab(df, name_col, block_key)
     vocab = v.select("name", "n")

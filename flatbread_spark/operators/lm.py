@@ -169,17 +169,21 @@ def pmi_bigrams(
 
     Scale shape: tokenization and bigram assembly are row-local expressions
     (split → shifted-slice zip, same trick as :func:`char_ngrams` — no
-    O(len²) lambda re-inlining); then exactly two vocabulary-bounded
-    aggregations (bigram counts, unigram counts), BOTH persisted
-    (``cache.pin`` tag ``lm``): the unigram table feeds two word-keyed
-    joins plus the ``n_uni`` total and the bigram table feeds the
-    ``min_count`` filter plus the ``n_big`` total, so without the pins
-    each reuse re-ran the corpus scan+tokenize+explode — four corpus
-    passes where two are inherent (one per explode shape). The totals are
-    themselves aggregates of those cached tables (``Σ c_w`` counts every
-    token, ``Σ c_ab`` over the UNFILTERED bigram table counts every
-    adjacent pair — identities with the direct per-doc sums), not a third
-    tokenize pass; they ride a broadcast cross join of a 1-row frame.
+    O(len²) lambda re-inlining); then two aggregations, one per explode
+    shape. Only the UNIGRAM table is persisted (``cache.pin`` tag ``lm``):
+    it is vocabulary-bounded and feeds two word-keyed joins plus the
+    ``n_uni`` total, so unpinned each reuse re-ran the corpus
+    scan+tokenize+explode. The bigram count table is NOT pinned — at
+    open-web scale the bigram-type tail is roughly corpus-sized (most
+    bigrams occur once), the exact shape SCALE.md's pin rule says to
+    recompute rather than cache — and it now has exactly ONE consumer:
+    the ``min_count``-filtered join input. Its former second consumer,
+    the ``n_big`` total, is derived by identity instead: every non-blank
+    doc with ``L`` tokens contributes ``L − 1`` adjacent pairs, so
+    ``n_big = n_uni − n_docs``, with ``n_uni = Σ c_w`` over the cached
+    unigram table and ``n_docs`` from a count-only corpus pass (column-
+    pruned to the blank filter — no tokenize, no explode). The totals
+    ride a broadcast cross join of a 1-row frame.
     Word-keyed joins are vocabulary-sized: AQE broadcast-eligible at small
     scale, plain shuffle joins at open-web scale — neither is all-pairs.
     Final top-n is TakeOrderedAndProject (partial top-n map-side). PMI is
@@ -210,16 +214,21 @@ def pmi_bigrams(
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    big0 = pin(
+    big = (
         base.select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab")),
-        tag="lm",
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= int(min_count))
     )
-    big = big0.filter(F.col("c_ab") >= int(min_count))
-    totals = uni.agg(F.sum("c_w").cast("bigint").alias("n_uni")).crossJoin(
-        big0.agg(F.sum("c_ab").cast("bigint").alias("n_big"))
+    # n_big by identity (ADVICE r10 #1): Σ(L−1) over non-blank docs =
+    # n_uni − n_docs; n_docs is a count-only pass (pruned to the blank
+    # filter), so the corpus-tailed bigram table needs no cache
+    ndocs = base.agg(F.count(F.lit(1)).cast("bigint").alias("__nd"))
+    totals = (
+        uni.agg(F.sum("c_w").cast("bigint").alias("n_uni"))
+        .crossJoin(F.broadcast(ndocs))
+        .select("n_uni", (F.col("n_uni") - F.col("__nd")).alias("n_big"))
     )
     ua = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
     ub = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))

@@ -99,7 +99,24 @@ def covariance_matrix(
     Returns ``(i int, j int, cov double)`` — dim² rows, deterministic under
     any partitioning and replayable in ANSI SQL (the graded oracle). Rows
     with NULL or wrong-length vectors are excluded (null-propagation
-    matching the k-means kernel)."""
+    matching the k-means kernel).
+
+    The dim²-row moment aggregate is persisted (``cache.pin`` tag
+    ``pca``) because the returned lazy frame reads it from four lineages;
+    release with ``flatbread_spark.release_caches("pca")`` once the
+    result is materialized. (:func:`pca_train` releases it itself — it
+    collects, so no returned lineage outlives the call.)"""
+    out, _ = _covariance_with_pin(df, vec_col, dim, ndigits)
+    return out
+
+
+def _covariance_with_pin(
+    df: DataFrame, vec_col: str, dim: int, ndigits: int
+) -> tuple[DataFrame, DataFrame]:
+    """Covariance result plus the handle of the pinned moment aggregate,
+    so collect-and-done callers (pca_train) can ``cache.unpin`` it right
+    after materializing instead of leaking it until a manual release
+    (ADVICE r10 #2)."""
     from flatbread_spark.cache import pin
 
     # dim²-bounded (dim² + dim + 1 rows) and consumed by FOUR lineages
@@ -121,7 +138,7 @@ def covariance_matrix(
     prods = agg.filter(F.col("j") >= 0)
     mi = means.select(F.col("__k").alias("i"), F.col("__sx").alias("__sxi"))
     mj = means.select(F.col("__k").alias("j"), F.col("__sx").alias("__sxj"))
-    return (
+    out = (
         prods.join(F.broadcast(mi), "i")
         .join(F.broadcast(mj), "j")
         .crossJoin(F.broadcast(nrow))
@@ -136,6 +153,7 @@ def covariance_matrix(
             ).alias("cov"),
         )
     )
+    return out, agg
 
 
 def pca_train(
@@ -146,13 +164,26 @@ def pca_train(
     and eigendecomposes on the driver. Returns ``(components (k, dim),
     explained_variance (k,))``, eigenvalue-descending, each component's
     sign fixed so its largest-|coefficient| entry is positive (eigenvectors
-    are sign-ambiguous; the convention makes re-runs comparable)."""
+    are sign-ambiguous; the convention makes re-runs comparable). The
+    moment cache that :func:`covariance_matrix` pins is released before
+    returning — nothing lazy outlives this call, so repeated training in
+    a long-running driver leaks no executor storage."""
+    from flatbread_spark.cache import unpin
+
     d, kk = int(dim), int(k)
     if not 0 < kk <= d:
         raise ValueError("need 0 < k <= dim")
     C = np.zeros((d, d))
-    for r in covariance_matrix(df, vec_col, d, ndigits=12).collect():
-        C[r["i"], r["j"]] = r["cov"]
+    cov, pinned = _covariance_with_pin(df, vec_col, d, ndigits=12)
+    try:
+        for r in cov.collect():
+            C[r["i"], r["j"]] = r["cov"]
+    finally:
+        # the collect is the only consumer — releasing here (by handle,
+        # not tag, so a concurrent covariance_matrix's pin survives)
+        # keeps long-running drivers from accumulating one cached dim²
+        # frame per pca_train call (ADVICE r10 #2)
+        unpin(pinned)
     vals, vecs = np.linalg.eigh((C + C.T) / 2.0)
     order = np.argsort(vals)[::-1][:kk]
     comp = vecs[:, order].T.copy()

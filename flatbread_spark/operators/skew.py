@@ -147,10 +147,12 @@ def join_estimate(
     """EXACT pre-join cardinality and fanout profile: before running a
     fact×fact join at 100 TB, learn its output size and which keys
     dominate it — from two map-side-combining groupBys and a join of the
-    per-key COUNT tables (key-cardinality rows, never the inputs; the
-    joined count table is persisted — ``cache.pin`` tag ``skew`` — so the
-    totals aggregate and the top-k read it once instead of each replaying
-    both fact groupBys).
+    per-key COUNT tables (key-cardinality rows, never the inputs; side
+    effect: the joined count table is persisted — ``cache.pin`` tag
+    ``skew`` — so the totals aggregate and the top-k read it once instead
+    of each replaying both fact groupBys; release with
+    ``flatbread_spark.release_caches("skew")`` once the result is
+    materialized).
 
     The output-size identity is exact, not an estimate-by-sampling:
     ``|A ⋈ B| = Σ_k n_A(k) · n_B(k)``. A key with n_pairs = 10¹⁰ is a
