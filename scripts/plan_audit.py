@@ -14,6 +14,11 @@ widens the Python boundary fails CI mechanically instead of waiting for a
 bench read). Generation MUST match the test-session config, so the golden
 is always produced under ``flatbread_spark.plans.golden.GOLDEN_ENV``
 (local[4], 4 shuffle partitions, sf0.001) regardless of CLI args.
+
+``--write-golden`` deliberately does NOT regenerate ``scan_budgets.json``
+(the per-query scan-count ratchet, VERDICT r9 #3): a regenerated golden
+with more scans still fails ``tests/test_scan_budgets.py`` until the
+budget is hand-edited in a commit that justifies the increase.
 """
 from __future__ import annotations
 
