@@ -2119,15 +2119,22 @@ def q_stream_replay(spark, sf_dir):
     for q in spark.streams.active:
         if q.name == "fb_stream_replay":
             q.stop()
-    sdf = stream_sessionize(spark, stream_dir, raw_schema, gap_minutes=30)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName("fb_stream_replay")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _stream_drain(q)
+    # cap state partitions for the bounded drain: ~1.5k keys don't feed
+    # 32 state stores + 32 Python state workers — the per-partition
+    # overhead was the r10 bench-outlier mechanism (see
+    # streaming/replay.bounded_state_partitions)
+    from flatbread_spark.streaming.replay import bounded_state_partitions
+
+    with bounded_state_partitions(spark, cap=8):
+        sdf = stream_sessionize(spark, stream_dir, raw_schema, gap_minutes=30)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("fb_stream_replay")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _stream_drain(q)
     return (
         spark.table("fb_stream_replay")
         .groupBy("user_id")
@@ -3357,14 +3364,20 @@ def q_stream_rate_anomaly(spark, sf_dir):
         ensure_epoch_ns(raw, "ts"), "user_id", "ts", DAY_NS,
         trailing=3, factor_x1000=3000, min_count=4,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("fb_stream_rate")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _stream_drain(q)
+    # same state-partition cap as q_stream_replay (the r10 bench-outlier
+    # mechanism: per-partition state-store + Python-worker overhead over
+    # a ~1.5k-key replay)
+    from flatbread_spark.streaming.replay import bounded_state_partitions
+
+    with bounded_state_partitions(spark, cap=8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("fb_stream_rate")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _stream_drain(q)
     return (
         spark.table("fb_stream_rate")
         .select(

@@ -650,6 +650,55 @@ def _seg_lang(arr: Column) -> Column:
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
+# per-language bit width for the packed per-token marker code: a segment
+# holds < 2^12 tokens (window_words is vastly below 4096 in practice and
+# guarded in with_lang_segments), so 5 languages fit one BIGINT with room
+_LANG_BITS = 12
+
+
+def _token_lang_code() -> "Column":
+    """Packed marker code for ONE lowercased token ``t``: language ``i``'s
+    bit-field gains 1 when the token is one of that language's markers —
+    ``Σ_i (t IN markers_i) << (12·i)``. A token matching markers of
+    several languages (e.g. 'la' is both es and fr) contributes to each,
+    exactly like the per-language filters it replaces."""
+    def code(t: Column) -> Column:
+        parts = [
+            F.when(t.isin(markers), F.lit(1 << (_LANG_BITS * i)).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+            for i, markers in enumerate(LANG_MARKERS.values())
+        ]
+        total = parts[0]
+        for p in parts[1:]:
+            total = total + p
+        return total
+
+    return code
+
+
+def _packed_lang(packed: Column) -> Column:
+    """_seg_lang's argmax over a PACKED per-segment score word instead of
+    re-filtering the token slice per language: score ``i`` is bit-field
+    ``(packed >> 12·i) & 4095``. Same struct ordering — (score, -i, lang),
+    array_max — so ties break to the earliest LANG_MARKERS entry, and a
+    NULL packed word (null text) propagates NULL scores → 'und', exactly
+    as the filter form did."""
+    mask = (1 << _LANG_BITS) - 1
+    entries = [
+        F.struct(
+            F.shiftright(packed, _LANG_BITS * i)
+            .bitwiseAND(F.lit(mask).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+            F.lit(-i).alias("no"),
+            F.lit(lang).alias("l"),
+        )
+        for i, lang in enumerate(LANG_MARKERS.keys())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
 def with_lang_segments(df, id_col: str, text_col: str, window_words: int = 20):
     """Code-switching audit: split each document into consecutive
     ``window_words``-token segments, language-ID each segment (the same
@@ -664,9 +713,27 @@ def with_lang_segments(df, id_col: str, text_col: str, window_words: int = 20):
     array — ZERO shuffle at any corpus size; the sweep cost is the scan.
     'und' segments (no marker hits) count as a language of their own.
     Documents with no tokens get one 'und' segment rather than vanishing.
+
+    Allocation shape (the r10 bench-outlier fix): HOF expressions run
+    interpreted (CodegenFallback), so per-object churn is the cost model.
+    The original form re-sliced the token array and materialized a
+    filtered array PER LANGUAGE per segment — ~10 array allocations per
+    segment — which made the stage GC-bound and the single most
+    contention-amplified query in the suite (18.1 s driver vs 1.7 s
+    local in BENCH_r09). Now each token is mapped ONCE to a packed
+    BIGINT marker code (12 bits per language), each segment reduces its
+    code slice with a primitive-long ``aggregate``, and the argmax reads
+    bit-fields — per segment: one slice, one fold, five 3-field structs.
+    Values are byte-identical (same scores, same tie-break, same 'und'
+    and NULL propagation — pinned by tests/test_lang_segments.py).
     """
     if window_words < 1:
         raise ValueError(f"window_words must be >= 1, got {window_words}")
+    if window_words >= (1 << _LANG_BITS):
+        raise ValueError(
+            f"window_words must be < {1 << _LANG_BITS} "
+            "(per-language packed-count bit width)"
+        )
     w = int(window_words)
     # materialize the token array as a real column BEFORE the per-segment
     # lambda: an outer expression referenced inside transform() re-evaluates
@@ -676,11 +743,24 @@ def with_lang_segments(df, id_col: str, text_col: str, window_words: int = 20):
         F.lit(1).cast("bigint"),
         F.expr(f"CAST(size(__toks) + {w - 1} AS BIGINT) div {w}"),
     )
-    langs = F.transform(
+    # stage 1: one packed marker code per token (computed once per doc)
+    codes = F.transform(F.col("__toks"), _token_lang_code())
+    toked = toked.withColumn("__codes", codes)
+    # stage 2: one packed score word per segment — a primitive-long fold
+    # over the segment's code slice, materialized as its own column so the
+    # per-language bit-field reads in stage 3 don't re-run the fold
+    packed = F.transform(
         F.sequence(F.lit(1).cast("bigint"), nseg),
-        lambda i: _seg_lang(F.slice(F.col("__toks"), (i - 1) * w + 1, w)),
+        lambda i: F.aggregate(
+            F.slice(F.col("__codes"), (i - 1) * w + 1, w),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
     )
-    staged = toked.withColumn("__langs", langs).drop("__toks")
+    toked = toked.withColumn("__packed", packed)
+    # stage 3: per-segment argmax over the packed word's five bit-fields
+    langs = F.transform(F.col("__packed"), _packed_lang)
+    staged = toked.withColumn("__langs", langs).drop("__toks", "__codes", "__packed")
     ls = F.col("__langs")
     counts = F.transform(
         F.array_distinct(ls),

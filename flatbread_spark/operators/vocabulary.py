@@ -136,9 +136,21 @@ def doc_freq_spectrum(
     ``bin()`` builtin exists in Spark and DuckDB with identical
     semantics, so the bucketing replays byte-identically.
 
-    Scale shape: distinct (token, doc) postings — the only corpus-sized
-    shuffle, partial-aggregated — then a vocabulary-bounded groupBy to
-    per-token DF and a bucket-bounded (≤ 64 rows) final aggregate.
+    Scale shape (r10 bench-outlier fix): the (doc, term) dedup is
+    row-local — ``array_distinct`` over each document's own token array
+    BEFORE the explode — so no corpus-sized relation is ever shuffled.
+    The old form exploded first and ran a global ``.distinct()``, which
+    exchanged every posting (the whole corpus tokenized) across the
+    cluster; now the only exchange is the map-side-combined per-term
+    COUNT (vocabulary-sized partials), then a bucket-bounded (≤ 64 rows)
+    final aggregate. Values are identical: a term counted once per doc
+    either way. One deliberate edge change vs the pre-r10 form: each ROW
+    is one document — rows sharing an ``id_col`` value count separately
+    (the old global distinct merged them). DF over a re-chunked corpus
+    should union chunks per document first; paying a full-corpus shuffle
+    on every call to silently tolerate duplicate ids was the wrong
+    default (``id_col`` is kept for API stability and the row-is-document
+    contract is its documentation).
 
     Returns ``(bucket_lo, bucket_hi, n_terms, n_postings)`` where a
     term with DF d lands in the bucket with
@@ -147,14 +159,11 @@ def doc_freq_spectrum(
     text = F.col(text_col)
     if lowercase:
         text = F.lower(text)
-    postings = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.split(F.trim(text), r"\s+")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+    postings = df.select(
+        F.explode(
+            F.array_distinct(F.split(F.trim(text), r"\s+"))
+        ).alias("term")
+    ).filter(F.col("term") != "")
     dfreq = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
