@@ -19,9 +19,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flatbread_spark.streaming.replay import (
+    bounded_state_partitions as _bounded_state_partitions,
+)
 from flatbread_spark.streaming.replay import drain as _stream_drain
 
 DEC = "decimal(27,6)"
+
+
+def _bounded_state_parts(spark):
+    """Cap the stateful stage at min(session, 8) partitions for a bounded
+    replay drain — the r10 bench-outlier fix: every state partition costs
+    a state-store commit plus an Arrow/Python state-worker round-trip per
+    micro-batch, pure overhead over the replays' small (≤ ~1.5k-key)
+    state spaces. See streaming/replay.bounded_state_partitions for the
+    measurements and why real deployments size their own conf."""
+    return _bounded_state_partitions(spark, cap=8)
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1192,14 +1205,15 @@ def q_stream_dedup_replay(spark, sf_dir):
         .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
     )
     deduped = stream_dedup_exact(sdf, "text", "ts", delay="10 minutes")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("fb_stream_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _stream_drain(q)
+    with _bounded_state_parts(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("fb_stream_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _stream_drain(q)
     return spark.table("fb_stream_dedup").select("fingerprint").distinct()
 
 
@@ -2119,13 +2133,7 @@ def q_stream_replay(spark, sf_dir):
     for q in spark.streams.active:
         if q.name == "fb_stream_replay":
             q.stop()
-    # cap state partitions for the bounded drain: ~1.5k keys don't feed
-    # 32 state stores + 32 Python state workers — the per-partition
-    # overhead was the r10 bench-outlier mechanism (see
-    # streaming/replay.bounded_state_partitions)
-    from flatbread_spark.streaming.replay import bounded_state_partitions
-
-    with bounded_state_partitions(spark, cap=8):
+    with _bounded_state_parts(spark):
         sdf = stream_sessionize(spark, stream_dir, raw_schema, gap_minutes=30)
         q = (
             sdf.writeStream.format("memory")
@@ -2702,14 +2710,15 @@ def q_stream_topk(spark, sf_dir):
             q.stop()
     sdf = spark.readStream.schema(docs.schema).parquet(stream_dir)
     hh = stream_heavy_hitters(sdf, "text", width=1024, n_buckets=8)
-    q = (
-        hh.writeStream.format("memory")
-        .queryName("fb_stream_topk")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _stream_drain(q)
+    with _bounded_state_parts(spark):
+        q = (
+            hh.writeStream.format("memory")
+            .queryName("fb_stream_topk")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _stream_drain(q)
     cand = drain_final_summary(spark.sql("SELECT * FROM fb_stream_topk"))
     return rescore_topk(docs, "text", cand, 30)
 
@@ -3080,14 +3089,15 @@ def q_stream_upsert(spark, sf_dir):
     raw = spark.readStream.schema(raw_schema).parquet(stream_dir)
     changes = ensure_epoch_ns(raw, "ts")
     out = stream_latest_state(changes, "user_id", "ts", "event_id", "value")
-    q = (
-        out.writeStream.format("memory")
-        .queryName("fb_stream_upsert")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _stream_drain(q)
+    with _bounded_state_parts(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("fb_stream_upsert")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _stream_drain(q)
     return (
         drain_current_state(spark.table("fb_stream_upsert"))
         .select(
@@ -3364,12 +3374,7 @@ def q_stream_rate_anomaly(spark, sf_dir):
         ensure_epoch_ns(raw, "ts"), "user_id", "ts", DAY_NS,
         trailing=3, factor_x1000=3000, min_count=4,
     )
-    # same state-partition cap as q_stream_replay (the r10 bench-outlier
-    # mechanism: per-partition state-store + Python-worker overhead over
-    # a ~1.5k-key replay)
-    from flatbread_spark.streaming.replay import bounded_state_partitions
-
-    with bounded_state_partitions(spark, cap=8):
+    with _bounded_state_parts(spark):
         q = (
             out.writeStream.format("memory")
             .queryName("fb_stream_rate")
@@ -4013,14 +4018,15 @@ def q_stream_drift(spark, sf_dir):
         if q.name == "fb_stream_drift":
             q.stop()
     counts = stream_mix_counts(spark, stream_dir, raw_schema)
-    q = (
-        counts.writeStream.format("memory")
-        .queryName("fb_stream_drift")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _stream_drain(q)
+    with _bounded_state_parts(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("fb_stream_drift")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _stream_drain(q)
     drained = spark.table("fb_stream_drift")
     reference = ev.groupBy(F.col("event_type").alias("cat")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
