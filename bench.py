@@ -129,6 +129,16 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # The suite deliberately accumulates operator caches across all ~197
+    # queries × 2 passes (see the no-release note below); in local mode
+    # the ONE JVM heap is spark.driver.memory, which get_spark defaults
+    # to 8g — sized for a library session, not for a cache-accumulating
+    # 400-execution suite. Heap pressure grows with suite position and
+    # shows up as uniform GC drag on every late query (a candidate
+    # mechanism for BENCH_r09's mid-run ~1.46× inflation that the END-of-
+    # run parallel probe couldn't see). The box has 128 GiB; give the
+    # bench JVM a heap that actually absorbs the accumulation.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark(
         app="flatbread-spark-bench",
         master=f"local[{cpus}]",
@@ -248,7 +258,9 @@ def main() -> None:
     # releasing pins after every query cost +47 s across the 106-query
     # suite (stream/trigram/kmeans families re-paying their inputs) and
     # saved only ~8 s of tail GC drag on the late TPC-H queries — keep the
-    # accumulate-and-share behavior; 128 GiB of executor memory absorbs it.
+    # accumulate-and-share behavior; the 32g bench heap (set above —
+    # local mode has ONE JVM whose heap is spark.driver.memory, NOT the
+    # box's 128 GiB) absorbs it.
     # Min-of-2 timing (round 7, VERDICT r6 #3): EVERY query runs twice
     # back-to-back and reports the MIN. Round 6's >5 s-outlier-only retry
     # removed the worst burst-throttle spikes, but sub-5 s queries still
