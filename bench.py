@@ -246,6 +246,14 @@ def main() -> None:
     ).collect()
 
     probe_before = host_probe()
+    # Bracket the suite with the parallel probe too (r10): BENCH_r09
+    # recorded a healthy END-of-run eff 1.085 on a run whose per-query
+    # times were uniformly ~1.46× inflated — one post-suite sample can't
+    # see a collapse that ends before the suite does. Pre+post brackets
+    # plus the mid-run single-thread timeline below make host-mode
+    # adjudication direct instead of inferential.
+    par_eff_pre = parallel_probe()
+    probe_timeline: list[list[float]] = []
     qs = entry.queries()
     times: dict[str, float] = {}
     # CLI args both filter AND order (lets a warm/cold comparison put a
@@ -300,9 +308,21 @@ def main() -> None:
         first_pass += runs[0]
         times[name] = min(runs)
         print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+        # mid-run host-speed timeline: one single-thread probe every 50
+        # queries (~1.2 s each healthy — <1% of suite wall) so a collapse
+        # that starts and ends MID-run leaves direct evidence in the full
+        # file instead of requiring per-query forensics against an old
+        # snapshot
+        if len(times) % 50 == 0:
+            probe_timeline.append([len(times), round(host_probe(), 3)])
 
     probe = min(probe_before, host_probe())
-    print(emit(times, sf, round(first_pass, 3), probe, parallel_probe()))
+    print(
+        emit(
+            times, sf, round(first_pass, 3), probe, parallel_probe(),
+            par_eff_pre=par_eff_pre, probe_timeline=probe_timeline,
+        )
+    )
 
 
 TAIL_BUDGET = 1900  # driver keeps the last 2000 chars of stdout; margin 100
@@ -315,6 +335,8 @@ def emit(
     probe: float,
     par_eff: "float | None",
     out_dir: "str | None" = None,
+    par_eff_pre: "float | None" = None,
+    probe_timeline: "list[list[float]] | None" = None,
 ) -> str:
     """Serialize the run so it survives the driver's tail capture.
 
@@ -351,6 +373,9 @@ def emit(
         "host_probe_sec": round(probe, 3),
         "host_probe_ref_sec": HOST_PROBE_REF_SEC,
         "host_parallel_eff": round(par_eff, 3) if par_eff is not None else None,
+        "host_parallel_eff_pre": (
+            round(par_eff_pre, 3) if par_eff_pre is not None else None
+        ),
         "value_normalized": round(total * HOST_PROBE_REF_SEC / probe, 3),
         "metric": "total_query_sec",
         "unit": "sec",
@@ -358,6 +383,9 @@ def emit(
     }
 
     full = dict(scalars)
+    # full-file-only (the stdout line must stay under TAIL_BUDGET): the
+    # mid-run single-thread speed samples — [queries_done, probe_sec]
+    full["host_probe_timeline"] = probe_timeline or []
     full["queries"] = {
         n: (None if t == float("inf") else t) for n, t in times.items()
     }

@@ -70,6 +70,31 @@ def test_full_file_has_every_query(tmp_path):
     assert None in d["qt"] and "Infinity" not in line
 
 
+def test_host_mode_brackets_in_line_and_timeline_in_full_file(tmp_path):
+    """r10: the suite is bracketed by BOTH probes (BENCH_r09's healthy
+    end-of-run eff 1.085 sat on a uniformly ~1.46x-inflated run — one
+    post-suite sample can't see a collapse that ends with the suite), and
+    the mid-run single-thread samples land in the full file only (the
+    stdout line must stay under the driver's tail capture)."""
+    bench = _bench()
+    times = _times()
+    line = bench.emit(
+        times, 0.1, 210.0, 1.12, 0.71, out_dir=str(tmp_path),
+        par_eff_pre=0.93, probe_timeline=[[50, 1.21], [100, 3.9], [150, 1.3]],
+    )
+    assert len(line) <= 2000 - 50
+    d = json.loads(line)
+    assert d["host_parallel_eff_pre"] == 0.93
+    assert d["host_parallel_eff"] == 0.71
+    assert "host_probe_timeline" not in d  # line stays lean
+    full = json.load(open(os.path.join(str(tmp_path), "BENCH_FULL_LAST.json")))
+    assert full["host_probe_timeline"] == [[50, 1.21], [100, 3.9], [150, 1.3]]
+    assert full["host_parallel_eff_pre"] == 0.93
+    # probes omitted entirely (pool failure) serialize as null, not NaN
+    d2 = json.loads(bench.emit(times, 0.1, 210.0, 1.12, None, out_dir=str(tmp_path)))
+    assert d2["host_parallel_eff_pre"] is None
+
+
 def test_small_run_keeps_all_names(tmp_path):
     bench = _bench()
     times = {"a": 1.0, "b": 2.0}
