@@ -4520,75 +4520,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds). Mechanically enforced by tests/test_grading_rotation.py,
     # which fails until the re-sort happens each round.
     #
-    # Round-10 window = two cheap r5-stale leads (text_normalize primes
-    # the documents scan; add_level primes the pivot/TPC-H scan codegen —
-    # the warm-up slots themselves still re-grade stale queries) + the 27
-    # remaining r5-era grades + all 18 r6 grades + the ~3 oldest r7
-    # grades at the usual 49-50-slot window.
+    # Round-11 window = two cheap r7-stale leads (lexical_diversity
+    # primes the documents scan; conversion_rate primes the events scan —
+    # the warm-up slots themselves still re-grade stale queries) + the 45
+    # remaining r7-era grades + the ~3 oldest r8 grades at the usual
+    # 49-50-slot window.
     return {
-        # -- warm-up leads (both r5-stale, so the slots still re-grade):
-        # -- text_normalize primes the documents scan; add_level primes
-        # -- the pivot/TPC-H scan codegen.
-        "text_normalize": q_text_normalize,
-        "add_level": q_add_level,
-        # -- r5-era grades (last driver signal round 5) --
-        "tablespec_json": q_tablespec_json,
-        "sample_weighted": q_sample_weighted,
-        "pmi_bigrams": q_pmi_bigrams,
-        "token_topk_sketch": q_token_topk_sketch,
-        "chunk_self_dedup": q_chunk_self_dedup,
-        "pca_covariance": q_pca_covariance,
-        "stream_topk": q_stream_topk,
-        "contrastive_pairs": q_contrastive_pairs,
-        "chunk_windows": q_chunk_windows,
-        "quality_classifier": q_quality_classifier,
-        "bloom_membership": q_bloom_membership,
-        "vocab_coverage": q_vocab_coverage,
-        "hot_spans": q_hot_spans,
-        "strip_html": q_strip_html,
-        "outlier_gate": q_outlier_gate,
-        "totals_row": q_totals_row,
-        "pct_axis2": q_pct_axis2,
-        "merge_upsert": q_merge_upsert,
-        "snapshot_diff": q_snapshot_diff,
-        "gap_fill": q_gap_fill,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "name_canonical": q_name_canonical,
-        "validate_rules": q_validate,
-        "stream_upsert": q_stream_upsert,
-        "pagerank": q_pagerank,
-        "stream_quality_gate": q_stream_quality_gate,
-        "knn_ivf_sweep": q_knn_ivf_sweep,
-        # -- r6-era grades (last driver signal round 6) --
-        "weighted_percentiles": q_weighted_percentiles,
-        "sample_mix": q_sample_mix,
-        "sample_exact": q_sample_exact,
-        "domain_cap_sample": q_domain_cap_sample,
-        "coreset_fps": q_coreset_fps,
-        "mmr_rerank": q_mmr_rerank,
-        "hybrid_fusion": q_hybrid_fusion,
-        "vector_audit": q_vector_audit,
-        "truncation_curve": q_truncation_curve,
-        "strip_boilerplate": q_strip_boilerplate,
-        "ngram_novelty": q_ngram_novelty,
-        "vocab_overlap": q_vocab_overlap,
-        "gini_concentration": q_gini_concentration,
-        "characteristic_terms": q_characteristic_terms,
-        "doc_freq_spectrum": q_doc_freq_spectrum,
-        "field_association": q_field_association,
-        "url_normalize": q_url_normalize,
-        "url_dedup": q_url_dedup,
+        # -- warm-up leads (both r7-stale, so the slots still re-grade):
+        # -- lexical_diversity primes the documents scan + Arrow worker;
+        # -- conversion_rate primes the events scan codegen.
+        "lexical_diversity": q_lexical_diversity,
+        "conversion_rate": q_conversion_rate,
         # -- r7-era grades (last driver signal round 7) --
-        "tpch_q6": q_tpch_q6,
-        "trimmed_margin": q_trimmed_margin,
-        "quantile_normalize": q_quantile_normalize,
         "winsorize_lengths": q_winsorize_lengths,
         "group_percentiles": q_group_percentiles,
         "standardize": q_standardize,
         "group_weighted_pct": q_group_weighted_pct,
         "mojibake_scores": q_mojibake_scores,
         "lang_segments": q_lang_segments,
-        "lexical_diversity": q_lexical_diversity,
         "knn_quantized_recall": q_knn_quantized_recall,
         "sample_exact_group": q_sample_exact_group,
         "rolling_median": q_rolling_median,
@@ -4612,7 +4561,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "k_anonymity": q_k_anonymity,
         "json_extraction": q_json_extraction,
-        "conversion_rate": q_conversion_rate,
         "conversion_lag": q_conversion_lag,
         "event_transitions": q_event_transitions,
         "session_paths": q_session_paths,
@@ -4731,6 +4679,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "zorder_layout": q_zorder_layout,
         "compaction_plan": q_compaction_plan,
+        # -- r10-era grades (last driver signal round 10) --
+        "text_normalize": q_text_normalize,
+        "add_level": q_add_level,
+        "tablespec_json": q_tablespec_json,
+        "sample_weighted": q_sample_weighted,
+        "pmi_bigrams": q_pmi_bigrams,
+        "token_topk_sketch": q_token_topk_sketch,
+        "chunk_self_dedup": q_chunk_self_dedup,
+        "pca_covariance": q_pca_covariance,
+        "stream_topk": q_stream_topk,
+        "contrastive_pairs": q_contrastive_pairs,
+        "chunk_windows": q_chunk_windows,
+        "quality_classifier": q_quality_classifier,
+        "bloom_membership": q_bloom_membership,
+        "vocab_coverage": q_vocab_coverage,
+        "hot_spans": q_hot_spans,
+        "strip_html": q_strip_html,
+        "outlier_gate": q_outlier_gate,
+        "totals_row": q_totals_row,
+        "pct_axis2": q_pct_axis2,
+        "merge_upsert": q_merge_upsert,
+        "snapshot_diff": q_snapshot_diff,
+        "gap_fill": q_gap_fill,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "name_canonical": q_name_canonical,
+        "validate_rules": q_validate,
+        "stream_upsert": q_stream_upsert,
+        "pagerank": q_pagerank,
+        "stream_quality_gate": q_stream_quality_gate,
+        "knn_ivf_sweep": q_knn_ivf_sweep,
+        "weighted_percentiles": q_weighted_percentiles,
+        "sample_mix": q_sample_mix,
+        "sample_exact": q_sample_exact,
+        "domain_cap_sample": q_domain_cap_sample,
+        "coreset_fps": q_coreset_fps,
+        "mmr_rerank": q_mmr_rerank,
+        "hybrid_fusion": q_hybrid_fusion,
+        "vector_audit": q_vector_audit,
+        "truncation_curve": q_truncation_curve,
+        "strip_boilerplate": q_strip_boilerplate,
+        "ngram_novelty": q_ngram_novelty,
+        "vocab_overlap": q_vocab_overlap,
+        "gini_concentration": q_gini_concentration,
+        "characteristic_terms": q_characteristic_terms,
+        "doc_freq_spectrum": q_doc_freq_spectrum,
+        "field_association": q_field_association,
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
+        "tpch_q6": q_tpch_q6,
+        "trimmed_margin": q_trimmed_margin,
+        "quantile_normalize": q_quantile_normalize,
     }
 
 

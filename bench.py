@@ -304,15 +304,17 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         if not runs:
             times[name] = float("inf")
-            continue
-        first_pass += runs[0]
-        times[name] = min(runs)
-        print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+        else:
+            first_pass += runs[0]
+            times[name] = min(runs)
+            print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
         # mid-run host-speed timeline: one single-thread probe every 50
         # queries (~1.2 s each healthy — <1% of suite wall) so a collapse
         # that starts and ends MID-run leaves direct evidence in the full
         # file instead of requiring per-query forensics against an old
-        # snapshot
+        # snapshot. Sampled for FAILED queries too (ADVICE r11): a failure
+        # landing exactly on a multiple of 50 used to skip that probe and
+        # leave a 100-query gap in the evidence.
         if len(times) % 50 == 0:
             probe_timeline.append([len(times), round(host_probe(), 3)])
 

@@ -13,9 +13,16 @@ state the bound.
 
 Counts (not line numbers) so ordinary refactors don't churn the test; the
 per-file bound notes are the audit trail.
+
+Counting is AST-based (ADVICE r11): a ``Call`` whose func is an
+``Attribute`` named ``collect``/``toPandas``. Substring counting both
+missed sites (``.collect(`` after a ``#`` inside a string literal) and
+counted phantom ones (``.collect(`` mentioned in a docstring), so the
+ratchet could drift for non-code reasons; the AST sees only real call
+sites and makes comment-stripping unnecessary.
 """
+import ast
 import os
-import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "flatbread_spark")
@@ -39,57 +46,73 @@ TOPANDAS_ALLOWLIST = {
 }
 
 _CALL = {
-    ".collect(": COLLECT_ALLOWLIST,
-    ".toPandas(": TOPANDAS_ALLOWLIST,
+    "collect": COLLECT_ALLOWLIST,
+    "toPandas": TOPANDAS_ALLOWLIST,
 }
 
 
-def _count_calls(needle):
-    found = {}
+def _iter_package_trees():
     for root, _dirs, files in os.walk(PKG):
         for fn in files:
             if not fn.endswith(".py"):
                 continue
             path = os.path.join(root, fn)
             rel = os.path.relpath(path, PKG)
-            n = 0
             with open(path) as f:
-                for line in f:
-                    stripped = line.split("#", 1)[0]
-                    n += stripped.count(needle)
-            if n:
-                found[rel] = n
+                yield rel, ast.parse(f.read(), filename=path)
+
+
+def _is_method_call(node, name):
+    return (
+        isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Attribute)
+        and node.func.attr == name
+    )
+
+
+def _count_calls(method):
+    found = {}
+    for rel, tree in _iter_package_trees():
+        n = sum(1 for node in ast.walk(tree) if _is_method_call(node, method))
+        if n:
+            found[rel] = n
     return found
 
 
 def test_every_collect_site_is_allowlisted_with_a_bound():
-    for needle, allow in _CALL.items():
-        found = _count_calls(needle)
+    for method, allow in _CALL.items():
+        found = _count_calls(method)
         expected = {f: c for f, (c, _note) in allow.items()}
         new_files = set(found) - set(expected)
         assert not new_files, (
-            f"new driver-side {needle}) site(s) in {sorted(new_files)} — "
+            f"new driver-side .{method}() site(s) in {sorted(new_files)} — "
             "state the bound in tests/test_collect_allowlist.py"
         )
         gone = set(expected) - set(found)
         assert not gone, (
-            f"allowlist is stale: {sorted(gone)} no longer call {needle}) — "
+            f"allowlist is stale: {sorted(gone)} no longer call .{method}() — "
             "remove the entry so the ratchet stays tight"
         )
         for f in found:
             assert found[f] == expected[f], (
-                f"{f}: {found[f]} {needle}) sites, allowlist says {expected[f]} "
+                f"{f}: {found[f]} .{method}() sites, allowlist says {expected[f]} "
                 "— a new one needs its bound documented, a removed one "
                 "ratchets the count down"
             )
 
 
 def test_no_iterative_collect_in_loops_over_unbounded_frames():
-    """Spot-guard for the worst pattern: `.collect()` inside a `for` that
-    also iterates DataFrame rows (driver-side join). The known iterative
-    collects (kmeans per-iteration update, FPS greedy state) live inside
-    loops bounded by `iters`/`k` — assert no NEW file grows a
-    collect-in-for outside the allowlisted files."""
+    """Spot-guard for the worst pattern: `.collect()` inside a loop (a
+    driver-side join shape). The known iterative collects (kmeans
+    per-iteration update, FPS greedy state) live inside loops bounded by
+    `iters`/`k` — assert no NEW file grows a collect-in-loop outside the
+    allowlisted files.
+
+    AST-based (ADVICE r11): the previous regex body pattern stopped at the
+    first blank line, so a `.collect()` after a blank line inside a `for`
+    body silently escaped. Walking `ast.For`/`ast.While` descendants sees
+    the whole body regardless of layout, and `ast.AsyncFor` is covered for
+    free by the same node set."""
     allowed = {
         # bounded iterative algorithms: loop trip count is a MODEL
         # parameter (iters / k / n_merges / max_iter) and each in-loop
@@ -100,17 +123,25 @@ def test_no_iterative_collect_in_loops_over_unbounded_frames():
         "operators/graph.py",
     }
     offenders = []
-    for root, _dirs, files in os.walk(PKG):
-        for fn in files:
-            if not fn.endswith(".py"):
+    for rel, tree in _iter_package_trees():
+        if rel in allowed:
+            continue
+        for node in ast.walk(tree):
+            if not isinstance(node, (ast.For, ast.AsyncFor, ast.While)):
                 continue
-            path = os.path.join(root, fn)
-            rel = os.path.relpath(path, PKG)
-            src = open(path).read()
-            # crude but effective: a for-loop body containing .collect(
-            for m in re.finditer(r"^(\s*)for .*:\n((?:\1\s+.*\n?)+)", src, re.M):
-                if ".collect(" in m.group(2) and rel not in allowed:
-                    offenders.append(rel)
+            # only the REPEATED parts count: the body/orelse run per
+            # iteration, and a While's test re-evaluates per iteration.
+            # `for r in df.collect():` (collect in the For's iter) is ONE
+            # call whose result is iterated — not an iterative collect.
+            repeated = list(node.body) + list(node.orelse)
+            if isinstance(node, ast.While):
+                repeated.append(node.test)
+            if any(
+                _is_method_call(sub, "collect")
+                for stmt in repeated
+                for sub in ast.walk(stmt)
+            ):
+                offenders.append(rel)
     assert not offenders, (
         f"collect() inside a loop in {sorted(set(offenders))} — bound it by "
         "the model (iters/k) and allowlist it, or restructure"

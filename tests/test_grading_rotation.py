@@ -22,9 +22,11 @@ import __spark_entry__ as entry  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-10 ordering was computed from rounds 1-9 (everything graded
-# before this round). Append CORRECTNESS_r10.json + re-sort in round 11.
-ROTATION_BASIS = [f"CORRECTNESS_r0{r}.json" for r in range(1, 10)]
+# The round-11 ordering was computed from rounds 1-10 (everything graded
+# before this round). Append CORRECTNESS_r11.json + re-sort in round 12.
+ROTATION_BASIS = [f"CORRECTNESS_r0{r}.json" for r in range(1, 10)] + [
+    "CORRECTNESS_r10.json"
+]
 
 # Cheap stale leads allowed out of order to absorb JVM JIT + Arrow-worker
 # cold start (must still come from the stalest cohort — asserted below).
