@@ -254,6 +254,17 @@ def main() -> None:
     # adjudication direct instead of inferential.
     par_eff_pre = parallel_probe()
     probe_timeline: list[list[float]] = []
+    # Per-query Spark JOB counts (VERDICT r10 #3): every driver/local
+    # outlier adjudication so far has turned on "how many jobs did this
+    # query actually run" (multi-job queries amplify per-job scheduler
+    # overhead under host contention) — record it as a fact instead of
+    # re-deriving it by local rerun archaeology. Each timed attempt runs
+    # under its own job group; the statusTracker group lookup right after
+    # the run counts that attempt's jobs. Thread-local caveat: Structured
+    # Streaming drains execute their micro-batch jobs on stream-execution
+    # threads, so stream_* counts cover only driver-thread jobs.
+    tracker = spark.sparkContext.statusTracker()
+    jobs: dict[str, list[int]] = {}
     qs = entry.queries()
     times: dict[str, float] = {}
     # CLI args both filter AND order (lets a warm/cold comparison put a
@@ -287,8 +298,11 @@ def main() -> None:
     for name in names:
         fn = qs[name]
         runs: list[float] = []
+        job_counts: list[int] = []
         n = 0
         for _attempt in range(2):
+            group = f"bench:{name}:{_attempt}"
+            spark.sparkContext.setJobGroup(group, name)
             t0 = time.perf_counter()
             try:
                 n = len(fn(spark, sf_dir).collect())
@@ -302,6 +316,10 @@ def main() -> None:
                           file=sys.stderr)
                 break
             runs.append(round(time.perf_counter() - t0, 3))
+            job_counts.append(len(tracker.getJobIdsForGroup(group)))
+        spark.sparkContext.setJobGroup("bench:between", "between queries")
+        if job_counts:
+            jobs[name] = job_counts
         if not runs:
             times[name] = float("inf")
         else:
@@ -323,6 +341,7 @@ def main() -> None:
         emit(
             times, sf, round(first_pass, 3), probe, parallel_probe(),
             par_eff_pre=par_eff_pre, probe_timeline=probe_timeline,
+            jobs=jobs,
         )
     )
 
@@ -339,6 +358,7 @@ def emit(
     out_dir: "str | None" = None,
     par_eff_pre: "float | None" = None,
     probe_timeline: "list[list[float]] | None" = None,
+    jobs: "dict[str, list[int]] | None" = None,
 ) -> str:
     """Serialize the run so it survives the driver's tail capture.
 
@@ -391,6 +411,9 @@ def emit(
     full["queries"] = {
         n: (None if t == float("inf") else t) for n, t in times.items()
     }
+    # per-query Spark job counts, [run1, run2] — the multi-job-overhead
+    # evidence for driver/local outlier adjudication (VERDICT r10 #3)
+    full["jobs"] = jobs or {}
     full["failed"] = failed
     full_path = os.path.join(
         out_dir or os.path.dirname(os.path.abspath(__file__)),
