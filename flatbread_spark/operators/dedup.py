@@ -1119,10 +1119,13 @@ def dup_source_matrix(
                            n_a·n_b (a<b) or n·(n−1)/2 (diagonal)
 
     Scale: only (fingerprint, group) rows shuffle — content never moves —
-    and the pair join runs on the per-(fingerprint, group) COUNT table
-    (bounded by duplicated fingerprints × groups, a tiny fraction of the
-    corpus). Within a fingerprint the work is quadratic in the number of
-    DISTINCT GROUPS touching it (≤ |sources|², never cluster size).
+    and pair expansion happens ROW-LOCALLY over each fingerprint's sorted
+    (group, n) array (bounded by the distinct groups touching it, ≤
+    |sources|, never cluster size). ONE lineage end-to-end: the previous
+    count-table self-join + diagonal-branch union consumed the corpus
+    groupBy three times (three corpus scans replayed per run — the
+    round-11 dup_source_matrix driver-outlier's job fan-out); the HOF
+    form scans once and joins nothing.
     """
     fp = (
         fingerprint_md5(F.col(content_col))
@@ -1134,29 +1137,34 @@ def dup_source_matrix(
         .groupBy("fingerprint", "g")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    a, b = counts.alias("a"), counts.alias("b")
-    cross = (
-        a.join(
-            b,
-            (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col("a.g") < F.col("b.g")),
-        )
-        .select(
-            F.col("a.g").alias("src_a"),
-            F.col("b.g").alias("src_b"),
-            F.col("a.fingerprint").alias("fingerprint"),
-            (F.col("a.n") * F.col("b.n")).alias("np"),
-        )
-    )
-    diag = counts.filter(F.col("n") >= 2).select(
-        F.col("g").alias("src_a"),
-        F.col("g").alias("src_b"),
-        "fingerprint",
-        # BIGINT div, not float /2: n·(n−1) is even, so this is exact
-        F.expr("(n * (n - 1)) div 2").alias("np"),
+    # per fingerprint: groups sorted ascending (g unique within the
+    # fingerprint after the groupBy, so struct order == group order),
+    # then every unordered pair emitted in one pass — (i, j>i) gives the
+    # cross cells with src_a < src_b, the diagonal cell rides along with
+    # n·(n−1) div 2 (exact BIGINT: the product is even) and self-filters
+    # via np > 0 when the group holds a single copy, exactly the old
+    # `n >= 2` branch filter (a 1-copy group contributes neither pairs
+    # nor a fingerprint to its diagonal cell)
+    pairs = F.expr(
+        """
+        filter(
+            flatten(transform(__arr, (x, i) -> concat(
+                array(named_struct(
+                    'src_a', x.g, 'src_b', x.g,
+                    'np', (CAST(x.n AS BIGINT) * (x.n - 1)) div 2)),
+                transform(slice(__arr, i + 2, size(__arr) - i - 1), y ->
+                    named_struct(
+                        'src_a', x.g, 'src_b', y.g,
+                        'np', CAST(x.n AS BIGINT) * y.n))
+            ))),
+            p -> p.np > 0)
+        """
     )
     return (
-        cross.unionByName(diag)
+        counts.groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_list(F.struct("g", "n"))).alias("__arr"))
+        .select(F.explode(pairs).alias("__p"))
+        .select("__p.src_a", "__p.src_b", "__p.np")
         .groupBy("src_a", "src_b")
         .agg(
             F.count(F.lit(1)).alias("n_fingerprints"),

@@ -41,12 +41,23 @@ def two_phase_offset(
     out_col: str,
     out_type: str,
     num_partitions: int | None = None,
-) -> DataFrame:
+    with_total: bool = False,
+) -> "DataFrame | tuple[DataFrame, int]":
     """Shared two-phase scaffold: range-partition on ``order``, compute
     ``local_value(window)`` per partition, collect ``partition_stat`` per
     partition, prefix-sum the stats into offsets, add them back. The
     checkpoint-between-passes discipline lives HERE, once — see the module
-    docstring for why it must be a checkpoint and not a persist."""
+    docstring for why it must be a checkpoint and not a persist.
+
+    ``with_total=True`` additionally returns the grand total of
+    ``partition_stat`` (for ``scalable_pos``: the exact row count) as a
+    plain int — it is the last prefix-sum accumulator value, ALREADY on
+    the driver. Callers that need ``n`` (every nearest-rank percentile
+    formula) must take it from here instead of running a separate
+    ``.count()``/``agg`` action: each extra action is a whole Spark job
+    (more under AQE), and per-job fixed overhead is exactly the
+    contention-amplifier class (SCALE.md round 10) behind the round-10/11
+    driver-bench outliers."""
     order = list(order)
     part = (
         df.repartitionByRange(num_partitions, *order)
@@ -55,17 +66,28 @@ def two_phase_offset(
     )
     from pyspark.sql import Window
 
+    from flatbread_spark.session import no_adaptive_execution
+
     w = Window.partitionBy("__pid__").orderBy(*order)
     local = (
         part.withColumn("__pid__", F.spark_partition_id())
         .withColumn("__lv__", local_value(w))
-        # eager lineage cut: the collected stats below are only valid for
-        # THIS materialization of the range partitioning
-        .localCheckpoint(eager=True)
+        # lineage cut: the collected stats below are only valid for THIS
+        # materialization of the range partitioning. LAZY checkpoint: the
+        # stats collect right below computes every partition anyway, so it
+        # doubles as the materializing action — one Spark job instead of
+        # two, same truncation guarantee (a later lost block still fails
+        # loudly; there is no lineage left to silently recompute with a
+        # fresh range-boundary sample)
+        .localCheckpoint(eager=False)
     )
-    stats = sorted(
-        local.groupBy("__pid__").agg(partition_stat.alias("__s")).collect()
-    )
+    # internal action, fixed shape: skip AQE's per-stage job splitting
+    # (see session.no_adaptive_execution — this pass is where the
+    # round-11 quantile_buckets 27x driver outlier's jobs went)
+    with no_adaptive_execution(df.sparkSession):
+        stats = sorted(
+            local.groupBy("__pid__").agg(partition_stat.alias("__s")).collect()
+        )
     offsets, acc = {}, 0
     for pid, s in stats:
         offsets[pid] = acc
@@ -84,9 +106,12 @@ def two_phase_offset(
         if entries
         else F.lit(None).cast("map<int,bigint>")
     )
-    return local.withColumn(
+    out = local.withColumn(
         out_col, (F.col("__lv__") + off_map[F.col("__pid__")]).cast(out_type)
     ).drop("__pid__", "__lv__")
+    if with_total:
+        return out, acc
+    return out
 
 
 def scalable_pos(
@@ -94,9 +119,12 @@ def scalable_pos(
     order: Sequence[str | Column],
     out_col: str = "__pos__",
     num_partitions: int | None = None,
-) -> DataFrame:
+    with_total: bool = False,
+) -> "DataFrame | tuple[DataFrame, int]":
     """Append a dense global 1..n position over ``order`` without an
-    unpartitioned window. Returns ``df`` + ``out_col`` (double)."""
+    unpartitioned window. Returns ``df`` + ``out_col`` (double);
+    ``with_total=True`` also returns the exact row count ``n`` (free — see
+    :func:`two_phase_offset`)."""
     return two_phase_offset(
         df,
         order,
@@ -105,6 +133,7 @@ def scalable_pos(
         out_col=out_col,
         out_type="double",
         num_partitions=num_partitions,
+        with_total=with_total,
     )
 
 
@@ -150,17 +179,21 @@ def two_phase_decimal_cumsums(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    from flatbread_spark.session import no_adaptive_execution
+
     local = part.withColumn("__pid__", F.spark_partition_id())
     for c in value_cols:
         local = local.withColumn(
             f"{c}__lc__", F.sum(F.col(c)).over(w).cast("decimal(27,12)")
         )
-    # eager lineage cut: the offsets collected below are only valid for THIS
-    # materialization of the range partitioning
-    local = local.localCheckpoint(eager=True)
-    stats = local.groupBy("__pid__").agg(
-        *[F.sum(F.col(c)).alias(c) for c in value_cols]
-    ).collect()
+    # lazy lineage cut (same reasoning as two_phase_offset): the offsets
+    # collected below are only valid for THIS materialization of the range
+    # partitioning, and the stats pass doubles as the materializing action
+    local = local.localCheckpoint(eager=False)
+    with no_adaptive_execution(df.sparkSession):
+        stats = local.groupBy("__pid__").agg(
+            *[F.sum(F.col(c)).alias(c) for c in value_cols]
+        ).collect()
     acc = {c: Decimal(0) for c in value_cols}
     entries: dict[str, list[Column]] = {c: [] for c in value_cols}
     for row in sorted(stats, key=lambda r: r["__pid__"]):
@@ -197,8 +230,8 @@ def exact_percentiles(
     value that EXISTS in the data. Positions come from the two-phase
     range-partitioned rank — no unpartitioned window — and only the k
     matched rows survive the position filter, so nothing data-sized ever
-    reaches the driver (``n`` itself is a 1-number action against the
-    checkpointed ranking).
+    reaches the driver (``n`` is the rank's own partition-stat total — no
+    extra action).
 
     ``approxQuantile`` is the ±ε one-pass alternative; this is the exact
     path. Returns one row per requested quantile:
@@ -209,11 +242,11 @@ def exact_percentiles(
         raise ValueError(f"q_ppm must be within [1, 1_000_000], got {q_ppm}")
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     vname = value_col if isinstance(value_col, str) else "value"
-    ranked = scalable_pos(
+    ranked, n = scalable_pos(
         df, [value, F.col(key_col)], out_col="__xpos",
-        num_partitions=num_partitions,
-    ).withColumn("__xpos", F.col("__xpos").cast("bigint"))
-    n = ranked.count()  # 1-number action against the checkpointed ranking
+        num_partitions=num_partitions, with_total=True,
+    )
+    ranked = ranked.withColumn("__xpos", F.col("__xpos").cast("bigint"))
     spark = df.sparkSession
     targets = [
         (q, max(1, (q * n + 999_999) // 1_000_000)) for q in qs
@@ -496,16 +529,17 @@ def quantile_normalize(
             f"div (2 * CAST(count(1) OVER (PARTITION BY {group_col}) AS BIGINT))"
         ).cast("bigint"),
     )
-    ranked = scalable_pos(
+    ranked, n = scalable_pos(
         df.select(F.col(score_col), F.col(key_col)),
         [F.col(score_col), F.col(key_col)],
         out_col="__gpos",
         num_partitions=num_partitions,
-    ).select(
+        with_total=True,
+    )
+    ranked = ranked.select(
         F.col("__gpos").cast("bigint").alias("__gpos"),
         F.col(score_col).alias(out_col),
     )
-    n = ranked.count()  # 1-number action against the checkpointed ranking
     target = F.greatest(
         F.lit(1).cast("bigint"),
         F.expr(f"(ppm * CAST({n} AS BIGINT) + 999999) div 1000000"),
@@ -578,7 +612,8 @@ def quantile_bucketize(
     2^53 rows). This is NOT Spark's ``ntile`` remainder layout (ntile
     front-loads the remainder; this formula spreads it) — but unlike
     ``ntile`` it needs no unpartitioned window: positions come from the
-    two-phase range-partitioned rank, and ``n`` from a 1-row broadcast.
+    two-phase range-partitioned rank, and ``n`` rides along free as the
+    rank's own partition-stat total (no extra action).
 
     approxQuantile-based binning is the cheap alternative when ±ε bucket
     sizes are fine; this operator is the exact path (rebuild-safe corpus
@@ -587,24 +622,28 @@ def quantile_bucketize(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     order = F.col(order_col) if isinstance(order_col, str) else order_col
-    ranked = scalable_pos(
+    ranked, n = scalable_pos(
         df,
         [order, F.col(key_col)],
         out_col="__qpos",
         num_partitions=num_partitions,
+        with_total=True,
     )
-    totals = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__qn")))
-    return (
-        ranked.crossJoin(totals)
-        .withColumn(
-            out_col,
-            F.expr(
-                f"(CAST(__qpos AS BIGINT) - 1) * {int(k)} div __qn"
-            ).cast("bigint")
-            + F.lit(1).cast("bigint"),
+    # n arrives free with the rank's partition stats — the previous
+    # agg+broadcast+crossJoin spent two extra Spark jobs re-counting the
+    # checkpointed frame (the round-11 quantile_buckets outlier's biggest
+    # single line item)
+    if n == 0:
+        return ranked.withColumn(out_col, F.lit(None).cast("bigint")).drop(
+            "__qpos"
         )
-        .drop("__qpos", "__qn")
-    )
+    return ranked.withColumn(
+        out_col,
+        F.expr(
+            f"(CAST(__qpos AS BIGINT) - 1) * {int(k)} div CAST({int(n)} AS BIGINT)"
+        ).cast("bigint")
+        + F.lit(1).cast("bigint"),
+    ).drop("__qpos")
 
 
 def weighted_percentiles(

@@ -147,7 +147,9 @@ def join_estimate(
     """EXACT pre-join cardinality and fanout profile: before running a
     fact×fact join at 100 TB, learn its output size and which keys
     dominate it — from two map-side-combining groupBys and a join of the
-    per-key COUNT tables (key-cardinality rows, never the inputs; side
+    per-key COUNT tables (one groupBy and no join at all when both sides
+    are the same logical plan — the self-join blowup check; key-
+    cardinality rows, never the inputs; side
     effect: the joined count table is persisted — ``cache.pin`` tag
     ``skew`` — so the totals aggregate and the top-k read it once instead
     of each replaying both fact groupBys; release with
@@ -182,7 +184,18 @@ def join_estimate(
     def counts(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy(*on).agg(F.count(F.lit(1)).alias(name))
 
-    both = counts(left, "n_left").join(counts(right, "n_right"), on)
+    # SELF-join profile fast path: when both sides are the same logical
+    # plan (the common "how badly does this table self-join" blowup
+    # check), n_right(k) == n_left(k) by definition — one fact groupBy
+    # and a column copy replace two groupBys plus a count-table join
+    # (halves the fact scans/shuffles, and removes the join AQE would
+    # otherwise execute as extra stage-jobs: the round-11 join_estimate
+    # driver-outlier's dominant line item). ``sameSemantics`` is Spark's
+    # own canonical-plan equality — exact, no false positives.
+    if left is right or left.sameSemantics(right):
+        both = counts(left, "n_left").withColumn("n_right", F.col("n_left"))
+    else:
+        both = counts(left, "n_left").join(counts(right, "n_right"), on)
     key_str = F.concat_ws(
         "\x1f", *[F.coalesce(F.col(k).cast("string"), F.lit("<NULL>")) for k in on]
     )
