@@ -295,13 +295,16 @@ def main() -> None:
     # GC/JIT/cache conditions differ slightly from true pre-r7 runs —
     # treat cross-round first-pass diffs as indicative, not exact.)
     first_pass = 0.0
-    for name in names:
+    for qi, name in enumerate(names):
         fn = qs[name]
         runs: list[float] = []
         job_counts: list[int] = []
         n = 0
         for _attempt in range(2):
-            group = f"bench:{name}:{_attempt}"
+            # qi in the group id: a CLI invocation repeating a name
+            # (warm-steady-state timing) must not accumulate the earlier
+            # occurrences' jobs into the later counts
+            group = f"bench:{qi}:{name}:{_attempt}"
             spark.sparkContext.setJobGroup(group, name)
             t0 = time.perf_counter()
             try:
