@@ -15,13 +15,16 @@ point if a caller ever lifts a high-cardinality frame (VERDICT r1 watch item).
    statistic; partition offsets are a prefix sum over ``numPartitions``
    rows (bounded driver collect, one number per partition) broadcast back.
 
-The partitioned frame is eagerly ``localCheckpoint``-ed between the stats
-pass and the offset pass so both see identical partition contents: unlike
+The partitioned frame is ``localCheckpoint``-ed between the stats pass
+and the offset pass so both see identical partition contents: unlike
 ``persist`` (whose blocks can be evicted and then *recomputed* with a fresh
 range-boundary sample, silently moving rows between partitions while the
 collected offsets still describe the old layout — ADVICE r2), a checkpoint
 truncates lineage, so a lost block fails the job loudly instead of returning
-wrong positions. Output positions are exactly 1..n in ``order`` — identical
+wrong positions. The checkpoint is LAZY since round 11: the stats collect
+scans every partition and doubles as the materializing action (one Spark
+job instead of two — the multi-job contention amplifier, SCALE.md
+round-11), with the same truncation guarantee once materialized. Output positions are exactly 1..n in ``order`` — identical
 to the unpartitioned ``row_number`` whenever ``order`` is a total order (the
 same determinism contract the window path has).
 """
@@ -150,7 +153,7 @@ def two_phase_decimal_cumsums(
     (reference ``percentages.py:390-419`` semantics without the
     unpartitioned window).
 
-    Same two-phase + eager-localCheckpoint discipline as
+    Same two-phase + lazy-localCheckpoint discipline as
     :func:`two_phase_offset` (see module docstring for why checkpoint, not
     persist); all N columns share ONE range repartition and ONE stats
     collect. Per-partition offsets accumulate driver-side in Python
