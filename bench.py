@@ -265,6 +265,17 @@ def main() -> None:
     # threads, so stream_* counts cover only driver-thread jobs.
     tracker = spark.sparkContext.statusTracker()
     jobs: dict[str, list[int]] = {}
+    # stream_* drains run their micro-batch jobs on stream-execution
+    # threads, invisible to the driver-thread job group — but job IDS are
+    # global and monotonic, so the delta of the highest observed id
+    # between consecutive queries counts EVERY job the query triggered
+    # (group + streaming + broadcast threads). Recorded as "jobs_total"
+    # per query; a baseline action pins the pre-suite high-water mark.
+    jobs_total: dict[str, int] = {}
+    spark.sparkContext.setJobGroup("bench:baseline", "job-id high-water mark")
+    spark.range(1).count()
+    _base = tracker.getJobIdsForGroup("bench:baseline")
+    last_max_id = max(_base) if _base else -1
     qs = entry.queries()
     times: dict[str, float] = {}
     # CLI args both filter AND order (lets a warm/cold comparison put a
@@ -299,6 +310,7 @@ def main() -> None:
         fn = qs[name]
         runs: list[float] = []
         job_counts: list[int] = []
+        cur_max = last_max_id
         n = 0
         for _attempt in range(2):
             # qi in the group id: a CLI invocation repeating a name
@@ -319,10 +331,16 @@ def main() -> None:
                           file=sys.stderr)
                 break
             runs.append(round(time.perf_counter() - t0, 3))
-            job_counts.append(len(tracker.getJobIdsForGroup(group)))
+            gids = tracker.getJobIdsForGroup(group)
+            job_counts.append(len(gids))
+            if gids:
+                cur_max = max(cur_max, max(gids))
         spark.sparkContext.setJobGroup("bench:between", "between queries")
         if job_counts:
             jobs[name] = job_counts
+            if cur_max > last_max_id:
+                jobs_total[name] = cur_max - last_max_id
+                last_max_id = cur_max
         if not runs:
             times[name] = float("inf")
         else:
@@ -344,7 +362,7 @@ def main() -> None:
         emit(
             times, sf, round(first_pass, 3), probe, parallel_probe(),
             par_eff_pre=par_eff_pre, probe_timeline=probe_timeline,
-            jobs=jobs,
+            jobs=jobs, jobs_total=jobs_total,
         )
     )
 
@@ -362,6 +380,7 @@ def emit(
     par_eff_pre: "float | None" = None,
     probe_timeline: "list[list[float]] | None" = None,
     jobs: "dict[str, list[int]] | None" = None,
+    jobs_total: "dict[str, int] | None" = None,
 ) -> str:
     """Serialize the run so it survives the driver's tail capture.
 
@@ -417,6 +436,9 @@ def emit(
     # per-query Spark job counts, [run1, run2] — the multi-job-overhead
     # evidence for driver/local outlier adjudication (VERDICT r10 #3)
     full["jobs"] = jobs or {}
+    # max-job-id delta per query (both runs + stream/broadcast threads):
+    # the attribution that sees streaming micro-batch jobs too
+    full["jobs_total"] = jobs_total or {}
     full["failed"] = failed
     full_path = os.path.join(
         out_dir or os.path.dirname(os.path.abspath(__file__)),
