@@ -70,6 +70,54 @@ def test_scalable_pos_with_total_empty_frame(spark):
     assert ranked.count() == 0
 
 
+def test_dup_source_matrix_matches_bruteforce_oracle(spark):
+    """Property sweep for the round-11 HOF rewrite (single-lineage pair
+    expansion): randomized (source, content) frames vs a brute-force
+    Python pair count. Guards the 1-based slice index arithmetic
+    (``slice(__arr, i + 2, …)``), the sorted-array src_a <= src_b
+    invariant, and the ``np > 0`` diagonal filter (single-copy groups
+    contribute neither pairs nor fingerprints)."""
+    import itertools
+    from collections import defaultdict
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flatbread_spark.operators.dedup import dup_source_matrix
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 6)),
+            min_size=1, max_size=40,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(rows):
+        data = [(i, f"s{s}", f"c{c}") for i, (s, c) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id bigint, src string, c string")
+        got = {
+            (r["src_a"], r["src_b"]): (r["n_fingerprints"], r["n_pairs"])
+            for r in dup_source_matrix(df, "id", "c", "src").collect()
+        }
+        by_c = defaultdict(lambda: defaultdict(int))
+        for _i, s, c in data:
+            by_c[c][s] += 1
+        want_fp = defaultdict(int)
+        want_np = defaultdict(int)
+        for _c, srcs in by_c.items():
+            for s, n in srcs.items():
+                if n >= 2:
+                    want_fp[(s, s)] += 1
+                    want_np[(s, s)] += n * (n - 1) // 2
+            for sa, sb in itertools.combinations(sorted(srcs), 2):
+                want_fp[(sa, sb)] += 1
+                want_np[(sa, sb)] += srcs[sa] * srcs[sb]
+        want = {k: (want_fp[k], want_np[k]) for k in want_fp}
+        assert got == want
+
+    check()
+
+
 def test_join_estimate_self_path_matches_general_path(spark):
     from flatbread_spark.operators.skew import join_estimate
 
