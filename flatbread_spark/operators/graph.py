@@ -260,9 +260,20 @@ def pagerank_fixed(
 
     Scale: one keyed shuffle per iteration (join ranks to edges on src +
     re-aggregate on dst) over |edges| rows; rank state is one row per
-    node. Each iteration is cut with an eager ``localCheckpoint`` — the
+    node. Each iteration is cut with a ``localCheckpoint`` — the
     iterative-lineage discipline (same as packing/kmeans), without which
-    iteration k replans k full joins.
+    iteration k replans k full joins. The in-loop checkpoints are LAZY
+    (round 11): ``localCheckpoint`` truncates the LOGICAL plan either
+    way (the returned frame is LogicalRDD-backed), and dropping the
+    per-iteration eager ``count`` saves one job per iteration (measured
+    43 → 39 at 20 iterations — the multi-job contention amplifier,
+    SCALE.md round-11). The remaining per-iteration jobs are AQE
+    materializing the join stages at checkpoint-creation time, KEPT
+    deliberately: rank⋈edge joins on power-law graphs have hub-key skew,
+    and AQE's runtime skew-join split is exactly the mitigation a
+    1000-executor run needs — pagerank is the documented case where the
+    stage-jobs buy real re-planning (vs the fixed-shape two-phase
+    machinery, which runs under ``no_adaptive_execution``).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -318,7 +329,7 @@ def pagerank_fixed(
                 ).cast("long").alias("rank_fp"),
                 "__n",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", "rank_fp")
 
