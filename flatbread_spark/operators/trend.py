@@ -158,9 +158,11 @@ def ks_drift(
         "v",
         F.sum("ca").over(w).cast("bigint").alias("cum_a"),
         F.sum("cb").over(w).cast("bigint").alias("cum_b"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # 2-number action against the checkpointed cumulatives (the
-    # weighted_percentiles discipline): totals are the final cumsums
+    # weighted_percentiles discipline): totals are the final cumsums.
+    # Lazy checkpoint: this full-scan aggregate doubles as the
+    # materializing action (one job, not two — SCALE.md round-11)
     trow = cums.agg(
         F.max("cum_a").alias("na"), F.max("cum_b").alias("nb")
     ).collect()[0]
@@ -228,7 +230,8 @@ def tvd_drift(
             F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
             F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: the full-scan totals aggregate right below materializes it
+        .localCheckpoint(eager=False)
     )
     trow = m.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
