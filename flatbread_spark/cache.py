@@ -95,3 +95,33 @@ def unpin(df: DataFrame) -> bool:
 def pinned_tags() -> list[str]:
     """Tags of currently pinned frames (observability/testing)."""
     return [t for t, _ in _PINNED]
+
+
+def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
+    """Best-effort release of the blocks a ``localCheckpoint`` pinned.
+
+    ``DataFrame.localCheckpoint`` persists the computed rows and replaces
+    the plan with a ``LogicalRDD`` over them, but exposes no public handle
+    to unpersist — ``df.unpersist()`` is a no-op there (the DATASET was
+    never marked cached, only the underlying RDD), so iterative operators
+    that cut every step (``fps_select``) would otherwise accumulate one
+    corpus-sized block set per iteration for the session's lifetime.
+    This reaches the ``LogicalRDD``'s RDD through the analyzed plan and
+    unpersists it (non-blocking). Call ONLY when the checkpointed frame —
+    and everything derived from it that has not itself been cut — is
+    finished: a later action on a released checkpoint recomputes nothing
+    (the lineage is gone) and fails loudly, which is the same
+    lost-block contract the checkpoint already had.
+
+    Returns True when blocks were released; False (never raises) when the
+    plan is not a LogicalRDD or the internal surface moved — the caller's
+    memory behavior then degrades to the pre-release status quo.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        plan.rdd().unpersist(blocking)
+        return True
+    except Exception:
+        return False

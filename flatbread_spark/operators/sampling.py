@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flatbread_spark.cache import release_local_checkpoint
 from flatbread_spark.operators.dedup import portable_hash60
 
 _MOD = 1_000_000
@@ -345,13 +346,24 @@ def fps_select(
     single newest center (a zip_with/aggregate JVM expression against a
     64-literal array, no Python, no shuffle) folded into the running
     min, plus a top-1 reduce (``orderBy(...).limit(1)`` — partial top-1
-    per partition, never a full sort). Driver state is k code vectors;
-    an eager ``localCheckpoint`` every ``checkpoint_every`` iterations
-    bounds plan depth (the kmeans discipline). Cost is k scans of a
-    codes-only projection (4× smaller than the float column) — for the
-    eval-coreset k values this targets (≤ ~1k), that is the intended
-    trade, and candidates can be pre-thinned with
-    :func:`sample_deterministic` for larger corpora.
+    per partition, never a full sort). Driver state is k code vectors.
+    Every iteration's fold is cut with a LAZY ``localCheckpoint`` that
+    the iteration's own argmax collect materializes (round 11): without
+    the cut, iteration r re-evaluated all r accumulated distance
+    higher-order functions per row — HOFs are interpreted, so the loop
+    did O(k²/2) interpreted array passes instead of O(k), the same
+    interpreted-HOF churn class as the round-10 ``lang_segments``
+    outlier — and an extra EAGER cut would cost one more Spark job per
+    iteration (the round-11 multi-job contention amplifier). The
+    superseded iteration's checkpoint blocks are released best-effort
+    once the new one is materialized, so peak cache is ~2 copies of the
+    codes projection, not k. Cost is k scans of a codes-only projection
+    (4× smaller than the float column) — for the eval-coreset k values
+    this targets (≤ ~1k), that is the intended trade, and candidates can
+    be pre-thinned with :func:`sample_deterministic` for larger corpora.
+    ``checkpoint_every`` is retired (accepted for API compatibility,
+    ignored): the per-iteration lazy cut strictly dominates the old
+    every-N eager cut on compute, job count and plan depth.
 
     Returns ``(rank, <id_col>, min_dist)`` — selection order starting at
     the smallest id (rank 0, min_dist 0 by convention), each later row
@@ -369,17 +381,24 @@ def fps_select(
     from flatbread_spark.functions.vectors import int8_codes, int8_scale
 
     scale = int8_scale(F.col(vec_col))
+    # LAZY cut: the first-pick collect right below is a TakeOrdered over
+    # every partition, so it doubles as the materializing action — one
+    # Spark job instead of two (the two_phase_offset discipline)
+    # the null running-min seed rides INSIDE the checkpointed projection —
+    # every loop handle is then a LogicalRDD root, which is what
+    # release_local_checkpoint needs to free the superseded blocks
     state = df.select(
         F.col(id_col).alias("__id"),
         int8_codes(F.col(vec_col), scale).alias("__c"),
-    ).localCheckpoint(eager=True)
+        F.lit(None).cast("bigint").alias("__d"),
+    ).localCheckpoint(eager=False)
 
     first = state.orderBy("__id").limit(1).collect()
     if not first:
+        release_local_checkpoint(state)
         raise ValueError("fps_select requires a non-empty input")
     chosen = [(0, first[0]["__id"], 0)]
     last_codes = first[0]["__c"]
-    state = state.withColumn("__d", F.lit(None).cast("bigint"))
 
     for rank in range(1, k):
         c_lit = F.array(
@@ -390,11 +409,15 @@ def fps_select(
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
+        prev = state
+        # lazy per-iteration cut, materialized by the argmax collect
+        # below: keeps the fold O(k) interpreted-HOF passes total (the
+        # checkpointed frame carries the running min as DATA, so the next
+        # iteration evaluates exactly one new distance expression) with
+        # zero extra jobs and constant plan depth
         state = state.withColumn(
             "__d", F.least(F.coalesce(F.col("__d"), d_new), d_new)
-        )
-        if rank % checkpoint_every == 0:
-            state = state.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # Chosen points are excluded by DISTANCE, not by a growing id
         # literal: every already-chosen point folded to __d = 0 the
         # iteration after its selection (distance to itself as the newest
@@ -411,12 +434,21 @@ def fps_select(
             .limit(1)
             .collect()
         )
+        # the collect above fully materialized THIS iteration's checkpoint
+        # (TakeOrdered scans every partition; a lazy localCheckpoint
+        # back-fills any partition its first action skipped), so the
+        # superseded iteration's blocks are dead — release them, bounding
+        # peak cache at ~2 code-projection copies instead of k
+        release_local_checkpoint(prev)
         if not top:
             break  # fewer distinct code points than k
         row = top[0]
         chosen.append((rank, row["__id"], int(row["__d"])))
         last_codes = row["__c"]
 
+    # the final iteration's checkpoint is dead too: the result below is
+    # built from driver-side `chosen`, no returned lineage reads `state`
+    release_local_checkpoint(state)
     # result id field keeps the INPUT id type — nothing in the algorithm
     # needs integer ids (string doc ids are common in web corpora)
     id_type = df.schema[id_col].dataType.simpleString()
