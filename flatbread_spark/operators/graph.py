@@ -267,7 +267,19 @@ def pagerank_fixed(
     way (the returned frame is LogicalRDD-backed), and dropping the
     per-iteration eager ``count`` saves one job per iteration (measured
     43 → 39 at 20 iterations — the multi-job contention amplifier,
-    SCALE.md round-11). The remaining per-iteration jobs are AQE
+    SCALE.md round-11). Three further structural cuts (round 11,
+    optimization pass 2): ``n_nodes`` is collected ONCE on the driver
+    (folding the node-checkpoint materialization into the count job) and
+    ``base``/``init_rank`` become BIGINT literals — the old per-row
+    ``__n`` column was a constant shipped through every iteration's
+    join, checkpoint and shuffle (8 bytes/row of pure overhead, guide
+    §2.3 "narrower types"), and its broadcast + crossJoin + eager init
+    checkpoint each cost a job; the rank recurrence reads the PREVIOUS
+    rank only through ``contrib``, so the static node list is the join
+    spine every iteration; and the FINAL iteration skips its checkpoint
+    (nothing iterates after it — the caller's action materializes the
+    plan, whose depth is already cut by the previous iteration's
+    checkpoint). The remaining per-iteration jobs are AQE
     materializing the join stages at checkpoint-creation time, KEPT
     deliberately: rank⋈edge joins on power-law graphs have hub-key skew,
     and AQE's runtime skew-join split is exactly the mitigation a
@@ -290,26 +302,27 @@ def pagerank_fixed(
     # repartition on the join key first — LogicalRDD keeps outputPartitioning
     # through the checkpoint, so the big side never re-shuffles per iteration
     ed = e.join(deg, "s").repartition("s").localCheckpoint(eager=True)
+    # LAZY cut + count(): the count scans every partition, so it doubles as
+    # the checkpoint materialization — one job, not two (the stats-collect
+    # fold discipline from the two-phase rank machinery)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
-
-    init = (
-        nodes.crossJoin(n_df)
-        .select(
-            "node",
-            F.expr(f"{scale} div __n").alias("rank_fp"),
-            "__n",
-        )
-        .localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
+    # Python ints are arbitrary-precision and // on non-negatives matches
+    # BIGINT div exactly, so these literals are byte-identical to the old
+    # per-row `scale div __n` / `((100-d)*(scale div __n)) div 100` columns
+    init_rank = scale // n_nodes
+    base = ((100 - damping_pct) * init_rank) // 100
+    ranks = nodes.select(
+        "node", F.lit(init_rank).cast("long").alias("rank_fp")
     )
-    base_expr = F.expr(f"((100 - {damping_pct}) * ({scale} div __n)) div 100")
-    ranks = init
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             ed.join(ranks.select("node", "rank_fp"), ed["s"] == F.col("node"))
             .select("d", F.expr("rank_fp div outdeg").alias("c"))
@@ -317,20 +330,19 @@ def pagerank_fixed(
             .agg(F.sum("c").alias("inbound"))
         )
         ranks = (
-            ranks.select("node", "__n")
-            .join(contrib, ranks["node"] == contrib["d"], "left")
+            nodes.join(contrib, nodes["node"] == contrib["d"], "left")
             .select(
                 "node",
                 (
-                    base_expr
+                    F.lit(base).cast("long")
                     + F.expr(
                         f"({damping_pct} * coalesce(inbound, 0L)) div 100"
                     )
                 ).cast("long").alias("rank_fp"),
-                "__n",
             )
-            .localCheckpoint(eager=False)
         )
+        if it < iters - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank_fp")
 
 
