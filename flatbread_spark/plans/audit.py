@@ -28,6 +28,7 @@ MARKS = [
     ("single_part", r"SinglePartition"),
     ("bcast_join", r"BroadcastHashJoin"),
     ("smj", r"SortMergeJoin"),
+    ("shj", r"ShuffledHashJoin"),
     ("codegen", r"\*\(\d+\)"),
     ("arrow_eval", r"ArrowEvalPython"),
     ("grouped_pandas", r"FlatMapGroupsInPandas"),

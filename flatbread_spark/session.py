@@ -90,6 +90,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1/§9: let the planner pick shuffled-hash join when its
+        # size conditions hold (build side under autoBroadcastJoinThreshold
+        # × shuffle partitions AND much smaller than the probe side) — SHJ
+        # skips both sort passes of SMJ. NOT a local[32] tune: the planner's
+        # own size gates govern at any scale, and two 100 TB sides fail
+        # them and fall back to sort-merge exactly as before. Measured on
+        # the join-heavy 16-query bench subset at sf0.1: 31.3 → 26.9 s
+        # (−14%), no query slower beyond noise (OPTIMIZATION_r11.md).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by default;
