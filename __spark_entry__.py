@@ -239,7 +239,7 @@ def q_salted_agg(spark, sf_dir):
         "type_tag",
         F.col("n").cast("bigint").alias("n"),
         F.col("total_value").cast("double").alias("total_value"),
-    ).orderBy("type_tag")
+    )
 
 
 def q_binned_counts(spark, sf_dir):
@@ -276,7 +276,7 @@ def q_corpus_shuffle(spark, sf_dir):
     ranked = scalable_pos(keyed, [F.col("__shufkey")], out_col="__pos__")
     return ranked.select(
         F.col("__pos__").cast("bigint").alias("rank"), "doc_id"
-    ).orderBy("rank")
+    )
 
 
 def q_value_counts_pct_naive(spark, sf_dir):
@@ -686,7 +686,6 @@ def q_tpch_q15(spark, sf_dir):
         revenue.join(F.broadcast(mx), revenue.total_revenue == mx.__mx)
         .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
     )
 
 
@@ -801,7 +800,6 @@ def q_tpch_q11(spark, sf_dir):
             F.col("p_partkey").cast("bigint").alias("p_partkey"),
             F.round("value", 6).alias("value"),
         )
-        .orderBy(F.desc("value"), "p_partkey")
     )
 
 
@@ -825,7 +823,6 @@ def q_tpch_q12(spark, sf_dir):
             F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
             F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
         )
-        .orderBy("l_linestatus")
     )
 
 
@@ -843,7 +840,6 @@ def q_tpch_q16(spark, sf_dir):
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", F.col("p_size"))
     )
 
 
@@ -875,7 +871,6 @@ def q_tpch_q20(spark, sf_dir):
             F.col("s_acctbal").alias("s_acctbal"),
             F.col("qty").cast("bigint").alias("blue_qty"),
         )
-        .orderBy("s_name")
     )
 
 
@@ -1077,7 +1072,7 @@ def q_dedup_incremental(spark, sf_dir):
     )
     batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
     out = dedup_incremental(batch, "doc_id", pfx, corpus)
-    return out.select("doc_id", "fingerprint", "status").orderBy("doc_id")
+    return out.select("doc_id", "fingerprint", "status")
 
 
 def q_chunk_dedup(spark, sf_dir):
@@ -1243,7 +1238,6 @@ def q_compaction_plan(spark, sf_dir):
             "rows_per_file",
             F.ceil(F.col("n_rows") / F.col("target_files")).cast("bigint"),
         )
-        .orderBy("source")
     )
 
 
@@ -1274,7 +1268,6 @@ def q_zorder_layout(spark, sf_dir):
             F.min("oday").cast("int").alias("day_min"),
             F.max("oday").cast("int").alias("day_max"),
         )
-        .orderBy("zbucket")
     )
 
 
@@ -1316,7 +1309,7 @@ def q_stream_quality_gate(spark, sf_dir):
         .start()
     )
     _stream_drain(q)
-    return spark.table("fb_stream_gate").orderBy("doc_id")
+    return spark.table("fb_stream_gate")
 
 
 def q_contamination_planted(spark, sf_dir):
@@ -1408,7 +1401,7 @@ def q_pack_sequences(spark, sf_dir):
     )
     return out.select(
         "doc_id", "n_tokens", "cum_tokens", "pack_id", "pack_offset", "n_splits"
-    ).orderBy("cum_tokens", "doc_id")
+    )
 
 
 def q_trigram_typicality(spark, sf_dir):
@@ -1421,7 +1414,7 @@ def q_trigram_typicality(spark, sf_dir):
     from flatbread_spark.operators.lm import trigram_typicality
 
     docs = _load(spark, sf_dir, "documents")
-    return trigram_typicality(docs, "doc_id", "text", "lang").orderBy("doc_id")
+    return trigram_typicality(docs, "doc_id", "text", "lang")
 
 
 def q_split_assign(spark, sf_dir):
@@ -1442,7 +1435,6 @@ def q_split_assign(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
         )
-        .orderBy("split", "lang")
     )
 
 
@@ -1462,7 +1454,7 @@ def q_build_packs(spark, sf_dir):
         ctx_len=512,
         salt=":pack0",
     )
-    return build_packs(assigned, "text", ctx_len=512).orderBy("pack_id")
+    return build_packs(assigned, "text", ctx_len=512)
 
 
 def q_curation_funnel(spark, sf_dir):
@@ -1496,7 +1488,7 @@ def q_curation_funnel(spark, sf_dir):
         dedup_name="dup_prefix",
         post_stages=[("quality", quality_score(F.col("text")) >= 0.5)],
     )
-    return report.orderBy("stage_idx")
+    return report
 
 
 def q_corpus_mix(spark, sf_dir):
@@ -2029,7 +2021,7 @@ def q_asof_attribution(spark, sf_dir):
         F.expr("ts DIV 1000").alias("ts_us"),
         "value", "view_id",
         F.expr("view_ts DIV 1000").alias("view_ts_us"),
-    ).orderBy("event_id")
+    )
 
 
 def q_range_join(spark, sf_dir):
@@ -2058,7 +2050,6 @@ def q_range_join(spark, sf_dir):
             "user_id", "signup_id",
             F.coalesce("n_errors", F.lit(0)).cast("bigint").alias("n_errors"),
         )
-        .orderBy("signup_id")
     )
 
 
@@ -2066,7 +2057,7 @@ def q_events_hourly(spark, sf_dir):
     from flatbread_spark.streaming.windows import hourly_rollup
 
     ev = _load(spark, sf_dir, "events")
-    return hourly_rollup(ev).orderBy("bucket_start", "event_type")
+    return hourly_rollup(ev)
 
 
 def q_sessions(spark, sf_dir):
@@ -2074,7 +2065,7 @@ def q_sessions(spark, sf_dir):
 
     ev = _load(spark, sf_dir, "events")
     # deterministic presentation order, mirrored in _SESSIONS_SQL
-    return sessionize(ev, gap_minutes=30).orderBy("user_id")
+    return sessionize(ev, gap_minutes=30)
 
 
 def q_funnel(spark, sf_dir):
@@ -2101,7 +2092,7 @@ def q_cohort_retention(spark, sf_dir):
     return out.select(
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "week_offset", "n_active",
-    ).orderBy("cohort_week", "week_offset")
+    )
 
 
 def q_stream_replay(spark, sf_dir):
@@ -2151,7 +2142,6 @@ def q_stream_replay(spark, sf_dir):
             F.max("n_events").alias("n_events"),
             F.max("max_session_events").alias("max_session_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -2282,7 +2272,7 @@ def q_quantize_embeddings(spark, sf_dir):
             ),
             6,
         ).alias("rmse"),
-    ).orderBy("vec_id")
+    )
 
 
 def q_kmeans_embeddings(spark, sf_dir):
@@ -2303,7 +2293,7 @@ def q_kmeans_embeddings(spark, sf_dir):
         "vec_id",
         F.col("cluster").cast("int").alias("cluster"),
         F.round("d2", 6).alias("d2"),
-    ).orderBy("vec_id")
+    )
 
 
 def q_knn_ivf_sweep(spark, sf_dir):
@@ -2363,7 +2353,6 @@ def q_knn_ivf_sweep(spark, sf_dir):
     return (
         per_q.groupBy("nprobe")
         .agg(F.round(F.avg("recall"), 4).alias("mean_recall"))
-        .orderBy("nprobe")
     )
 
 
@@ -2388,7 +2377,7 @@ def q_char_entropy(spark, sf_dir):
     from flatbread_spark.operators.tokenizer import char_entropy
 
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return char_entropy(docs, "doc_id", "text").orderBy("doc_id")
+    return char_entropy(docs, "doc_id", "text")
 
 
 def q_mix_temperature(spark, sf_dir):
@@ -2401,7 +2390,7 @@ def q_mix_temperature(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents")
     weighted = docs.select("source", token_count(F.col("text")).alias("tok"))
-    return mix_temperature(weighted, "source", "tok", alpha=0.3).orderBy("source")
+    return mix_temperature(weighted, "source", "tok", alpha=0.3)
 
 
 def q_approx_profile(spark, sf_dir):
@@ -2427,7 +2416,6 @@ def q_approx_profile(spark, sf_dir):
             F.percentile_approx("n_chars", 0.5, 1000).alias("approx_p50"),
             F.expr("CAST(percentile(n_chars, 0.5) AS DOUBLE)").alias("exact_p50"),
         )
-        .orderBy("source")
     )
 
 
@@ -2471,7 +2459,6 @@ def q_compression_ratio(spark, sf_dir):
             F.round(F.avg(c["ratio"]), 6).alias("avg_ratio"),
             F.round(F.max(c["ratio"]), 6).alias("max_ratio"),
         )
-        .orderBy("source")
     )
 
 
@@ -2501,7 +2488,6 @@ def q_compression_check(spark, sf_dir):
             F.sum(c["deterministic"].cast("int")).cast("bigint")
             .alias("n_deterministic"),
         )
-        .orderBy("source")
     )
 
 
@@ -2951,7 +2937,7 @@ def q_merge_upsert(spark, sf_dir):
             )
         )
     )
-    return merge_upsert(base, delta, ["k"], "version", "deleted").orderBy("k")
+    return merge_upsert(base, delta, ["k"], "version", "deleted")
 
 
 def q_snapshot_diff(spark, sf_dir):
@@ -2978,7 +2964,7 @@ def q_snapshot_diff(spark, sf_dir):
             ).otherwise(F.col("o_totalprice")).alias("v"),
         )
     )
-    return snapshot_diff_summary(old, new, ["k"]).orderBy("status")
+    return snapshot_diff_summary(old, new, ["k"])
 
 
 def q_gap_fill(spark, sf_dir):
@@ -3002,9 +2988,7 @@ def q_gap_fill(spark, sf_dir):
         },
         fill=["v_filled"],
     )
-    return out.select("user_id", "bucket_start", "n", "v_filled").orderBy(
-        "user_id", "bucket_start"
-    )
+    return out.select("user_id", "bucket_start", "n", "v_filled")
 
 
 _DIRTY_NAME = """
@@ -3043,7 +3027,6 @@ def q_fuzzy_pairs(spark, sf_dir):
     return (
         fuzzy_match_pairs(_dirty_parts(spark, sf_dir), "pname", 2)
         .withColumn("dist", F.col("dist").cast("bigint"))
-        .orderBy("name_a", "name_b")
     )
 
 
@@ -3054,9 +3037,7 @@ def q_name_canonical(spark, sf_dir):
     lexicographically greatest — deterministic under any partitioning)."""
     from flatbread_spark.operators.linkage import canonicalize_names
 
-    return canonicalize_names(_dirty_parts(spark, sf_dir), "pname", 2).orderBy(
-        "name"
-    )
+    return canonicalize_names(_dirty_parts(spark, sf_dir), "pname", 2)
 
 
 def q_stream_upsert(spark, sf_dir):
@@ -3105,7 +3086,6 @@ def q_stream_upsert(spark, sf_dir):
             F.col("version").alias("ts_ns"),
             F.col("value").alias("last_value"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -3241,7 +3221,6 @@ def q_url_normalize(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("url_c").alias("n_urls"),
         )
-        .orderBy("domain", "host")
     )
 
 
@@ -3253,7 +3232,7 @@ def q_url_dedup(spark, sf_dir):
     from flatbread_spark.functions.urls import dedup_by_url
 
     su = _synth_urls(spark, sf_dir)
-    return dedup_by_url(su, "url", "doc_id", "n_chars").orderBy("url_canonical")
+    return dedup_by_url(su, "url", "doc_id", "n_chars")
 
 
 def q_skew_profile(spark, sf_dir):
@@ -3264,7 +3243,7 @@ def q_skew_profile(spark, sf_dir):
     from flatbread_spark.operators.skew import skew_profile
 
     li = _load(spark, sf_dir, "lineitem")
-    return skew_profile(li, ["l_suppkey"], top_k=10).orderBy("rank")
+    return skew_profile(li, ["l_suppkey"], top_k=10)
 
 
 def q_domain_cap_sample(spark, sf_dir):
@@ -3276,7 +3255,7 @@ def q_domain_cap_sample(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents")
     out = sample_domain_capped(docs, "doc_id", "source", cap_ppm=30_000)
-    return out.select("doc_id", "source", "keep_threshold_ppm").orderBy("doc_id")
+    return out.select("doc_id", "source", "keep_threshold_ppm")
 
 
 def q_join_estimate(spark, sf_dir):
@@ -3288,7 +3267,7 @@ def q_join_estimate(spark, sf_dir):
     from flatbread_spark.operators.skew import join_estimate
 
     li = _load(spark, sf_dir, "lineitem")
-    return join_estimate(li, li, ["l_partkey"], top_k=10).orderBy("rank")
+    return join_estimate(li, li, ["l_partkey"], top_k=10)
 
 
 def q_rate_anomaly(spark, sf_dir):
@@ -3306,7 +3285,7 @@ def q_rate_anomaly(spark, sf_dir):
         ev, ["user_id"], "ts", DAY_NS, trailing=3, factor_x1000=3000,
         min_count=4,
     )
-    return out.orderBy("user_id", "bucket_start")
+    return out
 
 
 def q_label_vote(spark, sf_dir):
@@ -3317,9 +3296,7 @@ def q_label_vote(spark, sf_dir):
     from flatbread_spark.operators.curation import label_vote
 
     orders = _load(spark, sf_dir, "orders")
-    return label_vote(orders, "o_custkey", "o_orderpriority").orderBy(
-        "o_custkey"
-    )
+    return label_vote(orders, "o_custkey", "o_orderpriority")
 
 
 def q_curriculum(spark, sf_dir):
@@ -3338,7 +3315,7 @@ def q_curriculum(spark, sf_dir):
     out = curriculum_order(
         docs.select("doc_id", "n_chars"), "doc_id", tier, salt=":cur0"
     )
-    return out.select("doc_id", "tier", "train_pos").orderBy("train_pos")
+    return out.select("doc_id", "tier", "train_pos")
 
 
 def q_dup_matrix(spark, sf_dir):
@@ -3352,9 +3329,7 @@ def q_dup_matrix(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     pre = F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), " "), 1, 3))
     keyed = docs.select("doc_id", "source", pre.alias("__pre"))
-    return dup_source_matrix(keyed, "doc_id", "__pre", "source").orderBy(
-        "src_a", "src_b"
-    )
+    return dup_source_matrix(keyed, "doc_id", "__pre", "source")
 
 
 def q_stream_rate_anomaly(spark, sf_dir):
@@ -3400,7 +3375,6 @@ def q_stream_rate_anomaly(spark, sf_dir):
             F.col("k").alias("user_id"),
             "bucket_start", "n", "trailing_sum", "ratio_x1000", "is_anomaly",
         )
-        .orderBy("user_id", "bucket_start")
     )
 
 
@@ -3419,7 +3393,7 @@ def q_minhash_incremental(spark, sf_dir):
         batch, corpus, "doc_id", "text",
         n=4, num_hashes=32, bands=8, threshold=0.5, seed=42,
         portable_hash=True,
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def q_quantile_buckets(spark, sf_dir):
@@ -3455,7 +3429,7 @@ def q_exact_percentiles(spark, sf_dir):
     )
     return out.select(
         "q_ppm", "pos", "n", F.col("n_chars").alias("value")
-    ).orderBy("q_ppm")
+    )
 
 
 # the synthetic per-source boilerplate prefix: rpad to a FIXED 48 chars so
@@ -3522,7 +3496,7 @@ def q_strip_boilerplate(spark, sf_dir):
         "is_boilerplate",
         F.length("clean_text").cast("bigint").alias("n_clean"),
         F.substring("clean_text", 1, 20).alias("head"),
-    ).orderBy("doc_id")
+    )
 
 
 def q_ngram_novelty(spark, sf_dir):
@@ -3534,7 +3508,7 @@ def q_ngram_novelty(spark, sf_dir):
     from flatbread_spark.operators.spans import ngram_novelty
 
     docs = _load(spark, sf_dir, "documents")
-    return ngram_novelty(docs, "doc_id", "text", n=5).orderBy("doc_id")
+    return ngram_novelty(docs, "doc_id", "text", n=5)
 
 
 def q_sample_mix(spark, sf_dir):
@@ -3552,7 +3526,7 @@ def q_sample_mix(spark, sf_dir):
         {"en": 600_000, "de": 200_000, "fr": 200_000},
         salt="mix5",
     )
-    return out.select("doc_id", "lang", "mix_pos").orderBy("doc_id")
+    return out.select("doc_id", "lang", "mix_pos")
 
 
 def q_quantile_normalize(spark, sf_dir):
@@ -3570,7 +3544,7 @@ def q_quantile_normalize(spark, sf_dir):
     )
     return out.select(
         "doc_id", "source", "n_chars", "ppm", "norm_score"
-    ).orderBy("doc_id")
+    )
 
 
 def q_knn_quantized(spark, sf_dir):
@@ -3583,9 +3557,7 @@ def q_knn_quantized(spark, sf_dir):
 
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return knn_quantized(emb, queries_df, k=5, shortlist=20).orderBy(
-        "query_id", "rank"
-    )
+    return knn_quantized(emb, queries_df, k=5, shortlist=20)
 
 
 def q_event_transitions(spark, sf_dir):
@@ -3600,7 +3572,7 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(
         ev.select("event_id", "user_id", "ts", "event_type"),
         "user_id", "ts", "event_type", "event_id",
-    ).orderBy("from_state", "to_state")
+    )
 
 
 def q_session_paths(spark, sf_dir):
@@ -3616,7 +3588,7 @@ def q_session_paths(spark, sf_dir):
     return session_paths(
         ev.select("event_id", "user_id", "ts", "event_type"),
         "user_id", "ts", "event_type", k=3, tiebreak_col="event_id",
-    ).orderBy("path")
+    )
 
 
 def q_conversion_lag(spark, sf_dir):
@@ -3631,7 +3603,7 @@ def q_conversion_lag(spark, sf_dir):
     return conversion_lag(
         ev.select("user_id", "ts", "event_type"),
         "user_id", "ts", "event_type", "view", "purchase",
-    ).orderBy("q_ppm")
+    )
 
 
 def q_rolling_counts(spark, sf_dir):
@@ -3649,7 +3621,6 @@ def q_rolling_counts(spark, sf_dir):
             "user_id", "ts", window=3_600_000_000_000, value_col="value",
         )
         .select("event_id", "user_id", "n_win", "sum_win")
-        .orderBy("event_id")
     )
 
 
@@ -3660,7 +3631,7 @@ def q_vocab_overlap(spark, sf_dir):
     from flatbread_spark.operators.curation import vocab_overlap
 
     docs = _load(spark, sf_dir, "documents")
-    return vocab_overlap(docs, "source", "text").orderBy("grp_a", "grp_b")
+    return vocab_overlap(docs, "source", "text")
 
 
 def q_gini_concentration(spark, sf_dir):
@@ -3671,9 +3642,7 @@ def q_gini_concentration(spark, sf_dir):
     from flatbread_spark.operators.curation import gini_concentration
 
     docs = _load(spark, sf_dir, "documents")
-    return gini_concentration(docs, "source", "n_chars", "doc_id").orderBy(
-        "source"
-    )
+    return gini_concentration(docs, "source", "n_chars", "doc_id")
 
 
 def q_characteristic_terms(spark, sf_dir):
@@ -3688,7 +3657,7 @@ def q_characteristic_terms(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return characteristic_terms(
         docs, "source", "text", k=5, min_count=5
-    ).orderBy("source", "rank")
+    )
 
 
 def q_doc_freq_spectrum(spark, sf_dir):
@@ -3699,7 +3668,7 @@ def q_doc_freq_spectrum(spark, sf_dir):
     from flatbread_spark.operators.vocabulary import doc_freq_spectrum
 
     docs = _load(spark, sf_dir, "documents")
-    return doc_freq_spectrum(docs, "doc_id", "text").orderBy("bucket_lo")
+    return doc_freq_spectrum(docs, "doc_id", "text")
 
 
 def q_coreset_fps(spark, sf_dir):
@@ -3712,7 +3681,7 @@ def q_coreset_fps(spark, sf_dir):
     from flatbread_spark.operators.sampling import fps_select
 
     emb = _load(spark, sf_dir, "embeddings")
-    return fps_select(emb, "vec_id", "embedding", k=8).orderBy("rank")
+    return fps_select(emb, "vec_id", "embedding", k=8)
 
 
 def q_trend_slopes(spark, sf_dir):
@@ -3728,7 +3697,7 @@ def q_trend_slopes(spark, sf_dir):
         "event_type",
         F.expr("ts div 86400000000000").cast("bigint").alias("day"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    return theil_sen(daily, "event_type", "day", "n").orderBy("event_type")
+    return theil_sen(daily, "event_type", "day", "n")
 
 
 def q_weighted_percentiles(spark, sf_dir):
@@ -3749,7 +3718,7 @@ def q_weighted_percentiles(spark, sf_dir):
     return weighted_percentiles(
         staged, "n_chars", "n_tokens", "doc_id",
         [250_000, 500_000, 750_000, 990_000],
-    ).orderBy("q_ppm")
+    )
 
 
 def q_hybrid_fusion(spark, sf_dir):
@@ -3772,7 +3741,7 @@ def q_hybrid_fusion(spark, sf_dir):
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse(
         [kw.select("doc_id", "rank"), sem], "doc_id", top_n=10
-    ).orderBy("rank")
+    )
 
 
 def q_ks_drift(spark, sf_dir):
@@ -3802,7 +3771,7 @@ def q_sample_exact(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return sample_exact_n(
         docs.select("doc_id", "source"), "doc_id", 25, salt="fix"
-    ).orderBy("doc_id")
+    )
 
 
 def q_tvd_drift(spark, sf_dir):
@@ -3836,7 +3805,6 @@ def q_scd2_intervals(spark, sf_dir):
         scd2_intervals(log, "user_id", "ts")
         .select("user_id", "state", "version", "valid_from", "valid_to",
                 "is_current")
-        .orderBy("user_id", "version")
     )
 
 
@@ -3853,7 +3821,7 @@ def q_mmr_rerank(spark, sf_dir):
     return mmr_rerank(
         emb, emb.filter(F.col("vec_id") < 3),
         k_candidates=20, n_select=5, lambda_ppm=700_000,
-    ).orderBy("query_id", "rank")
+    )
 
 
 def q_group_weighted_pct(spark, sf_dir):
@@ -3872,7 +3840,7 @@ def q_group_weighted_pct(spark, sf_dir):
     return group_weighted_percentiles(
         staged, "lang", "n_chars", "n_tokens", "doc_id",
         [500_000, 990_000],
-    ).orderBy("lang", "q_ppm")
+    )
 
 
 def q_group_weighted_pct_skew(spark, sf_dir):
@@ -3901,7 +3869,7 @@ def q_group_weighted_pct_skew(spark, sf_dir):
     return group_weighted_percentiles(
         staged, "grp", "n_chars", "n_tokens", "doc_id",
         [1, 500_000, 1_000_000],
-    ).orderBy("grp", "q_ppm")
+    )
 
 
 def q_cms_frequency(spark, sf_dir):
@@ -3957,7 +3925,6 @@ def q_containment_dedup(spark, sf_dir):
         ngram_containment_pairs(
             corpus, "doc_id", "text", n=4, threshold=0.9, block_col="lang"
         )
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -3993,7 +3960,7 @@ def q_truncation_curve(spark, sf_dir):
     )
     return truncation_curve(
         staged, "n_tokens", [16, 32, 64, 128]
-    ).orderBy("seq_len")
+    )
 
 
 def q_vector_audit(spark, sf_dir):
@@ -4084,7 +4051,7 @@ def _roundtrip(spark, sf_dir, fmt, **options):
     write_table(staged, out_dir, fmt=fmt, mode="overwrite", **options)
     return read_table(
         spark, out_dir, fmt=fmt, schema=staged.schema, **options
-    ).orderBy("doc_id")
+    )
 
 
 def q_csv_roundtrip(spark, sf_dir):
@@ -4130,7 +4097,6 @@ def q_partitioned_pruning(spark, sf_dir):
     return (
         back.filter(F.col("lang").isin("en", "de"))
         .select("doc_id", "lang", "source", "n_chars", "text_md5")
-        .orderBy("doc_id")
     )
 
 
@@ -4164,7 +4130,7 @@ def q_interval_join(spark, sf_dir):
     return interval_join(
         user_iv, busy, ["day"], "user_id", "ls", "le", "rid", "rs", "re",
         bucket_width=3_600_000_000_000,
-    ).orderBy("day", "l_id", "r_id")
+    )
 
 
 def q_k_anonymity(spark, sf_dir):
@@ -4226,7 +4192,6 @@ def q_sample_exact_group(spark, sf_dir):
             docs.select("doc_id", "lang", "source"), "doc_id", "lang", 10,
             salt="fix",
         )
-        .orderBy("lang", "sample_rank")
     )
 
 
@@ -4250,7 +4215,6 @@ def q_lexical_diversity(spark, sf_dir):
                 "CAST(sum(__ttr) AS BIGINT) div count(1)"
             ).cast("bigint").alias("avg_ttr_ppm"),
         )
-        .orderBy("source")
     )
 
 
@@ -4266,7 +4230,7 @@ def q_degree_spectrum(spark, sf_dir):
 
     li = _load(spark, sf_dir, "lineitem")
     edges = bipartite_project(li, "l_orderkey", "l_suppkey")
-    return degree_spectrum(edges, "entity_a", "entity_b").orderBy("bucket_lo")
+    return degree_spectrum(edges, "entity_a", "entity_b")
 
 
 def q_gap_percentiles(spark, sf_dir):
@@ -4291,7 +4255,7 @@ def q_gap_percentiles(spark, sf_dir):
     )
     return exact_percentiles(
         gaps, "gap_ns", "event_id", [500_000, 900_000, 990_000]
-    ).orderBy("q_ppm")
+    )
 
 
 def q_rolling_median(spark, sf_dir):
@@ -4309,7 +4273,6 @@ def q_rolling_median(spark, sf_dir):
     return (
         rolling_median(daily, "event_type", "day", "n", 7)
         .select("event_type", "day", "n", "rolling_median")
-        .orderBy("event_type", "day")
     )
 
 
@@ -4335,7 +4298,6 @@ def q_json_extraction(spark, sf_dir):
             F.max("__p.k").cast("bigint").alias("max_k"),
             F.sum("__p.k").cast("bigint").alias("sum_k"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -4386,7 +4348,7 @@ def q_standardize(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return standardize(
         docs.select("doc_id", "lang", "n_chars"), "lang", "n_chars"
-    ).orderBy("doc_id")
+    )
 
 
 def q_group_percentiles(spark, sf_dir):
@@ -4401,7 +4363,7 @@ def q_group_percentiles(spark, sf_dir):
         docs.select("doc_id", "lang", "n_chars"), "lang", "n_chars",
         "doc_id", [50_000, 500_000, 950_000, 990_000],
     ).select("lang", "q_ppm", "pos", "n", F.col("n_chars").alias("value")
-    ).orderBy("lang", "q_ppm")
+    )
 
 
 # code-switch fixture: a 40-token German marker block appended to every
@@ -4430,7 +4392,7 @@ def q_lang_segments(spark, sf_dir):
     ).select(
         "doc_id", "n_segments", "majority_lang", "n_majority",
         "minority_ppm", "n_switches",
-    ).orderBy("doc_id")
+    )
 
 
 def q_winsorize_lengths(spark, sf_dir):
@@ -4445,7 +4407,7 @@ def q_winsorize_lengths(spark, sf_dir):
     return winsorize(
         docs.select("doc_id", "n_chars"), "n_chars", "doc_id",
         50_000, 950_000,
-    ).orderBy("doc_id")
+    )
 
 
 def q_field_association(spark, sf_dir):
@@ -4457,7 +4419,7 @@ def q_field_association(spark, sf_dir):
     from flatbread_spark.operators.skew import field_association
 
     docs = _load(spark, sf_dir, "documents")
-    return field_association(docs, "lang", "source").orderBy("lang", "source")
+    return field_association(docs, "lang", "source")
 
 
 # mojibake fixture: artifact suffixes planted deterministically; the SQL
@@ -4523,7 +4485,7 @@ def q_mojibake_scores(spark, sf_dir):
     )
     return with_mojibake(dirty.select("doc_id", "text"), "text").select(
         "doc_id", "n_replacement", "n_c1", "n_double_enc", "mojibake_per_10k"
-    ).orderBy("doc_id")
+    )
 
 
 # =============================================================== the contract

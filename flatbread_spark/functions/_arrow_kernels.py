@@ -244,6 +244,14 @@ def make_trigram_extract_udf(n=3):
     count 1 (JVM strings count 2); identical for BMP text, pre-lower in
     the JVM so case mapping stays engine-consistent.
 
+    NOT vectorized (round 11, measured): the int64-packing + np.unique +
+    bulk-decode form only beats this Counter loop above ~6-8k chars/doc
+    (fixed per-row numpy overhead dominates below; testdata and typical
+    web docs sit well under it) — the SCORE kernel vectorizes profitably
+    because model lookups dominate there at every length, extraction does
+    not. Crossover measured single-threaded, 2026-08-18
+    (OPTIMIZATION_r11.md).
+
     Returns a pandas UDF: string -> struct<tris:array<string>,ks:array<int>>.
     """
     from collections import Counter
@@ -264,6 +272,22 @@ def make_trigram_extract_udf(n=3):
     return extract
 
 
+def _tri_score_row_py(t, lang, model_get, n):
+    """Reference (pure-Python) per-row scorer: (n_tris, distinct, sum_freq).
+    Kept as the n>3 path and the per-row fallback of the vectorized kernel;
+    also the parity oracle for tests."""
+    from collections import Counter
+
+    c = Counter(t[i : i + n] for i in range(len(t) - n + 1))
+    # NULL lang matches nothing — SQL join-on-lang semantics
+    # (NULL != NULL), not Python dict (None, tri) key equality
+    if lang is None:
+        sf = 0
+    else:
+        sf = sum(k * model_get((lang, tri), 0) for tri, k in c.items())
+    return len(t) - n + 1, len(c), sf
+
+
 def make_trigram_score_udf(model, n=3):
     """Row-local typicality scoring against a collected ``{(lang, tri):
     corpus_count}`` model — the score pass touches no shuffle at all.
@@ -273,12 +297,88 @@ def make_trigram_score_udf(model, n=3):
     final division/round happens JVM-side so the float path matches the
     SQL oracle exactly.
 
+    Vectorized for ``n <= 3`` (round 11, guide §4.2: batchwise NumPy beats
+    a per-row Python loop): a Unicode codepoint is < 2^21 (max U+10FFFF),
+    so an n<=3-gram packs EXACTLY — collision-free, order-preserving —
+    into one signed int64 via 21-bit fields; the model becomes per-lang
+    SORTED (ids, freqs) arrays built once at closure time, and each doc
+    scores as shift/or over the codepoint array + ``np.unique`` +
+    ``searchsorted`` + one integer dot product. All-integer, so results
+    are byte-identical to the Python path (pinned by
+    ``tests/test_trigram_kernel_parity.py``); int64 cannot overflow
+    before the declared ``long`` output would anyway (terms are
+    non-negative, so the sum bounds every intermediate). Rows whose text
+    cannot encode to UTF-32 (lone surrogates — impossible from parquet,
+    possible from hand-built frames) fall back to the Python scorer
+    row-locally. ``n > 3`` keeps the Python loop (4 x 21 bits would not
+    fit an int64).
+
     Returns a pandas UDF: (string, string) ->
     struct<n_tris:long,distinct_tris:long,sum_freq:long>.
     """
-    from collections import Counter
-
     g = model.get
+
+    if n <= 3:
+        by_lang = {}
+        for (lang, tri), c in model.items():
+            if lang is None:
+                continue  # NULL lang matches nothing (see docstring)
+            by_lang.setdefault(lang, []).append((tri, int(c)))
+        packed = {}
+        for lang, pairs in by_lang.items():
+            ids = np.empty(len(pairs), dtype=np.int64)
+            freqs = np.empty(len(pairs), dtype=np.int64)
+            for i, (tri, c) in enumerate(pairs):
+                v = 0
+                for ch in tri:
+                    v = (v << 21) | ord(ch)
+                ids[i] = v
+                freqs[i] = c
+            order = np.argsort(ids, kind="stable")
+            packed[lang] = (ids[order], freqs[order])
+
+        @pandas_udf("struct<n_tris:long,distinct_tris:long,sum_freq:long>")
+        def score_vec(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+            nt, dt, sf = [], [], []
+            for t, lang in zip(texts, langs):
+                if t is None or len(t) < n:
+                    nt.append(0)
+                    dt.append(0)
+                    sf.append(0)
+                    continue
+                try:
+                    buf = t.encode("utf-32-le")
+                except UnicodeEncodeError:
+                    a, b, c_ = _tri_score_row_py(t, lang, g, n)
+                    nt.append(a)
+                    dt.append(b)
+                    sf.append(c_)
+                    continue
+                cp = np.frombuffer(buf, dtype="<u4").astype(np.int64)
+                ids = cp[: cp.size - n + 1].copy()
+                for off in range(1, n):
+                    ids <<= 21
+                    ids |= cp[off : cp.size - n + 1 + off]
+                uniq, cnt = np.unique(ids, return_counts=True)
+                nt.append(int(ids.size))
+                dt.append(int(uniq.size))
+                m = packed.get(lang) if lang is not None else None
+                if m is None or m[0].size == 0:
+                    sf.append(0)
+                    continue
+                sid, sfreq = m
+                pos = np.searchsorted(sid, uniq)
+                # pos == size means uniq[i] > every model id — clip to 0;
+                # the equality mask below cannot false-positive there
+                # (that uniq value is strictly greater than sid[0] too)
+                pos[pos == sid.size] = 0
+                hit = sid[pos] == uniq
+                sf.append(int(np.dot(cnt[hit], sfreq[pos[hit]])))
+            return pd.DataFrame(
+                {"n_tris": nt, "distinct_tris": dt, "sum_freq": sf}
+            )
+
+        return score_vec
 
     @pandas_udf("struct<n_tris:long,distinct_tris:long,sum_freq:long>")
     def score(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
@@ -289,15 +389,10 @@ def make_trigram_score_udf(model, n=3):
                 dt.append(0)
                 sf.append(0)
                 continue
-            c = Counter(t[i : i + n] for i in range(len(t) - n + 1))
-            nt.append(len(t) - n + 1)
-            dt.append(len(c))
-            # NULL lang matches nothing — SQL join-on-lang semantics
-            # (NULL != NULL), not Python dict (None, tri) key equality
-            if lang is None:
-                sf.append(0)
-            else:
-                sf.append(sum(k * g((lang, tri), 0) for tri, k in c.items()))
+            a, b, c_ = _tri_score_row_py(t, lang, g, n)
+            nt.append(a)
+            dt.append(b)
+            sf.append(c_)
         return pd.DataFrame({"n_tris": nt, "distinct_tris": dt, "sum_freq": sf})
 
     return score
