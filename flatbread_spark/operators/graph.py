@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import threading
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # The edge-cap probe below pins a SESSION-GLOBAL conf for the duration of
@@ -295,13 +295,21 @@ def pagerank_fixed(
         F.col(src_col).cast("long").alias("s"),
         F.col(dst_col).cast("long").alias("d"),
     ).distinct()
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
     # materialize (edge, outdeg) ONCE: it feeds every iteration's join, and
     # without the cut each iteration replans the full upstream (the caller's
     # edge derivation — often a fact join — plus distinct + degree count).
-    # repartition on the join key first — LogicalRDD keeps outputPartitioning
-    # through the checkpoint, so the big side never re-shuffles per iteration
-    ed = e.join(deg, "s").repartition("s").localCheckpoint(eager=True)
+    # outdeg is ONE window count over s (round 11 pass 2): the old
+    # groupBy + self-join + repartition("s") spent three exchanges and two
+    # extra jobs building the same column — the window's single shuffle by
+    # s also leaves the checkpointed blocks s-clustered, which is all the
+    # repartition ever bought (the per-iteration rank join BROADCASTS the
+    # rank side — node-bounded — so ed is never reshuffled either way;
+    # verified on the executed plans, A/B'd 8 → 6 jobs, rows byte-equal)
+    win = Window.partitionBy("s")
+    ed = (
+        e.withColumn("outdeg", F.count(F.lit(1)).over(win))
+        .localCheckpoint(eager=True)
+    )
     # LAZY cut + count(): the count scans every partition, so it doubles as
     # the checkpoint materialization — one job, not two (the stats-collect
     # fold discipline from the two-phase rank machinery)
