@@ -486,20 +486,38 @@ def vocab_overlap(
     text = F.col(text_col)
     if lowercase:
         text = F.lower(text)
+    # NULL groups dropped up front — value-identical: a pair involving a
+    # NULL group never survives ``grp_a < grp_b`` (NULL comparison), and
+    # the old per-group-size inner joins dropped those rows anyway
     toks = (
         df.select(
             F.col(group_col).alias("grp"),
             F.explode(F.split(F.trim(text), r"\s+")).alias("tok"),
         )
-        .filter(F.col("tok") != "")
+        .filter((F.col("tok") != "") & F.col("grp").isNotNull())
         .distinct()
     )
     from flatbread_spark.operators.dedup import _pin
+    from flatbread_spark.session import no_adaptive_execution
 
     toks = _pin(toks)
-    sizes = toks.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_vocab")
-    )
+    # group-size collect: the group table is tiny by definition (the old
+    # code already broadcast it = held it on the driver); collecting it
+    # folds the pin materialization into this one internal action (no
+    # per-lineage broadcast-build jobs on a cold run) and the sizes
+    # re-enter the plan as a BIGINT literal map — exact, nothing
+    # data-sized on the driver
+    with no_adaptive_execution(df.sparkSession):
+        size_rows = toks.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab")
+        ).collect()
+    size_map = F.create_map(
+        *[
+            x
+            for r in sorted(size_rows, key=lambda r: str(r["grp"]))
+            for x in (F.lit(r["grp"]), F.lit(int(r["n_vocab"])).cast("bigint"))
+        ]
+    ) if size_rows else F.lit(None).cast("map<string,bigint>")
     a = toks.select(F.col("tok"), F.col("grp").alias("grp_a"))
     b = toks.select(F.col("tok"), F.col("grp").alias("grp_b"))
     inter = (
@@ -509,22 +527,8 @@ def vocab_overlap(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
     return (
-        inter.join(
-            F.broadcast(
-                sizes.select(
-                    F.col("grp").alias("grp_a"), F.col("n_vocab").alias("n_a")
-                )
-            ),
-            "grp_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.select(
-                    F.col("grp").alias("grp_b"), F.col("n_vocab").alias("n_b")
-                )
-            ),
-            "grp_b",
-        )
+        inter.withColumn("n_a", size_map[F.col("grp_a")])
+        .withColumn("n_b", size_map[F.col("grp_b")])
         .select(
             "grp_a",
             "grp_b",

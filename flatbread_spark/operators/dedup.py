@@ -415,23 +415,34 @@ def _minhash_bands(
     bands: int,
     seed: int,
     portable_hash: bool,
+    extra_cols: "tuple[str, ...]" = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Shared signature/banding stage for the self-join (:func:
     `minhash_lsh_pairs`) and batch-vs-corpus (:func:`minhash_probe`)
     operators. Returns ``(base, bands_df)``: the persisted hashed-shingle
     arrays ``(__id, __sh)`` and the slim band rows
-    ``(__id, __band, __key)``."""
+    ``(__id, __band, __key)``. ``extra_cols`` are carried through both
+    frames unchanged (the probe's side flag rides along so both sides
+    share ONE signature derivation)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     coeffs = minhash_coeffs(num_hashes, seed)
+    extras = list(extra_cols)
 
     # everything downstream of shingling works on hashed shingles:
     # verification arrays shuffle ~8 bytes per shingle instead of the n-word
     # string (identical Jaccard modulo ~|S|²/2⁶⁴ collisions)
     hash_one = portable_hash60 if portable_hash else F.xxhash64
     base = (
-        with_shingles(df.select(F.col(id_col).alias("__id"), text_col), text_col, n)
-        .select("__id", F.transform("__sh", lambda s: hash_one(s)).alias("__sh"))
+        with_shingles(
+            df.select(F.col(id_col).alias("__id"), text_col, *extras),
+            text_col,
+            n,
+        )
+        .select(
+            "__id", F.transform("__sh", lambda s: hash_one(s)).alias("__sh"),
+            *extras,
+        )
         # signature branch + per-candidate verification branch both read the
         # hashed shingle arrays — persist so shingling/hashing runs once
         .transform(_pin)
@@ -443,7 +454,8 @@ def _minhash_bands(
     from flatbread_spark.functions._arrow_kernels import make_minhash_udf
 
     sig_df = base.select(
-        "__id", make_minhash_udf(coeffs, _P)(F.col("__sh")).alias("__sig")
+        "__id", make_minhash_udf(coeffs, _P)(F.col("__sh")).alias("__sig"),
+        *extras,
     ).transform(_pin)
 
     # band rows carry ONLY (id, band, key): exploding the (possibly large)
@@ -464,7 +476,11 @@ def _minhash_bands(
                 for i in range(bands)
             ])
         ).alias("bk"),
-    ).select("__id", F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"))
+        *extras,
+    ).select(
+        "__id", F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"),
+        *extras,
+    )
     return base, bands_df
 
 
@@ -525,29 +541,64 @@ def minhash_probe(
     (write ``_minhash_bands``' output once, append per batch) — the
     recompute here keeps the operator self-contained; the join shape is
     identical either way.
+
+    Both sides share ONE signature derivation (round 12): batch and
+    corpus union into a side-flagged frame before shingling, so the plan
+    carries a single shingle/signature pipeline (one pinned base + one
+    pinned signature frame) split by the flag — per-doc signature math is
+    side-independent, so values are identical to the two-pipeline shape,
+    and a cold run pays one set of pin-materialization stages instead of
+    two.
     """
-    base_b, bands_b = _minhash_bands(
-        batch, id_col, text_col, n, num_hashes, bands, seed, portable_hash
+    b_proj = batch.select(
+        F.col(id_col).alias("__pid"), F.col(text_col).alias("__ptext"),
+        F.lit(True).alias("__is_b"),
     )
-    base_c, bands_c = _minhash_bands(
-        corpus, id_col, text_col, n, num_hashes, bands, seed, portable_hash
+    c_proj = corpus.select(
+        F.col(id_col).alias("__pid"), F.col(text_col).alias("__ptext"),
+        F.lit(False).alias("__is_b"),
     )
+    base_all, bands_all = _minhash_bands(
+        b_proj.unionByName(c_proj), "__pid", "__ptext",
+        n, num_hashes, bands, seed, portable_hash, extra_cols=("__is_b",),
+    )
+    base_b = base_all.filter(F.col("__is_b")).drop("__is_b")
+    base_c = base_all.filter(~F.col("__is_b")).drop("__is_b")
+    bands_b = bands_all.filter(F.col("__is_b")).drop("__is_b")
+    bands_c = bands_all.filter(~F.col("__is_b")).drop("__is_b")
     if max_band_bucket is not None:
-        over = (
+        # the over-cap bucket list is BOUNDED by construction
+        # (≤ |band rows|/cap rows — the same bound that lets it broadcast,
+        # i.e. the driver already held it); pin + collect it once: the
+        # collect doubles as the stats materialization (warm runs hit the
+        # CacheManager plan match), and in the common NO-SKEW case the
+        # empty list removes the anti-join, the star branch and their
+        # broadcast-build jobs from the plan outright — value-identical
+        # (an anti join against an empty set is the identity, an inner
+        # join against it is empty)
+        from flatbread_spark.session import no_adaptive_execution
+
+        over_agg = _pin(
             bands_c.groupBy("__band", "__key")
             .agg(F.count(F.lit(1)).alias("__m"), F.min("__id").alias("__min"))
             .filter(F.col("__m") > max_band_bucket)
             .drop("__m")
-            .transform(_pin)
         )
-        small_c = bands_c.join(
-            F.broadcast(over.select("__band", "__key")),
-            ["__band", "__key"], "left_anti",
-        )
-        star = (
-            bands_b.join(F.broadcast(over), ["__band", "__key"])
-            .select(F.col("__id").alias("id_a"), F.col("__min").alias("id_b"))
-        )
+        with no_adaptive_execution(bands_c.sparkSession):
+            over_rows = over_agg.collect()
+        if over_rows:
+            over = bands_c.sparkSession.createDataFrame(
+                over_rows, over_agg.schema
+            )
+            small_c = bands_c.join(
+                F.broadcast(over), ["__band", "__key"], "left_anti",
+            )
+            star = (
+                bands_b.join(F.broadcast(over), ["__band", "__key"])
+                .select(F.col("__id").alias("id_a"), F.col("__min").alias("id_b"))
+            )
+        else:
+            star, small_c = None, bands_c
     else:
         star, small_c = None, bands_c
     b, c = bands_b.alias("b"), small_c.alias("c")
@@ -611,23 +662,38 @@ def minhash_lsh_pairs(
         # by construction (≤10⁶ at 10¹⁰ band rows with the default cap), so
         # it broadcasts; the self-join branches then pay only a broadcast
         # anti-join each instead of re-running the stats shuffle per branch
-        over = (
+        # pinned + collected once (bounded by construction — the same
+        # ≤ |band rows|/cap bound that let it broadcast): the collect
+        # doubles as the stats materialization, warm runs hit the
+        # CacheManager plan match, and the common NO-SKEW case drops the
+        # anti-join, star branch and their broadcast-build jobs from the
+        # plan — value-identical (anti join vs empty set ≡ identity)
+        from flatbread_spark.session import no_adaptive_execution
+
+        over_agg = _pin(
             bands_df.groupBy("__band", "__key")
             .agg(F.count(F.lit(1)).alias("__m"), F.min("__id").alias("__min"))
             .filter(F.col("__m") > max_band_bucket)
             .drop("__m")
-            .transform(_pin)
         )
-        small = bands_df.join(
-            F.broadcast(over.select("__band", "__key")),
-            ["__band", "__key"], "left_anti",
-        )
-        star = (
-            bands_df.join(F.broadcast(over), ["__band", "__key"])
-            .filter(F.col("__id") != F.col("__min"))
-            .select(F.col("__min").alias("id_a"), F.col("__id").alias("id_b"))
-        )
-        a, b = small.alias("a"), small.alias("b")
+        with no_adaptive_execution(bands_df.sparkSession):
+            over_rows = over_agg.collect()
+        if over_rows:
+            over = bands_df.sparkSession.createDataFrame(
+                over_rows, over_agg.schema
+            )
+            small = bands_df.join(
+                F.broadcast(over), ["__band", "__key"], "left_anti",
+            )
+            star = (
+                bands_df.join(F.broadcast(over), ["__band", "__key"])
+                .filter(F.col("__id") != F.col("__min"))
+                .select(F.col("__min").alias("id_a"), F.col("__id").alias("id_b"))
+            )
+            a, b = small.alias("a"), small.alias("b")
+        else:
+            star = None
+            a, b = bands_df.alias("a"), bands_df.alias("b")
     else:
         star = None
         a, b = bands_df.alias("a"), bands_df.alias("b")

@@ -87,11 +87,18 @@ def fuzzy_match_pairs(
     vocab = _vocab if _vocab is not None else _name_vocab(df, name_col, block_key)
     # loud guard: a degenerate blocking key (e.g. every name starts with
     # 'the') turns the self-join quadratic; fail with the block id instead
-    # of letting one task run for hours. Window-free: counts per block from
-    # an aggregate, joined back broadcast (block cardinality rows).
-    sizes = vocab.groupBy("block").agg(F.count(F.lit(1)).alias("__bn"))
+    # of letting one task run for hours. ONE window count over the
+    # self-join's own key (the pagerank out-degree shape): the old
+    # aggregate + broadcast-join-back spent an extra exchange plus a
+    # broadcast-build job per execution — and on a cold run the broadcast
+    # build replayed the uncached vocab aggregate's stage-jobs — for a
+    # column the block-partitioned window computes in the shuffle the
+    # join needs anyway. Same counts, same per-row raise semantics.
+    from pyspark.sql import Window
+
+    bn = F.count(F.lit(1)).over(Window.partitionBy("block"))
     vocab = (
-        vocab.join(F.broadcast(sizes), "block")
+        vocab.withColumn("__bn", bn)
         .withColumn(
             "block",
             F.when(F.col("__bn") <= F.lit(max_block), F.col("block")).otherwise(

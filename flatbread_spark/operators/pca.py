@@ -102,10 +102,21 @@ def covariance_matrix(
     matching the k-means kernel).
 
     The dim²-row moment aggregate is persisted (``cache.pin`` tag
-    ``pca``) because the returned lazy frame reads it from four lineages;
-    release with ``flatbread_spark.release_caches("pca")`` once the
-    result is materialized. (:func:`pca_train` releases it itself — it
-    collects, so no returned lineage outlives the call.)"""
+    ``pca``) and COLLECTED here (dim² + dim + 1 rows — model-sized, the
+    same driver-state bound :func:`pca_train` already accepts): the old
+    plan read the pin from four lineages (n, both mean projections, the
+    product block), so a cold run paid one broadcast-build job per
+    lineage plus the AQE stage-jobs of the uncached aggregate — 2× the
+    warm job count (the round-11 pin-materialization class). Collecting
+    once folds the pin materialization into the one internal action (the
+    two_phase_offset discipline), and the returned frame is a local
+    relation over the exact collected decimals — every decimal→double
+    cast and the covariance arithmetic stay in JVM expressions, so the
+    values are bit-identical to the old four-lineage plan. The pin stays
+    registered so a SECOND call in the same session reads the cached
+    aggregate instead of re-scanning the corpus; release with
+    ``flatbread_spark.release_caches("pca")``. (:func:`pca_train`
+    releases it itself — nothing lazy outlives the call.)"""
     out, _ = _covariance_with_pin(df, vec_col, dim, ndigits)
     return out
 
@@ -118,40 +129,48 @@ def _covariance_with_pin(
     after materializing instead of leaking it until a manual release
     (ADVICE r10 #2)."""
     from flatbread_spark.cache import pin
+    from flatbread_spark.session import no_adaptive_execution
 
-    # dim²-bounded (dim² + dim + 1 rows) and consumed by FOUR lineages
-    # (n, both mean projections, the product block) — unpinned, each
-    # replayed the per-row d² moment computation over the corpus, the
-    # dominant cost of the whole operator, four times
+    # dim²-bounded (dim² + dim + 1 rows): pinned so a second call in the
+    # same session skips the corpus moment pass, collected ONCE (the
+    # collect doubles as the pin materialization — no per-lineage
+    # broadcast jobs, no AQE stage-splitting of a fixed-shape join-free
+    # internal aggregate)
     agg = pin(
         moment_partials(df, vec_col, dim)
         .groupBy("i", "j")
         .agg(F.sum("psum").alias("s")),
         tag="pca",
     )
-    nrow = agg.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
-        F.col("s").cast("double").alias("__n")
+    with no_adaptive_execution(df.sparkSession):
+        rows = agg.collect()
+    n_dec = next(r["s"] for r in rows if r["i"] == -1 and r["j"] == -1)
+    mean_dec = {r["i"]: r["s"] for r in rows if r["i"] >= 0 and r["j"] == -1}
+    prods = [(r["i"], r["j"], r["s"]) for r in rows if r["j"] >= 0]
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(prods, "i int, j int, s decimal(28,12)")
+    # decimal literals cast to double IN THE JVM — the identical
+    # Decimal.toDouble the old plan applied to the same decimal sums
+    mean_map = F.create_map(
+        *[
+            x
+            for k in sorted(mean_dec)
+            for x in (
+                F.lit(k),
+                F.lit(mean_dec[k]).cast("decimal(28,12)"),
+            )
+        ]
     )
-    means = agg.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
-        F.col("i").alias("__k"), F.col("s").cast("double").alias("__sx")
-    )
-    prods = agg.filter(F.col("j") >= 0)
-    mi = means.select(F.col("__k").alias("i"), F.col("__sx").alias("__sxi"))
-    mj = means.select(F.col("__k").alias("j"), F.col("__sx").alias("__sxj"))
-    out = (
-        prods.join(F.broadcast(mi), "i")
-        .join(F.broadcast(mj), "j")
-        .crossJoin(F.broadcast(nrow))
-        .select(
-            "i",
-            "j",
-            F.round(
-                F.col("s").cast("double") / F.col("__n")
-                - (F.col("__sxi") / F.col("__n"))
-                * (F.col("__sxj") / F.col("__n")),
-                ndigits,
-            ).alias("cov"),
-        )
+    n_col = F.lit(n_dec).cast("decimal(28,12)").cast("double")
+    out = pdf.select(
+        "i",
+        "j",
+        F.round(
+            F.col("s").cast("double") / n_col
+            - (mean_map[F.col("i")].cast("double") / n_col)
+            * (mean_map[F.col("j")].cast("double") / n_col),
+            ndigits,
+        ).alias("cov"),
     )
     return out, agg
 

@@ -328,22 +328,30 @@ def cms_frequency_check(
     """
     from flatbread_spark.cache import pin
 
-    # Two consumers read the token stream (sketch cells + exact top-k), so
-    # the GRADING harness pins it — same discipline as the dedup base
-    # frames. Production never materializes tokens: it calls cms_build
-    # directly (one streaming pass, nothing persisted).
-    toks = pin(
+    # Both consumers (sketch cells + exact top-k) read the VOCABULARY-sized
+    # token COUNT table, not the corpus-token-sized stream: CMS cells are
+    # plain sums, so building them from (token, n) with ``weight_col="n"``
+    # yields BIT-IDENTICAL cells to the per-occurrence build (Σ over
+    # occurrences ≡ Σ n·[token hits cell] — integer sums commute), while
+    # the portable-md5 hashing runs once per DISTINCT token instead of once
+    # per occurrence and the pinned frame shrinks from corpus-token-sized
+    # to vocabulary-sized. Production never materializes tokens: it calls
+    # cms_build directly (one streaming pass, nothing persisted).
+    counts = pin(
         df.select(
             F.explode(
                 F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
             ).alias("token")
-        ).filter(F.col("token") != ""),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n")),
         tag="sketch",
     )
-    cells = cms_build(toks, "token", depth=depth, width=width, salt=salt)
+    cells = cms_build(counts, "token", depth=depth, width=width, salt=salt,
+                      weight_col="true_n")
     top = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        counts
         .orderBy(F.col("true_n").desc(), F.col("token").asc())
         .limit(int(k))
     )

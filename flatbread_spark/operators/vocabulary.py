@@ -82,25 +82,46 @@ def characteristic_terms(
         raise ValueError("characteristic_terms requires min_count >= 1")
     from pyspark.sql import Window
 
-    counts = _token_counts(df, group_col, text_col, lowercase)
-    counts = counts.persist()
-    grp_tot = counts.groupBy("grp").agg(
-        F.sum("n").cast("bigint").alias("n_grp")
-    )
+    from flatbread_spark.cache import pin
+    from flatbread_spark.session import no_adaptive_execution
+
+    counts = pin(_token_counts(df, group_col, text_col, lowercase),
+                 tag="vocabulary")
+    # group totals are #groups rows (the old code already BROADCAST them =
+    # held them on the driver); collecting once folds the count-table pin
+    # materialization into this one internal action — a cold run stops
+    # paying per-lineage broadcast-build jobs + AQE stage-jobs through the
+    # uncached aggregate (the round-11 pin-materialization class). The
+    # grand total is the exact Python-int sum of the same BIGINTs,
+    # INCLUDING a NULL group's mass (matching the old grp_tot aggregate);
+    # the old inner join dropped NULL-group rows from the scored table, so
+    # the map lookup's NULL result is filtered below — value-identical.
+    with no_adaptive_execution(df.sparkSession):
+        grp_rows = counts.groupBy("grp").agg(
+            F.sum("n").cast("bigint").alias("n_grp")
+        ).collect()
+    n_grand = sum(int(r["n_grp"]) for r in grp_rows)
+    nonnull = [r for r in grp_rows if r["grp"] is not None]
+    grp_map = F.create_map(
+        *[
+            x
+            for r in sorted(nonnull, key=lambda r: str(r["grp"]))
+            for x in (F.lit(r["grp"]), F.lit(int(r["n_grp"])).cast("bigint"))
+        ]
+    ) if nonnull else F.lit(None).cast("map<string,bigint>")
     term_tot = counts.groupBy("term").agg(
         F.sum("n").cast("bigint").alias("n_term")
     )
-    grand = grp_tot.agg(F.sum("n_grp").cast("bigint").alias("__N"))
     dec = "decimal(38,0)"
     scored = (
         counts.filter(F.col("n") >= min_count)
         .join(term_tot, "term")
-        .join(F.broadcast(grp_tot), "grp")
-        .crossJoin(F.broadcast(grand))
+        .withColumn("n_grp", grp_map[F.col("grp")])
+        .filter(F.col("n_grp").isNotNull())
         .withColumn(
             "lift_ppm",
             F.expr(
-                f"CAST(n AS {dec}) * CAST(__N AS {dec}) * 1000000 "
+                f"CAST(n AS {dec}) * CAST({n_grand} AS {dec}) * 1000000 "
                 f"div (CAST(n_grp AS {dec}) * CAST(n_term AS {dec}))"
             ).cast("bigint"),
         )

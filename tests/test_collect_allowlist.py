@@ -33,11 +33,13 @@ COLLECT_ALLOWLIST = {
     "operators/sampling.py": (3, "group counts for exact allocation (group-bounded) + 1-row FPS seed + greedy FPS state (k rows, k = requested sample)"),
     "operators/kmeans.py": (2, "k seed vectors + per-(cluster,dim) update rows: both k*dim model-bounded"),
     "operators/trend.py": (2, "single aggregate rows (slope/anomaly scalars): 1 row each"),
-    "operators/pca.py": (2, "d*d covariance moments + d-row component table: dimension-bounded"),
+    "operators/pca.py": (3, "d*d covariance moment aggregate (collected once; doubles as the pin materialization) + d*d covariance table in pca_train + d-row component table: all dimension-bounded"),
     "operators/graph.py": (2, "union-find edge probe hard-capped at driver_max_edges+1 (fails loudly past the cap) + 1-row count"),
     "operators/lm.py": (1, "trigram LM model table: vocabulary-bounded (min_count-filtered)"),
+    "operators/dedup.py": (2, "minhash over-cap bucket lists (probe + self-join): <= |band rows|/max_band_bucket rows by construction — the same bound that let the old plan broadcast them"),
     "operators/ranking.py": (3, "per-partition boundary stats (partitions rows) + range-bound rows + 1-row total"),
-    "operators/curation.py": (1, "per-gate funnel summary: gate-count rows"),
+    "operators/curation.py": (2, "per-gate funnel summary (gate-count rows) + vocab_overlap per-group vocabulary sizes (#groups rows — the old plan already broadcast them to the driver)"),
+    "operators/vocabulary.py": (1, "characteristic_terms per-group token totals: #groups rows — the old plan already broadcast them to the driver"),
     "output/tablespec.py": (2, "display/export sink: truncation-limited presentation rows by contract"),
     "output/excel.py": (1, "export sink: presentation-sized by contract (same class as tablespec)"),
 }

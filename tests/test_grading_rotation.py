@@ -22,10 +22,11 @@ import __spark_entry__ as entry  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-11 ordering was computed from rounds 1-10 (everything graded
-# before this round). Append CORRECTNESS_r11.json + re-sort in round 12.
+# The round-12 ordering was computed from rounds 1-11 (everything graded
+# before this round). Append CORRECTNESS_r12.json + re-sort in round 13.
 ROTATION_BASIS = [f"CORRECTNESS_r0{r}.json" for r in range(1, 10)] + [
-    "CORRECTNESS_r10.json"
+    "CORRECTNESS_r10.json",
+    "CORRECTNESS_r11.json",
 ]
 
 # Cheap stale leads allowed out of order to absorb JVM JIT + Arrow-worker
