@@ -116,6 +116,89 @@ def make_minhash_udf(coeffs, prime: int):
     return minhash
 
 
+def make_knn_shortlist_fn(q_ids, q_mat, depth: int, chunk: int = 4096):
+    """Corpus-side candidate shortlist for ``knn_bruteforce``'s exact path.
+
+    One numpy matmul per ``chunk``-row slab replaces an interpreted
+    higher-order-function double dot per (query, corpus) PAIR — at Q
+    queries the old plan materialized Q×|corpus| join rows, evaluated
+    O(Q×|corpus|×dim) interpreted ops, and range-sorted all of it through
+    a per-query rank window. Here only candidate rows ever leave the scan.
+
+    Selection is a deterministic SUPERSET of the global shortlist: per
+    slab and query, every corpus row whose fast cosine is >= the slab's
+    ``depth``-th largest value is emitted (ties at the boundary are ALL
+    kept, so the downstream window — the identical
+    (fast desc, neighbor asc) order knn_bruteforce always used — trims to
+    exactly the same global top-``depth`` set regardless of slab
+    boundaries). Self-pairs (corpus id == query id) are excluded here,
+    matching the join condition they replaced; rows with NULL or
+    wrong-length vectors are dropped (their fast cosine was NULL in the
+    expression path — never shortlisted). NaN cosines (zero-norm vectors)
+    map to +inf so pathological rows stay in the superset for the exact
+    re-rank to decide.
+
+    The corpus vector rides along in the output so the exact-decimal
+    re-rank needs no second corpus scan. Returns a mapInPandas function
+    for schema ``query_id <t>, neighbor_id <t>, __fast double,
+    __cv array<float>``.
+    """
+    q_mat = np.asarray(q_mat, dtype=np.float64)
+    nq, dim = q_mat.shape if q_mat.ndim == 2 else (0, 0)
+    q_ids_arr = np.asarray(q_ids)
+    qn = np.sqrt((q_mat * q_mat).sum(axis=1)) if nq else np.zeros(0)
+
+    def shortlist(batches):
+        empty = pd.DataFrame(
+            {"query_id": q_ids_arr[:0], "neighbor_id": q_ids_arr[:0],
+             "__fast": np.zeros(0),
+             "__cv": pd.Series([], dtype=object)}
+        )
+        if nq == 0:
+            yield empty
+            return
+        for pdf in batches:
+            ids_in = pdf["__nid"].to_numpy()
+            vec_in = pdf["__cv"].to_numpy()
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vec_in], dtype=bool
+            )
+            if not ok.any():
+                continue
+            ids = ids_in[ok]
+            vecs = vec_in[ok]
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            cn = np.sqrt((C * C).sum(axis=1))
+            for s in range(0, len(ids), chunk):
+                e = min(s + chunk, len(ids))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = (C[s:e] @ q_mat.T) / (cn[s:e, None] * qn[None, :])
+                S = np.where(np.isnan(S), np.inf, S)
+                slab_ids = ids[s:e]
+                self_mask = slab_ids[:, None] == q_ids_arr[None, :]
+                # self rows must not consume a slot nor be emitted
+                S[self_mask] = -np.inf
+                take = min(depth, S.shape[0])
+                vstar = np.partition(S, S.shape[0] - take, axis=0)[
+                    S.shape[0] - take, :
+                ]
+                keep = (S >= vstar[None, :]) & ~self_mask
+                r, c = np.nonzero(keep)
+                if len(r) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_ids_arr[c],
+                        "neighbor_id": slab_ids[r],
+                        "__fast": S[r, c],
+                        "__cv": list(vecs[s:e][r]),
+                    }
+                )
+        yield empty
+
+    return shortlist
+
+
 def make_pair_score_fn(threshold_slack, chunk: int = 2048):
     """In-group all-pairs cosine candidate scoring for ``applyInPandas``.
 

@@ -69,14 +69,63 @@ def knn_bruteforce(
     # final ranking and the output value. A shortlist miss would need the
     # double vs decimal scores to disagree across a >3k-rank gap (~1e-12
     # cosine difference per rank) — not attainable with 6-digit rounding.
+    #
+    # The hot loop is an Arrow kernel (round 12, guide §4.2/§8): the old
+    # plan materialized |queries|×|corpus| broadcast-join rows, evaluated
+    # an interpreted HOF double dot per PAIR, and range-sorted all of it
+    # through the per-query rank window. Now one numpy matmul per corpus
+    # slab emits only per-slab shortlist candidates (a deterministic
+    # value-superset — boundary ties all kept), the global window trims
+    # them with the identical (fast desc, neighbor asc) order, and the
+    # exact-decimal re-rank — unchanged, still the value contract — runs
+    # on the same bounded shortlist. The query set is collected once: it
+    # is small by contract (the old plan already broadcast it — the same
+    # driver footprint).
+    import numpy as np
+
+    from flatbread_spark.functions._arrow_kernels import make_knn_shortlist_fn
+
     shortlist_depth = max(4 * k, k + 20)
-    fast = dot_fast(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
-    wf = Window.partitionBy("query_id").orderBy(F.desc("__fast"), F.asc("neighbor_id"))
+    q_proj = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    q_rows = q_proj.collect()
+    spark = corpus.sparkSession
+    qf = spark.createDataFrame(q_rows, q_proj.schema)
+    valid = [
+        r for r in q_rows
+        if r["__qv"] is not None
+    ]
+    dims = {len(r["__qv"]) for r in valid}
+    dim = max(dims) if dims else 0
+    valid = [r for r in valid if len(r["__qv"]) == dim]
+    q_ids = [r["query_id"] for r in valid]
+    q_mat = (
+        np.array([list(r["__qv"]) for r in valid], dtype=np.float64)
+        if valid
+        else np.zeros((0, 0))
+    )
+    idt = corpus.schema[id_col].dataType.simpleString()
+    kernel = make_knn_shortlist_fn(q_ids, q_mat, shortlist_depth)
     shortlist = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv", fast.alias("__fast"))
-        .withColumn("__frank", F.row_number().over(wf))
+        corpus.select(
+            F.col(id_col).alias("__nid"), F.col(vec_col).alias("__cv")
+        )
+        .mapInPandas(
+            kernel,
+            f"query_id {idt}, neighbor_id {idt}, __fast double, "
+            "__cv array<float>",
+        )
+        .withColumn(
+            "__frank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("__fast"), F.asc("neighbor_id")
+                )
+            ),
+        )
         .filter(F.col("__frank") <= shortlist_depth)
+        .join(F.broadcast(qf), "query_id")
     )
     cos = cosine_exact(F.col("__qv"), F.col("__cv"))
     return (
