@@ -4061,9 +4061,30 @@ def q_stream_drift(spark, sf_dir):
     # oracle-identical; the DuckDB replay still computes the reference
     # independently from the batch table. No output orderBy: the grading
     # hasher row-sorts (same adjudication as quantile_buckets/pagerank).
-    reference = drained.groupBy("cat").agg(
+    # The reference is COLLECTED (category-bounded — a handful of rows):
+    # the collect also yields the drained grand total, which must equal
+    # the stream's own ingested-row count (stream_mix_counts counts every
+    # input row, nulls included) — a drain shortfall now fails THIS query
+    # loudly instead of self-consistently shifting reference and windows
+    # in lockstep (ADVICE r11 #4).
+    ref_agg = drained.groupBy("cat").agg(
         F.sum("n").cast("bigint").alias("n")
     )
+    ref_rows = ref_agg.collect()
+    drained_total = sum(int(r["n"]) for r in ref_rows)
+    ingested = 0
+    for p in q.recentProgress:
+        try:
+            ingested += int(p["numInputRows"])
+        except TypeError:
+            ingested += int(p.numInputRows)
+    if drained_total != ingested:
+        raise RuntimeError(
+            f"stream_drift drain shortfall: drained counts sum to "
+            f"{drained_total} rows but the stream ingested {ingested} — "
+            "the availableNow drain lost rows"
+        )
+    reference = spark.createDataFrame(ref_rows, ref_agg.schema)
     return drift_from_counts(drained, reference)
 
 

@@ -97,6 +97,32 @@ def pinned_tags() -> list[str]:
     return [t for t, _ in _PINNED]
 
 
+def local_checkpoint_fully_cached(df: DataFrame) -> bool:
+    """True when ``df`` is a ``localCheckpoint`` whose RDD reports EVERY
+    partition cached — the precondition for releasing a predecessor
+    checkpoint it was derived from (ADVICE r11 #3): a lazy checkpoint is
+    only safe to cut loose from its lineage source once all of its own
+    blocks exist, because a partially-materialized successor whose source
+    was unpersisted cannot back-fill (the lineage is gone) and fails
+    irrecoverably at the next action. Best-effort like
+    :func:`release_local_checkpoint`: returns False (never raises) when
+    the plan is not a LogicalRDD or the internal surface moved — callers
+    then skip the release and memory degrades to the accumulate-as-before
+    status quo."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        rid = plan.rdd().id()
+        jsc = df.sparkSession.sparkContext._jsc.sc()
+        for info in jsc.getRDDStorageInfo():
+            if info.id() == rid:
+                return info.numCachedPartitions() == info.numPartitions()
+        return False
+    except Exception:
+        return False
+
+
 def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
     """Best-effort release of the blocks a ``localCheckpoint`` pinned.
 

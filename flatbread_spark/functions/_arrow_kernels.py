@@ -409,6 +409,15 @@ def make_trigram_score_udf(model, n=3):
             by_lang.setdefault(lang, []).append((tri, int(c)))
         packed = {}
         for lang, pairs in by_lang.items():
+            # keys with len != n are UNREACHABLE in the packed domain for
+            # documents (every extracted gram has length n) but a shorter
+            # key would pack to the same int64 as an n-gram with leading
+            # U+0000 codepoints — skip them so a public caller passing an
+            # arbitrary dict cannot mint phantom hits the Python path
+            # would never produce (ADVICE r11 #5); the Python fallback's
+            # dict lookup never matched them either (its keys are exact
+            # n-length strings)
+            pairs = [(tri, c) for tri, c in pairs if len(tri) == n]
             ids = np.empty(len(pairs), dtype=np.int64)
             freqs = np.empty(len(pairs), dtype=np.int64)
             for i, (tri, c) in enumerate(pairs):

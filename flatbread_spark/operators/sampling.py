@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flatbread_spark.cache import release_local_checkpoint
+from flatbread_spark.cache import (
+    local_checkpoint_fully_cached,
+    release_local_checkpoint,
+)
 from flatbread_spark.operators.dedup import portable_hash60
 
 _MOD = 1_000_000
@@ -322,7 +325,7 @@ def fps_select(
     id_col: str,
     vec_col: str,
     k: int,
-    checkpoint_every: int = 8,
+    checkpoint_every: "int | None" = None,
 ) -> DataFrame:
     """Farthest-point sampling (greedy k-center) over an embedding column:
     pick ``k`` points where each next pick maximizes its distance to the
@@ -362,8 +365,9 @@ def fps_select(
     this targets (≤ ~1k), that is the intended trade, and candidates can
     be pre-thinned with :func:`sample_deterministic` for larger corpora.
     ``checkpoint_every`` is retired (accepted for API compatibility,
-    ignored): the per-iteration lazy cut strictly dominates the old
-    every-N eager cut on compute, job count and plan depth.
+    ignored, DeprecationWarning when passed — ADVICE r11 #3): the
+    per-iteration lazy cut strictly dominates the old every-N eager cut
+    on compute, job count and plan depth.
 
     Returns ``(rank, <id_col>, min_dist)`` — selection order starting at
     the smallest id (rank 0, min_dist 0 by convention), each later row
@@ -378,6 +382,16 @@ def fps_select(
     """
     if k < 1:
         raise ValueError("fps_select requires k >= 1")
+    if checkpoint_every is not None:
+        import warnings
+
+        warnings.warn(
+            "fps_select(checkpoint_every=...) is retired and ignored: the "
+            "per-iteration lazy localCheckpoint supersedes the every-N "
+            "eager cut (see docstring)",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     from flatbread_spark.functions.vectors import int8_codes, int8_scale
 
     scale = int8_scale(F.col(vec_col))
@@ -438,8 +452,14 @@ def fps_select(
         # (TakeOrdered scans every partition; a lazy localCheckpoint
         # back-fills any partition its first action skipped), so the
         # superseded iteration's blocks are dead — release them, bounding
-        # peak cache at ~2 code-projection copies instead of k
-        release_local_checkpoint(prev)
+        # peak cache at ~2 code-projection copies instead of k. GUARDED
+        # (ADVICE r11 #3): the release only fires when the successor RDD
+        # reports every partition cached, so a future change to a
+        # short-circuiting collect cannot strand a partially-materialized
+        # checkpoint whose lineage source is gone — the guard failing
+        # merely degrades memory to the accumulate-as-before status quo
+        if local_checkpoint_fully_cached(state):
+            release_local_checkpoint(prev)
         if not top:
             break  # fewer distinct code points than k
         row = top[0]

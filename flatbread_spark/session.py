@@ -66,8 +66,19 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     infer_generate_filters: bool = False,
+    prefer_sort_merge_join: bool = False,
 ) -> SparkSession:
-    """``infer_generate_filters=True`` keeps Catalyst's
+    """``prefer_sort_merge_join=True`` restores Spark's default join
+    preference (ADVICE r11 #1 escape hatch). The engine default lets the
+    planner pick shuffled-hash join when its size gates hold (guide §3.1
+    and the guide's §9 reference configuration ship exactly this
+    setting); the risk envelope is documented at the config line below
+    and pinned by ``tests/test_shj_envelope_r12.py`` — a deployment whose
+    statistics are unreliable (SHJ's per-partition build map OOMs where
+    SMJ would spill) passes ``True`` here or flips the runtime-mutable
+    ``spark.sql.join.preferSortMergeJoin`` on the live session.
+
+    ``infer_generate_filters=True`` keeps Catalyst's
     ``InferFiltersFromGenerate`` rule enabled (VERDICT r9 #6 scope guard).
     The engine excludes it by default because every DECLARED query's
     Generate sits directly on the scan stage, where the inferred
@@ -98,7 +109,20 @@ def get_spark(
         # them and fall back to sort-merge exactly as before. Measured on
         # the join-heavy 16-query bench subset at sf0.1: 31.3 → 26.9 s
         # (−14%), no query slower beyond noise (OPTIMIZATION_r11.md).
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # RISK ENVELOPE (ADVICE r11 #1): SHJ builds a per-partition hash
+        # map and cannot spill the build side, so a badly mis-estimated
+        # build under memory pressure OOMs where SMJ would spill. The
+        # planner only picks SHJ when the build side estimates under
+        # autoBroadcastJoinThreshold × shufflePartitions AND 3× smaller
+        # than the probe; tests/test_shj_envelope_r12.py pins exactly
+        # which declared queries plan one (all with vocabulary-/gate-
+        # bounded build sides), so a new SHJ site fails review
+        # mechanically. prefer_sort_merge_join=True restores the Spark
+        # default for stat-unreliable deployments.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            str(bool(prefer_sort_merge_join)).lower(),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by default;
